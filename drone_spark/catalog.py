@@ -1,0 +1,143 @@
+"""Versioned table catalog — the engine's Iceberg stand-in.
+
+The north rule requires per-superstep state snapshots, per-partition
+lineage and convergence metrics persisted to *Iceberg*, with resume from
+the last checkpoint. This sandbox ships no Iceberg runtime jar and
+installs are forbidden, so the catalog below provides the subset of
+Iceberg semantics the engine needs — atomic versioned snapshots, append
+logs, time-travel reads — as versioned parquet directories with an
+atomically-renamed JSON manifest. On a real cluster, ``Catalog`` is the
+only file that changes: each method maps 1:1 onto
+``df.writeTo("db.t").createOrReplace() / .append()`` and
+``spark.read.option("snapshot-id", ...).table("db.t")``.
+
+Layout::
+
+    <root>/<table>/_MANIFEST.json        # ordered snapshot log
+    <root>/<table>/v=000007/*.parquet    # one directory per commit
+
+Commit protocol (crash-safe, same idea as Iceberg's metadata swap):
+write data to a temp dir, fsync-rename it to ``v=N``, then rename a new
+manifest over the old one. A reader always sees either the old or the
+new manifest, never a torn state; uncommitted ``v=N`` dirs without a
+manifest entry are invisible garbage.
+
+The reference engine has no storage layer at all — workers read
+whitespace text from NFS and append TSV result files
+(/root/reference/src/worker/PRWorker.go:341-364, :249-267); this module
+replaces that and adds the checkpoint/lineage capability it lacked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class _Commit:
+    version: int
+    mode: str  # "snapshot" (full replacement) | "append"
+    meta: dict[str, Any] = field(default_factory=dict)
+
+
+class Catalog:
+    """Versioned parquet tables under a root directory."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest helpers -------------------------------------------------
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), MANIFEST)
+
+    def _load_manifest(self, name: str) -> list[_Commit]:
+        path = self._manifest_path(name)
+        if not os.path.exists(path):
+            return []
+        with open(path) as fh:
+            raw = json.load(fh)
+        return [_Commit(**entry) for entry in raw]
+
+    def _store_manifest(self, name: str, commits: list[_Commit]) -> None:
+        path = self._manifest_path(name)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump([commit.__dict__ for commit in commits], fh, indent=1)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    # -- public API --------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        return bool(self._load_manifest(name))
+
+    def versions(self, name: str) -> list[int]:
+        return [c.version for c in self._load_manifest(name)]
+
+    def latest_version(self, name: str) -> int | None:
+        versions = self.versions(name)
+        return versions[-1] if versions else None
+
+    def commit_meta(self, name: str, version: int) -> dict[str, Any]:
+        for commit in self._load_manifest(name):
+            if commit.version == version:
+                return commit.meta
+        raise KeyError(f"{name}@v{version}")
+
+    def _commit(self, df: DataFrame, name: str, mode: str, meta: dict | None) -> int:
+        commits = self._load_manifest(name)
+        version = commits[-1].version + 1 if commits else 1
+        table_dir = self._table_dir(name)
+        os.makedirs(table_dir, exist_ok=True)
+        tmp = os.path.join(table_dir, f".tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(table_dir, f"v={version:06d}")
+        os.replace(tmp, final)
+        commits.append(_Commit(version=version, mode=mode, meta=meta or {}))
+        self._store_manifest(name, commits)
+        return version
+
+    def write_snapshot(self, df: DataFrame, name: str, meta: dict | None = None) -> int:
+        """Full-replacement commit (Iceberg ``createOrReplace``)."""
+        return self._commit(df, name, "snapshot", meta)
+
+    def append(self, df: DataFrame, name: str, meta: dict | None = None) -> int:
+        """Append commit (Iceberg ``append``)."""
+        return self._commit(df, name, "append", meta)
+
+    def read(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> DataFrame:
+        """Read table state as of ``version`` (default: latest).
+
+        Resolves to the last full snapshot at-or-before ``version`` plus
+        every append after it — i.e. Iceberg snapshot semantics.
+        """
+        commits = self._load_manifest(name)
+        if version is not None:
+            commits = [c for c in commits if c.version <= version]
+        if not commits:
+            raise FileNotFoundError(f"table {name!r} (version={version}) not in catalog")
+        start = 0
+        for i, commit in enumerate(commits):
+            if commit.mode == "snapshot":
+                start = i
+        paths = [
+            os.path.join(self._table_dir(name), f"v={c.version:06d}")
+            for c in commits[start:]
+        ]
+        return spark.read.parquet(*paths)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._table_dir(name), ignore_errors=True)
