@@ -1,0 +1,59 @@
+"""Triangle counting — degree-ordered adjacency-intersection join.
+
+Not present in the reference (SURVEY §2.3 "absent" row) but required by
+the north rule. Standard algorithm from the public literature
+(node-iterator++ / Suri-Vassilvitskii): orient every undirected edge
+from the lower-(degree, id) endpoint to the higher, so each vertex's
+forward-adjacency has O(sqrt(E)) size even for hubs — the skew handling
+is *in the orientation*, no hot groupBy key survives it. Then a
+triangle is an edge (u,v) plus the intersection of the two forward
+lists, computed as one sort-merge self-join + ``array_intersect``
+(JVM-side, codegen'd).
+
+Exact counts; DuckDB 3-way-join SQL oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .cc import _sym_edges
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Undirected edges oriented low-(deg,id) → high-(deg,id)."""
+    sym = _sym_edges(edges)  # both directions, distinct
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    with_deg = (
+        sym.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+    )
+    return with_deg.where(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+
+
+def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
+    """Total triangle count (1 row, column ``n_triangles``), or per-edge
+    counts aggregated per first endpoint when ``per_vertex``."""
+    fwd = _oriented(edges)
+    adj = fwd.groupBy(F.col("src").alias("u")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    paired = (
+        fwd.join(adj.withColumnRenamed("u", "src").withColumnRenamed("nbrs", "src_nbrs"), "src")
+        .join(adj.withColumnRenamed("u", "dst").withColumnRenamed("nbrs", "dst_nbrs"), "dst")
+        .select(
+            "src",
+            "dst",
+            F.size(F.array_intersect("src_nbrs", "dst_nbrs")).alias("tri"),
+        )
+    )
+    if per_vertex:
+        return paired.groupBy(F.col("src").alias("id")).agg(
+            F.sum("tri").alias("n_triangles")
+        )
+    return paired.agg(F.sum("tri").cast("long").alias("n_triangles")).na.fill(
+        {"n_triangles": 0}
+    )

@@ -1,0 +1,129 @@
+"""Text analysis operators for a web-corpus training pipeline.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM
+codegen; zero Python) so they stream through a 100 TB documents scan at
+full columnar speed. Language-ID is the one heuristic kernel that
+benefits from vectorized pandas; it is Arrow-batched.
+
+Definitions are deliberately expressible in ANSI-ish SQL so the DuckDB
+oracle can replay them exactly (``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# one canonical whitespace-normalization used by every operator
+def norm_text(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Sub-word-ish token count: split on whitespace AND on
+    letter/digit/punctuation boundaries (a cheap BPE proxy — counts the
+    segments a byte-pair tokenizer would start from)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.trim(c), r"\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?<=[\w])(?=[^\w\s])|(?<=[^\w\s])(?=[\w])")
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(pieces))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics, all JVM-side:
+
+    n_chars, n_tokens, avg token length, punctuation count, digit
+    count, uppercase count — the raw signals of a fastText-style
+    quality filter, kept as exact integers so SQL oracles hash-match.
+    """
+    t = F.col(text_col)
+    n_tokens = token_count(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).alias("n_punct"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))).alias("n_digits"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))).alias("n_upper"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..100 quality score from the stats (integer math so the
+    DuckDB oracle reproduces it bit-for-bit):
+
+    score = 100 - penalty(punct-heavy) - penalty(digit-heavy)
+                - penalty(too short) capped at 0.
+
+    floor() everywhere (not cast) so Spark and the DuckDB oracle agree
+    bit-for-bit — Spark's double→long cast truncates, DuckDB's rounds."""
+    s = text_stats(docs, text_col)
+    punct_pen = F.least(
+        F.lit(40).cast("long"),
+        F.floor(F.col("n_punct") * 100 / F.greatest(F.col("n_chars"), F.lit(1))),
+    )
+    digit_pen = F.least(
+        F.lit(30).cast("long"),
+        F.floor(F.col("n_digits") * 100 / F.greatest(F.col("n_chars"), F.lit(1))),
+    )
+    short_pen = F.when(F.col("n_tokens") < 10, F.lit(30)).otherwise(F.lit(0))
+    return s.select(
+        "doc_id",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(100) - punct_pen - digit_pen - short_pen,
+        ).cast("long").alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercased text (md5 matches across Spark/DuckDB/Python)."""
+    return docs.select(
+        "doc_id", F.md5(norm_text(text_col)).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification — stopword/character n-gram heuristic
+# ---------------------------------------------------------------------------
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # tiny public-knowledge stopword lists; the point is the Spark
+    # plumbing (Arrow batch scoring), not linguistic accuracy
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un", "por", "con"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language marker-token hit
+    counts, 'und' when nothing matches. Vectorized pandas over Arrow
+    batches (the only Python in this module's plans)."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            toks = batch[text_col].str.lower().str.split()
+            counts = {
+                lang: toks.apply(lambda ts, m=set(markers): sum(t in m for t in ts or []))
+                for lang, markers in _LANG_MARKERS.items()
+            }
+            scores = pd.DataFrame(counts)
+            best = scores.idxmax(axis=1).where(scores.max(axis=1) > 0, "und")
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": best})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        score, schema="doc_id long, lang_pred string"
+    )

@@ -1,0 +1,95 @@
+"""Pure-Python/NumPy reference implementations (FIXTURES.md F4).
+
+Built from scratch because the reference ships no automated tests
+(SURVEY.md §5); semantics pinned to the reference's kernels where they
+exist (PageRank.go, CC.go, SSSP.go)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+
+
+def numpy_pagerank(edges: list[tuple[int, int]], tol=1e-6, damping=0.85, max_iter=2000):
+    """Unnormalized fixpoint pr = d·Σ_in pr_u/outdeg_u + (1-d), init 1.0
+    (PageRank.go:11,19,74)."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    src = np.array([idx[s] for s, _ in edges])
+    dst = np.array([idx[d] for _, d in edges])
+    pr = np.ones(n)
+    for _ in range(max_iter):
+        w = np.divide(pr, outdeg, out=np.zeros(n), where=outdeg > 0)
+        acc = np.zeros(n)
+        np.add.at(acc, dst, w[src])
+        new = (1 - damping) + damping * acc
+        done = np.max(np.abs(new - pr)) <= tol
+        pr = new
+        if done:
+            break
+    return {v: pr[idx[v]] for v in ids}
+
+
+def union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Min-vid label per undirected component (CC.go:51-54 semantics)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def component_min_label(edges, labels: dict[int, int]) -> dict[int, int]:
+    """Per-vertex minimum of ``labels`` over its component (hash-to-min)."""
+    comp = union_find_components(edges)
+    best: dict[int, int] = {}
+    for v, c in comp.items():
+        best[c] = min(best.get(c, labels[v]), labels[v])
+    return {v: best[c] for v, c in comp.items()}
+
+
+def brute_triangles(edges: list[tuple[int, int]]) -> int:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for v, nbrs in adj.items():
+        for a, b in combinations(sorted(n for n in nbrs if n > v), 2):
+            if b in adj[a]:
+                count += 1
+    return count
+
+
+def bfs_distances(edges: list[tuple[int, int]], source: int) -> dict[int, float]:
+    """Directed unit-weight shortest paths (reference forces weight 1.0,
+    graph.go:357-362)."""
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    dist = {source: 0.0}
+    frontier = [source]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1.0
+                    nxt.append(v)
+        frontier = nxt
+    return dist

@@ -1,0 +1,97 @@
+"""Dedup operators: exact, Jaccard, MinHash-LSH, SimHash, embedding."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from drone_spark.ops.dedup import (
+    embedding_near_dups, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+    shingles, simhash, simhash_near_dups,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # inject exact + near duplicates with known ids (>= 10_000)
+    rows = base.limit(5).collect()
+    dups = []
+    for i, r in enumerate(rows):
+        dups.append((10_000 + i, r["text"], r["lang"], r["source"], r["n_chars"]))          # exact dup
+        dups.append((20_000 + i, r["text"] + " extra", r["lang"], r["source"], r["n_chars"]))  # near dup
+    extra = spark.createDataFrame(dups, schema=base.schema)
+    return base.unionByName(extra).cache()
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    kept = exact_dedup(docs_with_dups)
+    total = docs_with_dups.count()
+    n_exact_dups = 5
+    assert kept.count() == total - n_exact_dups
+    assert kept.where("group_size = 2").count() == 5
+    # kept id is the min of each group: injected exact dups (10000..10004)
+    # are never the keeper; near-dups (20000+) are unique texts and stay
+    assert kept.where((F.col("doc_id") >= 10_000) & (F.col("doc_id") < 20_000)).count() == 0
+    assert kept.where(F.col("doc_id") >= 20_000).count() == 5
+
+
+def test_shingles_known(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = {r["shingle"] for r in shingles(df, n=3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_ngram_jaccard_finds_injected_pairs(spark, docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.8).collect()
+    pairset = {(r["a"], r["b"]) for r in pairs}
+    # each base doc & its exact dup have jaccard 1.0
+    base_ids = [r["doc_id"] for r in docs_with_dups.where("doc_id < 10000").limit(5).collect()]
+    for i, b in enumerate(sorted(base_ids)[:5]):
+        pass  # ids are arbitrary; just assert the exact-dup pairs exist:
+    exact_pairs = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"]))
+        for r in pairs
+        if r["jaccard"] >= 0.999
+    }
+    assert len(exact_pairs) >= 5
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs_with_dups):
+    exact = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.9).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs_with_dups, threshold=0.7).collect()
+    }
+    assert exact, "fixture must contain high-jaccard pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely unrelated words about spark engines and graphs")],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[3]
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dups(df, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_embedding_near_dups(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = [(i, base[i].tolist(), 0) for i in range(20)]
+    rows.append((100, (base[0] + rng.standard_normal(16).astype("float32") * 0.01).tolist(), 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["a"], r["b"]) for r in embedding_near_dups(emb, threshold=0.98).collect()}
+    assert (0, 100) in got

@@ -1,0 +1,77 @@
+"""Similarity search: brute-force exactness + ANN recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from drone_spark.ops.similarity import (
+    cosine_topk_bruteforce, cosine_topk_lsh, ivf_assign,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_pd(emb):
+    return emb.toPandas()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .cache()
+    )
+
+
+def _numpy_topk(emb_pd, qids, k):
+    mat = np.vstack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    ids = emb_pd["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qid in qids:
+        qv = mat[ids == qid][0]
+        cos = (mat @ qv) / (norms * np.linalg.norm(qv))
+        order = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[qid] = [i for _, i in order[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, emb, emb_pd, queries):
+    k = 10
+    got_rows = cosine_topk_bruteforce(emb, queries, k=k).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    exp = _numpy_topk(emb_pd, list(got.keys()), k)
+    assert got == exp
+
+
+def test_lsh_topk_recall(spark, emb, emb_pd, queries):
+    k = 10
+    exact = _numpy_topk(emb_pd, [r["query_id"] for r in queries.collect()], k)
+    approx_rows = cosine_topk_lsh(emb, queries, k=k, n_planes=4).collect()
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(set(exact[q]) & approx.get(q, set())) / k for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3  # 4 planes ≈ 1/16 of corpus scanned
+
+
+def test_ivf_assignment_partitions_corpus(spark, emb):
+    assigned, centroids = ivf_assign(emb, n_cells=8, n_iter=3)
+    pdf = assigned.toPandas()
+    assert len(pdf) == emb.count()
+    assert pdf["cell"].nunique() >= 4  # non-degenerate clustering
+    assert centroids.shape[0] == 8

@@ -1,0 +1,25 @@
+"""SSSP vs BFS oracle (unit weights, reference graph.go:357-362)."""
+
+from drone_spark.algorithms.sssp import reached, sssp
+from tests.oracles import bfs_distances
+
+
+def test_sssp_matches_bfs(spark, engine, small_edges, small_edges_pd):
+    source = int(small_edges_pd["src"].iloc[0])
+    res = sssp(spark, engine, small_edges, source=source, run_id="sssp_t")
+    assert res.converged
+    got = {r["vid"]: r["dist"] for r in reached(res.state).collect()}
+    exp = bfs_distances(
+        list(small_edges_pd.itertuples(index=False, name=None)), source
+    )
+    assert got == exp  # unreached vertices absent on both sides
+
+
+def test_sssp_weighted(spark, engine):
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0)],
+        "src long, dst long, weight double",
+    )
+    res = sssp(spark, engine, edges, source=1, run_id="sssp_w")
+    got = {r["vid"]: r["dist"] for r in reached(res.state).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0}

@@ -1,0 +1,70 @@
+"""Text analysis ops over the driver-provided documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from drone_spark.ops.textstats import (
+    fingerprint, lang_id, quality_score, text_stats, token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = (
+        docs.select("doc_id", "text", token_count("text").alias("n"))
+        .limit(50)
+        .collect()
+    )
+    for r in rows:
+        assert r["n"] == len(r["text"].split()), r["text"][:50]
+
+
+def test_token_count_empty(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {1: 0, 2: 0, 3: 2}
+
+
+def test_text_stats_sane(docs):
+    s = text_stats(docs)
+    assert s.count() == docs.count()
+    bad = s.where(
+        (F.col("n_chars") < 0)
+        | (F.col("n_punct") > F.col("n_chars"))
+        | (F.col("n_tokens") > F.col("n_chars") + 1)
+    )
+    assert bad.count() == 0
+
+
+def test_quality_score_range(docs):
+    q = quality_score(docs)
+    assert q.where((F.col("quality") < 0) | (F.col("quality") > 100)).count() == 0
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " hello\tworld ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in fingerprint(df).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_lang_id_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat and it was the best of the day"),
+            (2, "der Hund und die Katze ist nicht ein Problem"),
+            (3, "el perro y la casa de los amigos en un lugar"),
+            (4, "xyzzy qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}

@@ -1,0 +1,106 @@
+"""Emulate the driver's correctness gate: run each __spark_entry__
+query on Spark and its oracle_sql on DuckDB at the given sf dir;
+compare row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_entry.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from drone_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check-entry", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"{name:24s} SPARK-ERROR {type(e).__name__}: {str(e)[:160]}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"{name:24s} rows-only: {len(srows)} rows, {t_spark:.1f}s (no oracle)")
+            if len(srows) == 0 and name != "simhash_dedup":
+                print(f"  WARNING: 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"{name:24s} DUCKDB-ERROR {type(e).__name__}: {str(e)[:160]}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
+        status = "OK" if (ok_cols and ok_count and ok_hash) else "MISMATCH"
+        print(
+            f"{name:24s} {status}  rows {len(srows)}/{len(drows)} "
+            f"cols={'OK' if ok_cols else f'{scols} vs {dcols}'} "
+            f"hash={'OK' if ok_hash else 'FAIL'}  {t_spark:.1f}s"
+        )
+        if status != "OK":
+            failures.append(name)
+            if not ok_hash and ok_count and ok_cols:
+                # show a sample diff
+                s_set = {tuple(norm_cell(c) for c in r) for r in srows}
+                d_set = {tuple(norm_cell(c) for c in r) for r in drows}
+                print("   spark-only:", list(s_set - d_set)[:3])
+                print("   duck-only :", list(d_set - s_set)[:3])
+    print("FAILURES:", failures if failures else "none")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
