@@ -93,19 +93,17 @@ def _pagerank5_sql() -> str:
         "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)",
         "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
         " UNION ALL SELECT dst AS id FROM edges))",
-        "pr0 AS (SELECT id, 1.0::DOUBLE AS pr FROM v)",
+        f"pr0 AS (SELECT id, {PR_SCALE}::BIGINT AS pr FROM v)",
     ]
     for k in range(1, 6):
         ctes.append(
-            f"pr{k} AS (SELECT v.id, 0.15 + 0.85 * COALESCE(s.acc, 0.0) AS pr "
-            f"FROM v LEFT JOIN (SELECT e.dst AS id, SUM(p.pr / d.outdeg) AS acc "
+            f"pr{k} AS (SELECT v.id, {15 * PR_SCALE // 100} + "
+            f"(85 * COALESCE(s.acc, 0)) // 100 AS pr "
+            f"FROM v LEFT JOIN (SELECT e.dst AS id, SUM(p.pr // d.outdeg) AS acc "
             f"FROM pr{k-1} p JOIN deg d ON p.id = d.id "
             f"JOIN edges e ON e.src = p.id GROUP BY e.dst) s ON v.id = s.id)"
         )
-    return (
-        ", ".join(ctes)
-        + " SELECT id AS vid, CAST(FLOOR(pr * 1000) AS BIGINT) AS pr_milli FROM pr5"
-    )
+    return ", ".join(ctes) + " SELECT id AS vid, pr AS pr_fx FROM pr5"
 
 
 # ---------------------------------------------------------------------------
@@ -139,19 +137,54 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
-def q_pagerank5(spark, sf_dir):
-    from drone_spark.algorithms.pagerank import pagerank
+PR_SCALE = 10**12  # fixed-point scale: pr 1.0 == 10^12
 
-    res = pagerank(
-        spark, _engine(spark), _bipartite_edges(spark, sf_dir),
-        run_id="entry_pr5", tol=0.0, max_supersteps=5,
-    )
-    # floor(pr*1000): deterministic across engines (ROUND half-up vs
-    # half-even disagrees on dyadic-exact scores); tight 1e-6 checking is
-    # done by the NumPy oracle in tests/test_pagerank.py.
-    return res.state.select(
-        "vid", F.floor(F.col("pr") * 1000).cast("long").alias("pr_milli")
-    )
+
+def q_pagerank5(spark, sf_dir):
+    """5 supersteps of *fixed-point* PageRank (scaled-integer arithmetic,
+    floor division) through the generic superstep engine.
+
+    Integer sums are order-independent, so Spark and DuckDB produce
+    bit-identical results — float PageRank can't be hash-compared across
+    engines (summation-order ULPs straddle any quantization boundary).
+    The float path to 1e-6 is oracle-checked by tests/test_pagerank.py."""
+    from drone_spark.graph.builder import out_degrees, vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    eng = _engine(spark)
+
+    def init():
+        return (
+            vertices(edges)
+            .join(out_degrees(edges), "id", "left")
+            .select(
+                F.col("id").alias("vid"),
+                F.lit(PR_SCALE).alias("pr_fx"),
+                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+                F.lit(1.0).alias("delta"),
+            )
+        )
+
+    def step(state, _k):
+        contribs = (
+            state.where(F.col("outdeg") > 0)
+            .select("vid", F.expr("pr_fx div outdeg").alias("w"))
+            .join(edges, F.col("vid") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("acc"))
+        )
+        new_pr = F.lit(15 * PR_SCALE // 100) + F.expr(
+            "(85 * coalesce(acc, 0L)) div 100"
+        )
+        return state.join(contribs, state["vid"] == contribs["dst"], "left").select(
+            "vid",
+            new_pr.alias("pr_fx"),
+            "outdeg",
+            F.abs(new_pr - F.col("pr_fx")).cast("double").alias("delta"),
+        )
+
+    res = eng.run("entry_pr5", init, step, tol=0.0, max_supersteps=5)
+    return res.state.select("vid", "pr_fx")
 
 
 def q_connected_components(spark, sf_dir):
