@@ -318,6 +318,31 @@ def q_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+def q_graph_simulation(spark, sf_dir):
+    """Dual-simulation pattern match on the co-purchase graph with the
+    reference's id%100 attrs (Sim.go parity; fixpoint not expressible in
+    SQL — pytest oracle in tests/test_simulation.py)."""
+    from drone_spark.algorithms.simulation import Pattern, graph_simulation
+
+    pattern = Pattern(nodes=[(0, 1), (1, 2)], edges=[(0, 1)])
+    return graph_simulation(
+        spark, _copurchase_edges(spark, sf_dir), pattern
+    )
+
+
+def q_cosine_topk_ivf(spark, sf_dir):
+    from drone_spark.ops.similarity import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return cosine_topk_ivf(emb, queries, k=10, n_cells=8, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -410,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
+        "graph_simulation": q_graph_simulation,
         "pricing_summary": q_pricing_summary,
         "top_spenders": q_top_spenders,
         "events_hourly": q_events_hourly,

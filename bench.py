@@ -32,30 +32,64 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# 67M-edge shuffles GC-thrash at the 24g default; the box has 128 GiB.
+# tmpfs shuffle dir + wide broadcast threshold: local disk and the
+# state-side exchange would otherwise cap scaling at high core counts.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+if os.path.isdir("/dev/shm"):
+    os.makedirs("/dev/shm/spark-graft-tmp", exist_ok=True)
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft-tmp")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def _pagerank_job(sf_dir: str, cores: int) -> dict:
-    """Self-contained PageRank-to-1e-6 run; returns timing facts.
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
+SCALING_VERTICES = int(os.environ.get("SPARK_GRAFT_SCALING_VERTICES", "10000000"))
+SCALING_STEPS = int(os.environ.get("SPARK_GRAFT_SCALING_STEPS", "5"))
 
-    Importable by the scaling subprocess (python bench.py --pagerank-only N).
+
+def _pagerank_job(source: str, cores: int, max_supersteps: int = 0) -> dict:
+    """Self-contained PageRank run; returns timing facts.
+
+    ``source``: ``corpus:<n_pages>`` — the north-rule input: link graph
+    extracted from the deterministic Common-Crawl-style pages corpus —
+    ``parquet:<path>`` for a pre-materialized edge table, or
+    ``bipartite:<sf_dir>`` for the TPC-derived graph.
+    ``max_supersteps``: 0 = run to 1e-6 convergence; >0 = fixed superstep
+    count (used by the scaling probe so both parallelism levels do
+    identical work). Importable by the scaling subprocess
+    (python bench.py --pagerank-only <cores> <source> [steps]).
     """
     from drone_spark.catalog import Catalog
     from drone_spark.engine.superstep import SuperstepEngine
     from drone_spark.session import get_spark
     from drone_spark.algorithms.pagerank import pagerank
-    from __spark_entry__ import _bipartite_edges
 
     spark = get_spark(f"bench-pr-{cores}", cores=cores, shuffle_partitions=cores)
-    edges = _bipartite_edges(spark, sf_dir)
+    if source.startswith("corpus:"):
+        from drone_spark.corpus import generate_pages
+        from drone_spark.extraction import edges_from_pages
+
+        pages = generate_pages(spark, int(source.split(":")[1]), seed=42)
+        edges = edges_from_pages(pages).select("src", "dst")
+    elif source.startswith("parquet:"):
+        edges = spark.read.parquet(source.split(":", 1)[1])
+    else:
+        from __spark_entry__ import _bipartite_edges
+
+        edges = _bipartite_edges(spark, source.split(":", 1)[1])
     n_edges = edges.count()
     eng = SuperstepEngine(
         spark, Catalog(tempfile.mkdtemp(prefix="bench_pr_")), num_parts=cores,
         checkpoint_every=1,
     )
     t0 = time.monotonic()
-    res = pagerank(spark, eng, edges, run_id="bench_pr", tol=1e-6)
+    res = pagerank(
+        spark, eng, edges, run_id="bench_pr",
+        tol=0.0 if max_supersteps else 1e-6,
+        max_supersteps=max_supersteps or 200,
+    )
     wall = time.monotonic() - t0
     spark.stop()
     return {
@@ -84,8 +118,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
 
-    # -- headline: PageRank to 1e-6 (own session so cores are honest)
-    pr = _pagerank_job(SF_DIR, CPUS)
+    # -- headline: PageRank to 1e-6 on the corpus link graph (own
+    # session so cores are honest)
+    pr = _pagerank_job(f"corpus:{N_PAGES}", CPUS)
+    scaling_edges_dir = None
     timings["pagerank_1e6"] = round(pr.pop("seconds"), 2)
     extras["pagerank"] = {k: round(v, 2) if isinstance(v, float) else v for k, v in pr.items()}
 
@@ -112,6 +148,37 @@ def main() -> None:
     pages = generate_pages(spark, 20_000, seed=42)
     timed("extract_edges", lambda: edges_from_pages(pages).count())
 
+    # incremental (delta) PageRank to 1e-6 on the same headline corpus —
+    # the reference's frontier-shrinking evaluation scheme
+    from drone_spark.algorithms.pagerank import pagerank_delta
+
+    corpus_edges = (
+        edges_from_pages(generate_pages(spark, N_PAGES, seed=42))
+        .select("src", "dst")
+    )
+    delta_res = {}
+    def run_delta():
+        r = pagerank_delta(spark, eng, corpus_edges, run_id="bench_prd", tol=1e-6)
+        delta_res["supersteps"] = r.supersteps
+        delta_res["converged"] = r.converged
+    timed("pagerank_delta_1e6", run_delta)
+    extras["pagerank_delta"] = delta_res
+
+    # pre-materialize the scaling-probe edge table once (both
+    # parallelism levels then read identical parquet — the probe times
+    # pure PageRank iteration, not graph synthesis). Direct synthesis at
+    # tens of millions of edges: the iteration must be compute-dominated
+    # for the N→4N efficiency number to measure scaling rather than
+    # fixed per-superstep overhead.
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        from drone_spark.corpus import generate_edges_direct
+
+        scaling_edges_dir = tempfile.mkdtemp(prefix="bench_scaling_") + "/edges"
+        (
+            generate_edges_direct(spark, SCALING_VERTICES, seed=42)
+            .write.mode("overwrite").parquet(scaling_edges_dir)
+        )
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("minhash_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.7).count())
 
@@ -125,22 +192,32 @@ def main() -> None:
 
     # -- scaling probe: same PageRank job at N/4 and N cores (subprocess
     # isolation so each JVM really has that parallelism)
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+    if scaling_edges_dir is not None:
         low_cores = max(CPUS // 4, 1)
-        scaling_sf = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", SF_DIR)
-        levels = {}
-        for c in (low_cores, CPUS):
-            out = subprocess.run(
-                [sys.executable, __file__, "--pagerank-only", str(c), scaling_sf],
-                capture_output=True, text=True, timeout=3600,
-            )
-            levels[c] = json.loads(out.stdout.strip().splitlines()[-1])
+        scaling_src = f"parquet:{scaling_edges_dir}"
+        # interleave the two levels and keep the fastest run per level:
+        # this host is a shared VM, so min-of-N is the noise-robust
+        # estimator for the scaling ratio
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+        levels: dict[int, dict] = {}
+        for _ in range(repeats):
+            for c in (low_cores, CPUS):
+                out = subprocess.run(
+                    [sys.executable, __file__, "--pagerank-only", str(c),
+                     scaling_src, str(SCALING_STEPS)],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                run = json.loads(out.stdout.strip().splitlines()[-1])
+                if c not in levels or run["seconds"] < levels[c]["seconds"]:
+                    levels[c] = run
         thr_low = levels[low_cores]["edges_per_sec"]
         thr_high = levels[CPUS]["edges_per_sec"]
         extras["scaling"] = {
             "cores_low": low_cores,
             "cores_high": CPUS,
-            "sf_dir": scaling_sf,
+            "n_vertices": SCALING_VERTICES,
+            "n_edges": levels[CPUS]["n_edges"],
+            "supersteps": SCALING_STEPS,
             "seconds_low": round(levels[low_cores]["seconds"], 2),
             "seconds_high": round(levels[CPUS]["seconds"], 2),
             "edges_per_sec_low": round(thr_low, 0),
@@ -162,9 +239,8 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--pagerank-only":
         cores = int(sys.argv[2])
-        sf = sys.argv[3] if len(sys.argv) > 3 else SF_DIR
-        facts = _pagerank_job(sf, cores)
-        facts["seconds"] = facts["seconds"]
-        print(json.dumps(facts))
+        source = sys.argv[3] if len(sys.argv) > 3 else f"corpus:{N_PAGES}"
+        steps = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+        print(json.dumps(_pagerank_job(source, cores, steps)))
     else:
         main()

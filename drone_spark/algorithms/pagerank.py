@@ -28,6 +28,7 @@ vertex-cut partitioner when running on catalog tables.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine.superstep import RunResult, SuperstepEngine
@@ -102,3 +103,187 @@ def pagerank(
         )
     finally:
         edges_r.unpersist()
+
+
+def pagerank_delta(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    run_id: str = "pagerank_delta",
+    tol: float = 1e-6,
+    damping: float = DAMPING,
+    max_supersteps: int = 200,
+    resume: bool = False,
+    frontier_tol: float | None = None,
+) -> RunResult:
+    """Incremental (delta) PageRank — the reference's evaluation scheme
+    (PageRank.go:67-91): per-vertex ``acc`` accumulates received mass;
+    each superstep only vertices whose rank changed by more than
+    ``frontier_tol`` re-scatter ``Δpr/outdeg``; ``pr = α·acc + (1-α)``.
+    Late supersteps touch a shrinking frontier, so edge traffic decays
+    with convergence instead of staying O(E) per superstep (SURVEY §4.1
+    "incremental evaluation" — the one optimization Catalyst cannot
+    derive). ``frontier_tol`` defaults to tol/10; unscattered residuals
+    are below the convergence tolerance (validated against the NumPy
+    oracle in tests).
+
+    State: (vid, pr, acc, d, outdeg, delta) — ``d`` is the signed change
+    still to scatter, ``delta`` its magnitude (engine convergence)."""
+    frontier_tol = tol / 10 if frontier_tol is None else frontier_tol
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_r = (
+        edges.select("src", "dst").repartition(n_parts, "src")
+        .sortWithinPartitions("src").persist()
+    )
+    n_edges = edges_r.count()
+
+    def init() -> DataFrame:
+        # equivalent to the reference's PEval round: pr=1.0 everywhere,
+        # whole graph is the first frontier (d = pr = 1.0, acc = 0)
+        return (
+            vertices(edges_r)
+            .join(out_degrees(edges_r), "id", "left")
+            .select(
+                F.col("id").alias("vid"),
+                F.lit(1.0).alias("pr"),
+                F.lit(0.0).alias("acc"),
+                F.lit(1.0).alias("d"),
+                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+                F.lit(1.0).alias("delta"),
+            )
+        )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        msgs = (
+            state.where((F.abs("d") > frontier_tol) & (F.col("outdeg") > 0))
+            .select("vid", (F.col("d") / F.col("outdeg")).alias("w"))
+            .join(edges_r, F.col("vid") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("dacc"))
+        )
+        acc_new = F.col("acc") + F.coalesce("dacc", F.lit(0.0))
+        pr_new = F.lit(1.0 - damping) + F.lit(damping) * acc_new
+        return state.join(msgs, state["vid"] == msgs["dst"], "left").select(
+            "vid",
+            pr_new.alias("pr"),
+            acc_new.alias("acc"),
+            (pr_new - F.col("pr")).alias("d"),
+            "outdeg",
+            F.abs(pr_new - F.col("pr")).alias("delta"),
+        )
+
+    try:
+        return engine.run(
+            run_id, init, step, tol=tol, max_supersteps=max_supersteps,
+            resume=resume, edges_per_step=n_edges,
+        )
+    finally:
+        edges_r.unpersist()
+
+
+def pagerank_cogroup(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    run_id: str = "pagerank_cg",
+    tol: float = 1e-6,
+    damping: float = DAMPING,
+    max_supersteps: int = 200,
+    resume: bool = False,
+    num_parts: int | None = None,
+    salt_threshold: int = 1024,
+) -> RunResult:
+    """Subgraph-centric PageRank — the north-star execution shape.
+
+    Edges are vertex-cut partitioned once (hub out-edges salted across
+    partitions, graph/partitioner.py); each superstep **cogroups** the
+    partition's edge batch with the ranks routed to it and runs a
+    numpy-CSR gather-scatter kernel per partition (graph/csr.py) — the
+    Spark re-expression of a DRONE worker iterating over its in-RAM
+    adjacency (PRWorker.go:210-247 + PageRank.go:27-52). Partial sums
+    per dst then combine globally (mirror→master, groupBy = J2) and
+    rejoin state (master→mirror, J3).
+
+    Results are identical to :func:`pagerank` (same fixpoint, same
+    tolerance); which backend wins depends on the partition-local edge
+    density — at web scale the cogroup kernel trades one shuffle of the
+    rank table for executing the scatter entirely inside Arrow batches.
+    """
+    n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from ..graph.partitioner import partition_graph
+
+    pg = partition_graph(edges.select("src", "dst"), n_parts, salt_threshold)
+    edges_p = pg.edges.repartition(n_parts, "part").persist()
+    n_edges = edges_p.count()
+    # (vid, rpart) routing table: every partition where vid has
+    # out-edges. The column is renamed (not just aliased) so the cogroup
+    # of routed-state with edges_p isn't an ambiguous self-join — cogroup
+    # matches grouping keys positionally, names need not agree.
+    routes = (
+        edges_p.select(F.col("src").alias("vid"), "part")
+        .distinct()
+        .toDF("vid", "rpart")
+        .persist()
+    )
+    routes.count()
+
+    def init() -> DataFrame:
+        return (
+            vertices(edges_p)
+            .join(out_degrees(edges_p.select("src", "dst")), "id", "left")
+            .select(
+                F.col("id").alias("vid"),
+                F.lit(1.0).alias("pr"),
+                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+                F.lit(1.0).alias("delta"),
+            )
+        )
+
+    def kernel(key, states: pd.DataFrame, part_edges: pd.DataFrame) -> pd.DataFrame:
+        from ..graph.csr import csr_from_pandas
+        import numpy as np
+
+        if part_edges.empty or states.empty:
+            return pd.DataFrame({"dst": [], "partial": []}).astype(
+                {"dst": "int64", "partial": "float64"}
+            )
+        csr = csr_from_pandas(part_edges)
+        values = np.zeros(len(csr.vids))
+        idx = csr.local_index(states["vid"].to_numpy(np.int64))
+        ok = idx >= 0
+        values[idx[ok]] = states["w"].to_numpy(np.float64)[ok]
+        sums = csr.scatter_sum(values)
+        nz = sums != 0.0
+        return pd.DataFrame({"dst": csr.vids[nz], "partial": sums[nz]})
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        routed = (
+            state.where(F.col("outdeg") > 0)
+            .select("vid", (F.col("pr") / F.col("outdeg")).alias("w"))
+            .join(routes, "vid")
+        )
+        contribs = (
+            routed.groupBy("rpart")
+            .cogroup(edges_p.groupBy("part"))
+            .applyInPandas(kernel, schema="dst long, partial double")
+            .groupBy("dst")
+            .agg(F.sum("partial").alias("acc"))
+        )
+        new_pr = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
+            "acc", F.lit(0.0)
+        )
+        return state.join(contribs, state["vid"] == contribs["dst"], "left").select(
+            "vid",
+            new_pr.alias("pr"),
+            "outdeg",
+            F.abs(new_pr - F.col("pr")).alias("delta"),
+        )
+
+    try:
+        return engine.run(
+            run_id, init, step, tol=tol, max_supersteps=max_supersteps,
+            resume=resume, edges_per_step=n_edges,
+        )
+    finally:
+        edges_p.unpersist()
+        routes.unpersist()

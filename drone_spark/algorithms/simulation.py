@@ -1,0 +1,119 @@
+"""Graph (dual) simulation pattern matching — reference parity.
+
+Reference semantics (/root/reference/src/algorithm/Sim.go): candidate
+pairs seeded by attribute equality (Sim.go:45-68, data-vertex attr is
+``id % 100``, graph.go:367 + Settings.go:20); a pair (v,u) *survives*
+iff for every pattern successor u' of u, some data successor v' of v is
+still matched to u' (the ``postMap`` counters + retraction cascade,
+Sim.go:103-172). We compute the same fixpoint relationally: per round,
+a requirement table (v,u,u') anti-joined with its witnesses; pairs with
+any unwitnessed requirement are retracted; repeat until no retraction.
+(The reference's mirror-index routing bug, SimWorker.go:221 — messages
+sent to slice indices instead of worker ids — is semantics we
+deliberately do not replicate; see SURVEY §2.3.)
+
+Pattern graphs are tiny (the reference ships an 8-line example,
+src/pattern.txt) → broadcast joins throughout; the data-side tables are
+the only shuffled ones. The fixpoint shrinks monotonically, so each
+round's work is bounded by the current match set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class Pattern:
+    """A small directed pattern graph: nodes (id, attr), edges (src, dst)."""
+
+    nodes: list[tuple[int, int]]
+    edges: list[tuple[int, int]]
+
+
+def load_pattern_text(text: str) -> Pattern:
+    """Parse the reference's pattern format: ``id attr n t1..tn`` per line
+    (graph.go:303-329; example /root/reference/src/pattern.txt)."""
+    nodes, edges = [], []
+    for line in text.strip().splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        vid, attr, n = int(parts[0]), int(parts[1]), int(parts[2])
+        nodes.append((vid, attr))
+        edges.extend((vid, int(t)) for t in parts[3 : 3 + n])
+    return Pattern(nodes=nodes, edges=edges)
+
+
+def default_attr(col) -> F.Column:
+    """The reference's synthetic vertex attribute: id % 100
+    (graph.go:367,374; Settings.go:20)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(c, F.lit(100))
+
+
+def graph_simulation(
+    spark: SparkSession,
+    edges: DataFrame,
+    pattern: Pattern,
+    vertex_attrs: DataFrame | None = None,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Dual-simulation match set: (pattern_node, data_node) pairs.
+
+    ``vertex_attrs``: (id, attr); defaults to the reference's id%100.
+    """
+    from ..graph.builder import vertices
+
+    verts = vertices(edges)
+    if vertex_attrs is None:
+        vertex_attrs = verts.select("id", default_attr("id").alias("attr"))
+
+    p_nodes = spark.createDataFrame(pattern.nodes, "u long, uattr long")
+    p_edges = spark.createDataFrame(pattern.edges, "u long, u2 long")
+
+    # seed: attr-equality candidates (Sim.go:45-68) — broadcast hash join
+    sim = (
+        vertex_attrs.join(
+            F.broadcast(p_nodes), F.col("attr") == F.col("uattr")
+        )
+        .select(F.col("id").alias("v"), "u")
+        .persist()
+    )
+    sim.count()
+    data_edges = edges.select("src", "dst").persist()
+
+    for _ in range(max_rounds):
+        # requirement: every (v,u) must witness each pattern edge u->u2
+        need = sim.join(F.broadcast(p_edges), "u")  # (v, u, u2)
+        witnessed = (
+            need.join(data_edges, need["v"] == data_edges["src"])
+            .join(
+                sim.select(F.col("v").alias("v2"), F.col("u").alias("u2x")),
+                (F.col("dst") == F.col("v2")) & (F.col("u2") == F.col("u2x")),
+                "left_semi",
+            )
+            .select("v", "u", "u2")
+            .distinct()
+        )
+        bad = (
+            need.select("v", "u", "u2")
+            .exceptAll(witnessed)
+            .select("v", "u")
+            .distinct()
+            .persist()
+        )
+        n_bad = bad.count()
+        if n_bad == 0:
+            bad.unpersist()
+            break
+        new_sim = sim.join(bad, ["v", "u"], "left_anti").persist()
+        new_sim.count()
+        sim.unpersist()
+        bad.unpersist()
+        sim = new_sim
+
+    data_edges.unpersist()
+    return sim.select(F.col("u").alias("pattern_node"), F.col("v").alias("data_node"))

@@ -106,3 +106,39 @@ def generate_pages(
         spark.range(0, n_pages, numPartitions=partitions)
         .mapInPandas(gen, schema=PAGES_SCHEMA)
     )
+
+
+def generate_edges_direct(
+    spark: SparkSession,
+    n_vertices: int,
+    seed: int = 42,
+    gen_partitions: int = 256,
+) -> DataFrame:
+    """Directly synthesize a link-graph edge table with the same
+    statistical shape as :func:`generate_pages` + extraction (Zipf
+    out-degree, quadratic preferential attachment), skipping the HTML
+    round-trip — used for scaling benchmarks where tens of millions of
+    edges are needed and extraction throughput would dominate.
+
+    Deterministic independent of cores: generation always uses
+    ``gen_partitions`` fixed range partitions, each seeded by its start
+    offset; fully vectorized numpy per partition (no per-row Python).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng([seed, int(ids[0])])
+            outdeg = np.minimum(rng.zipf(1.7, len(ids)), 64)
+            src = np.repeat(ids, outdeg)
+            u = rng.random(len(src))
+            dst = (u * u * n_vertices).astype(np.int64)
+            keep = src != dst
+            yield pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    return (
+        spark.range(0, n_vertices, numPartitions=gen_partitions)
+        .mapInPandas(gen, schema="src long, dst long")
+    )

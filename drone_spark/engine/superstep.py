@@ -159,20 +159,32 @@ class SuperstepEngine:
     ) -> tuple[DataFrame, float]:
         """Materialize one superstep exactly once and record metrics.
 
-        ``full=True``: parquet snapshot to the catalog (resume point),
-        metrics re-scan the committed files. ``full=False``: in-memory
-        lineage truncation only (localCheckpoint)."""
+        Two Spark jobs per superstep, no driver-side collect:
+        1. state materialization (parquet snapshot when ``full``, else
+           in-memory ``localCheckpoint``) with an ``Observation``
+           piggy-backed on the same action for the global convergence
+           aggregate — no separate convergence job;
+        2. per-partition metrics: a columnar re-scan of the committed
+           state, aggregated by master partition and appended to the
+           metrics table as one coalesced file."""
+        from pyspark.sql import Observation
+
         cat, spark = self.catalog, self.spark
         state_table = self._state_table(run_id)
 
+        obs = Observation()
+        observed = new_state.observe(obs, F.max("delta").alias("max_delta"))
         if full:
             version = cat.write_snapshot(
-                new_state, state_table, meta={"superstep": superstep}
+                observed, state_table, meta={"superstep": superstep}
             )
             committed = cat.read(spark, state_table)
         else:
             version = -1  # not a resume point
-            committed = new_state.localCheckpoint(eager=True)
+            committed = observed.localCheckpoint(eager=True)
+        max_delta = float(obs.get["max_delta"] or 0.0)
+        seconds = time.monotonic() - t0
+
         per_part = (
             committed.groupBy(
                 F.pmod(F.xxhash64("vid"), F.lit(self.num_parts))
@@ -184,35 +196,19 @@ class SuperstepEngine:
                 F.max("delta").alias("max_delta"),
                 F.sum((F.col("delta") > 0).cast("long")).alias("n_changed"),
             )
-            .collect()
+            .select(
+                F.lit(superstep).alias("superstep"),
+                "part",
+                "n_vertices",
+                "n_changed",
+                F.coalesce("max_delta", F.lit(0.0)).alias("max_delta"),
+                F.lit(seconds).alias("seconds"),
+                F.lit(version).alias("state_version"),
+                F.lit(int(edges_per_step or 0)).alias("edges_traversed"),
+            )
+            .coalesce(1)
         )
-        max_delta = max((r["max_delta"] or 0.0) for r in per_part) if per_part else 0.0
-        seconds = time.monotonic() - t0
-
-        metrics_rows = [
-            {
-                "superstep": superstep,
-                "part": r["part"],
-                "n_vertices": r["n_vertices"],
-                "n_changed": r["n_changed"],
-                "max_delta": float(r["max_delta"] or 0.0),
-                "seconds": seconds,
-                "state_version": version,
-                "edges_traversed": int(edges_per_step or 0),
-            }
-            for r in per_part
-        ]
-        cat.append(
-            spark.createDataFrame(
-                metrics_rows,
-                schema=(
-                    "superstep int, part int, n_vertices long, n_changed long,"
-                    " max_delta double, seconds double, state_version int,"
-                    " edges_traversed long"
-                ),
-            ),
-            self._metrics_table(run_id),
-        )
+        cat.append(per_part, self._metrics_table(run_id))
         # returning the committed scan = lineage truncation: the next
         # superstep's plan starts from parquet, not the iteration history.
         return committed, max_delta

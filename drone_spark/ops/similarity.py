@@ -202,3 +202,48 @@ def ivf_assign(
         assign_kernel(centroids), schema=f"{id_col} long, cell int"
     )
     return final, centroids
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: score only vectors in the ``n_probe`` cells whose
+    centroids are nearest each query. The corpus-side cell assignment is
+    a one-time index (persist/write it in production); per query the
+    candidate set shrinks ~n_probe/n_cells. Recall measured by tests."""
+    assigned, centroids = ivf_assign(embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    spark = embeddings.sparkSession
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probes.append((r[query_id_col], int(cell)))
+    probe_df = spark.createDataFrame(probes, f"{query_id_col} long, cell int")
+    cand = (
+        F.broadcast(probe_df).alias("p")
+        .join(assigned.alias("a"), "cell")
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"))
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qv"))
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        cand.join(F.broadcast(q), query_id_col)
+        .join(e, "neighbor_id")
+        .withColumn("cosine", _dot("nv", "qv") / (_norm("nv") * _norm("qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cosine")
+    )

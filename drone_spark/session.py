@@ -42,8 +42,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "64")) * 1024 * 1024),
+        )
     )
+    # local mode: shuffle spill through tmpfs when available — local disk
+    # does not scale with cores and would cap measured scaling efficiency
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -16,6 +16,17 @@ def test_pagerank_matches_numpy_1e6(spark, engine, small_edges, small_edges_pd):
     assert diffs.max() < 1e-5  # both converged to 1e-6 fixpoint tolerance
 
 
+def test_pagerank_delta_matches_numpy(spark, engine, small_edges, small_edges_pd):
+    from drone_spark.algorithms.pagerank import pagerank_delta
+
+    res = pagerank_delta(spark, engine, small_edges, run_id="prd_t", tol=1e-6)
+    assert res.converged
+    got = {r["vid"]: r["pr"] for r in res.state.collect()}
+    exp = numpy_pagerank(list(small_edges_pd.itertuples(index=False, name=None)))
+    diffs = np.array([abs(got[v] - exp[v]) for v in exp])
+    assert diffs.max() < 1e-5
+
+
 def test_pagerank_dangling_and_source_vertices(spark, engine):
     # chain with a dangling sink and a pure source: 1 -> 2 -> 3
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")

@@ -75,3 +75,16 @@ def test_ivf_assignment_partitions_corpus(spark, emb):
     assert len(pdf) == emb.count()
     assert pdf["cell"].nunique() >= 4  # non-degenerate clustering
     assert centroids.shape[0] == 8
+
+
+def test_ivf_topk_recall(spark, emb, emb_pd, queries):
+    from drone_spark.ops.similarity import cosine_topk_ivf
+
+    k = 10
+    exact = _numpy_topk(emb_pd, [r["query_id"] for r in queries.collect()], k)
+    rows = cosine_topk_ivf(emb, queries, k=k, n_cells=8, n_probe=4).collect()
+    approx = {}
+    for r in rows:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(set(exact[q]) & approx.get(q, set())) / k for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5  # probing half the cells

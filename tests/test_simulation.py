@@ -1,0 +1,56 @@
+"""Graph simulation vs brute-force dual-simulation oracle."""
+
+from drone_spark.algorithms.simulation import (
+    Pattern, graph_simulation, load_pattern_text,
+)
+
+
+def brute_dual_sim(data_edges, data_attrs, pattern: Pattern):
+    succ = {}
+    for a, b in data_edges:
+        succ.setdefault(a, set()).add(b)
+    p_succ = {}
+    for a, b in pattern.edges:
+        p_succ.setdefault(a, set()).add(b)
+    sim = {
+        (v, u)
+        for v, a in data_attrs.items()
+        for u, ua in pattern.nodes
+        if a == ua
+    }
+    changed = True
+    while changed:
+        changed = False
+        for (v, u) in list(sim):
+            for u2 in p_succ.get(u, ()):
+                if not any((v2, u2) in sim for v2 in succ.get(v, ())):
+                    sim.discard((v, u))
+                    changed = True
+                    break
+    return sim
+
+
+def test_simulation_matches_bruteforce(spark):
+    # data graph: two chains with attrs via id%100
+    data_edges = [(1, 2), (2, 3), (101, 102), (102, 104), (201, 102), (3, 104)]
+    edges = spark.createDataFrame(data_edges, "src long, dst long")
+    # pattern: attr 1 -> attr 2 -> attr 3 ; and attr 2 -> attr 4
+    pattern = Pattern(
+        nodes=[(0, 1), (1, 2), (2, 3), (3, 4)],
+        edges=[(0, 1), (1, 2), (1, 3)],
+    )
+    got = {
+        (r["data_node"], r["pattern_node"])
+        for r in graph_simulation(spark, edges, pattern).collect()
+    }
+    attrs = {v: v % 100 for e in data_edges for v in e}
+    exp = brute_dual_sim(data_edges, attrs, pattern)
+    assert got == exp
+    assert got, "fixture should produce at least one match"
+
+
+def test_pattern_text_loader():
+    text = "0 1 2 1 2\n1 2 0\n2 3 1 0\n"
+    p = load_pattern_text(text)
+    assert p.nodes == [(0, 1), (1, 2), (2, 3)]
+    assert p.edges == [(0, 1), (0, 2), (2, 0)]
