@@ -67,27 +67,42 @@ def pagerank(
         )
 
     def step(state: DataFrame, _k: int) -> DataFrame:
+        # one-shuffle apply: contribution rows and state-carrier rows are
+        # unioned and combined in a single groupBy(vid) — no second join
+        # back to state, one fewer exchange + barrier per superstep
         contribs = (
             state.where(F.col("outdeg") > 0)
             .select("vid", (F.col("pr") / F.col("outdeg")).alias("w"))
             .join(edges_r, F.col("vid") == F.col("src"))
-            .groupBy("dst")
-            .agg(F.sum("w").alias("acc"))
+            .select(
+                F.col("dst").alias("vid"),
+                F.col("w"),
+                F.lit(None).cast("double").alias("pr_old"),
+                F.lit(None).cast("long").alias("outdeg"),
+            )
+        )
+        carriers = state.select(
+            "vid",
+            F.lit(None).cast("double").alias("w"),
+            F.col("pr").alias("pr_old"),
+            "outdeg",
+        )
+        new_pr = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
+            F.col("acc"), F.lit(0.0)
         )
         return (
-            state.join(contribs, state["vid"] == contribs["dst"], "left")
+            contribs.unionByName(carriers)
+            .groupBy("vid")
+            .agg(
+                F.sum("w").alias("acc"),
+                F.first("pr_old", ignorenulls=True).alias("pr_old"),
+                F.first("outdeg", ignorenulls=True).alias("outdeg"),
+            )
             .select(
                 "vid",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
-                ).alias("pr"),
+                new_pr.alias("pr"),
                 "outdeg",
-                F.abs(
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("acc", F.lit(0.0))
-                    - F.col("pr")
-                ).alias("delta"),
+                F.abs(new_pr - F.col("pr_old")).alias("delta"),
             )
         )
 
@@ -123,13 +138,14 @@ def pagerank_delta(
     Late supersteps touch a shrinking frontier, so edge traffic decays
     with convergence instead of staying O(E) per superstep (SURVEY §4.1
     "incremental evaluation" — the one optimization Catalyst cannot
-    derive). ``frontier_tol`` defaults to tol/10; unscattered residuals
-    are below the convergence tolerance (validated against the NumPy
-    oracle in tests).
+    derive). ``frontier_tol`` defaults to tol/100: suppressed residuals
+    accumulate across ~tens of supersteps, so the truncation floor must
+    sit two orders below the convergence tolerance (validated against
+    the NumPy oracle in tests).
 
     State: (vid, pr, acc, d, outdeg, delta) — ``d`` is the signed change
     still to scatter, ``delta`` its magnitude (engine convergence)."""
-    frontier_tol = tol / 10 if frontier_tol is None else frontier_tol
+    frontier_tol = tol / 100 if frontier_tol is None else frontier_tol
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges_r = (
         edges.select("src", "dst").repartition(n_parts, "src")
