@@ -45,7 +45,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
-SCALING_VERTICES = int(os.environ.get("SPARK_GRAFT_SCALING_VERTICES", "5000000"))
+SCALING_VERTICES = int(os.environ.get("SPARK_GRAFT_SCALING_VERTICES", "2000000"))
 SCALING_STEPS = int(os.environ.get("SPARK_GRAFT_SCALING_STEPS", "3"))
 
 
@@ -107,6 +107,16 @@ def _pagerank_job(source: str, cores: int, max_supersteps: int = 0) -> dict:
     }
 
 
+def _bw_stream(n: int) -> float:
+    import numpy as np
+
+    a = np.ones(n, dtype=np.float64)
+    s = 0.0
+    for _ in range(10):
+        s += float(a.sum())
+    return s
+
+
 def _bandwidth_probe() -> dict[str, float]:
     """Host memory-bandwidth at 1/2/8 processes (GB/s). Shuffle-heavy
     Spark is bandwidth-bound; on this sandbox VM bandwidth saturates at
@@ -116,21 +126,12 @@ def _bandwidth_probe() -> dict[str, float]:
     the reported efficiency can be read against the hardware ceiling."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def stream(n: int) -> float:
-        a = np.ones(n, dtype=np.float64)
-        s = 0.0
-        for _ in range(10):
-            s += float(a.sum())
-        return s
-
     n = 30_000_000
     out = {}
     for procs in (1, 2, 8):
         t0 = time.monotonic()
         with mp.Pool(procs) as pool:
-            pool.map(stream, [n] * procs)
+            pool.map(_bw_stream, [n] * procs)
         dt = time.monotonic() - t0
         out[f"p{procs}"] = round(procs * 10 * 8 * n / 1e9 / dt, 1)
     return out
@@ -241,13 +242,19 @@ def main() -> None:
         # this host is a shared VM, so min-of-N is the noise-robust
         # estimator for the scaling ratio
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+        # soft wall-clock budget: skip later repeats when the host is
+        # being throttled hard (shared VM) so the whole bench stays bounded
+        budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "600"))
+        probe_t0 = time.monotonic()
         levels: dict[int, dict] = {}
         probe_env = dict(os.environ)
         # the probe measures iteration scaling: snapshot only at the end
         # (in-memory lineage truncation between), so per-superstep parquet
         # commits don't flatten the parallel fraction
         probe_env.setdefault("SPARK_GRAFT_PR_CHECKPOINT_EVERY", str(SCALING_STEPS + 1))
-        for _ in range(repeats):
+        for rep in range(repeats):
+            if rep > 0 and time.monotonic() - probe_t0 > budget_s:
+                break
             for c in (low_cores, high_cores):
                 out = subprocess.run(
                     [sys.executable, __file__, "--pagerank-only", str(c),
@@ -255,7 +262,7 @@ def main() -> None:
                     capture_output=True, text=True, timeout=3600, env=probe_env,
                 )
                 run = json.loads(out.stdout.strip().splitlines()[-1])
-                if c not in levels or run["seconds"] < levels[c]["seconds"]:
+                if c not in levels or run["iter_seconds"] < levels[c]["iter_seconds"]:
                     levels[c] = run
         thr_low = levels[low_cores]["edges_per_sec"]
         thr_high = levels[high_cores]["edges_per_sec"]

@@ -122,21 +122,37 @@ def cosine_topk_lsh(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors sharing the query's RP
-    bucket are scored. Recall measured by tests vs brute force."""
-    sig_c = rp_signature(embeddings, id_col, vec_col, n_planes)
-    sig_q = rp_signature(
-        queries.select(F.col(query_id_col).alias(id_col), vec_col),
-        id_col, vec_col, n_planes,
+    """Approximate top-k: only corpus vectors sharing a query's RP
+    bucket in at least one of ``n_tables`` independent hash tables are
+    scored (multi-table LSH: recall compounds as 1-(1-p)^L while the
+    candidate set stays a union of bucket joins — never all-pairs).
+    Recall measured by tests vs brute force."""
+    def sigs(df, idc):
+        parts = []
+        for t in range(n_tables):
+            s = rp_signature(df, idc, vec_col, n_planes, seed=7 + 31 * t)
+            parts.append(
+                s.select(idc, (F.lit(t * (2 ** n_planes)) + F.col("bucket")).alias("bucket"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    sig_c = sigs(embeddings.select(id_col, vec_col), id_col)
+    sig_q = sigs(
+        queries.select(F.col(query_id_col).alias(id_col), vec_col), id_col
     ).select(F.col(id_col).alias(query_id_col), "bucket")
     cand = (
         sig_q.join(sig_c, "bucket")
         .select(query_id_col, F.col(id_col).alias("neighbor_id"))
         .where(F.col("neighbor_id") != F.col(query_id_col))
+        .distinct()
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qv"))
     e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))

@@ -1,0 +1,82 @@
+"""Physical-plan discipline: pushdown, pruning, broadcast, no stray
+Python in hot paths. These assertions pin the *plans*, not just results
+— a correct-but-full-scan plan is a regression at 100 TB."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_extraction_prunes_to_url_html(spark, small_pages, tmp_path):
+    # when pages live in parquet, extraction must read only (url, html)
+    p = str(tmp_path / "pages")
+    small_pages.write.parquet(p)
+    from drone_spark.extraction import extract_pages
+
+    scan = extract_pages(spark.read.parquet(p))
+    plan = _plan(scan)
+    assert "url" in plan and "html" in plan
+    assert "warc_ts" not in plan  # untouched columns never leave parquet
+    assert "lang" not in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_small_dimension_join_broadcasts(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.q_nation_rollup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_textstats_has_no_python_eval(spark):
+    from drone_spark.ops.textstats import text_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(text_stats(docs))
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF
+    assert "ArrowEvalPython" not in plan  # not even pandas UDF: pure JVM
+
+
+def test_pagerank_step_reuses_cached_edge_partitioning(spark, small_edges):
+    # the per-superstep join must not re-exchange the cached edge table:
+    # after repartition+persist, the only exchanges in the step plan move
+    # rank-sized data (hashpartitioning on vid/dst), never re-shuffle the
+    # InMemoryRelation input
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_r = small_edges.repartition(n, "src").persist()
+    edges_r.count()
+    state = edges_r.select(F.col("src").alias("vid")).distinct().select(
+        "vid", F.lit(1.0).alias("pr"), F.lit(2).alias("outdeg")
+    ).localCheckpoint(eager=True)
+    step = (
+        state.select("vid", (F.col("pr") / F.col("outdeg")).alias("w"))
+        .join(edges_r, F.col("vid") == F.col("src"))
+        .groupBy("dst")
+        .agg(F.sum("w").alias("acc"))
+    )
+    opt = _optimized(step)
+    assert "InMemoryRelation" in opt
+    # only the live plan counts: everything after "InMemoryRelation" is
+    # the cached relation's *stored build plan* (including the original
+    # REPARTITION exchange), not re-executed per superstep
+    live = _plan(step).split("InMemoryRelation")[0]
+    import re
+
+    for match in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", live):
+        assert match.group(1) != "src", live  # edges side never re-shuffled
+    edges_r.unpersist()
