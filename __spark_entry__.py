@@ -285,8 +285,12 @@ def q_simhash_dedup(spark, sf_dir):
 def q_embedding_near_dups(spark, sf_dir):
     from drone_spark.ops.dedup import embedding_near_dups
 
+    # driver embeddings are 64-dim quasi-random (max pairwise cosine
+    # ≈0.51): 0.35 keeps the rows-only check non-trivial; real near-dup
+    # semantics are pytest-verified at 0.98 with injected duplicates
+    # (tests/test_dedup.py)
     return embedding_near_dups(
-        _read(spark, sf_dir, "embeddings"), threshold=0.9
+        _read(spark, sf_dir, "embeddings"), threshold=0.35
     ).select("a", "b")
 
 
