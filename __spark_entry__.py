@@ -87,7 +87,14 @@ SQL_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 def _pagerank5_sql() -> str:
-    """Unrolled 5-iteration PageRank as nested CTEs (bipartite graph)."""
+    """Unrolled 5-iteration PageRank as nested CTEs (bipartite graph).
+
+    Every pr column is pinned to BIGINT: DuckDB widens SUM(BIGINT) to
+    HUGEINT (int128), which pandas/arrow harnesses surface as float64 or
+    object — a result-*type* mismatch vs Spark's LongType even when the
+    values are bit-identical. CASTing both the per-iteration CTE and the
+    final projection keeps the whole computation in the int64 domain the
+    Spark query uses."""
     ctes = [
         f"WITH {SQL_BIPARTITE}",
         "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)",
@@ -97,13 +104,14 @@ def _pagerank5_sql() -> str:
     ]
     for k in range(1, 6):
         ctes.append(
-            f"pr{k} AS (SELECT v.id, {15 * PR_SCALE // 100} + "
-            f"(85 * COALESCE(s.acc, 0)) // 100 AS pr "
-            f"FROM v LEFT JOIN (SELECT e.dst AS id, SUM(p.pr // d.outdeg) AS acc "
+            f"pr{k} AS (SELECT v.id, CAST({15 * PR_SCALE // 100} + "
+            f"(85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS pr "
+            f"FROM v LEFT JOIN (SELECT e.dst AS id, "
+            f"CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS acc "
             f"FROM pr{k-1} p JOIN deg d ON p.id = d.id "
             f"JOIN edges e ON e.src = p.id GROUP BY e.dst) s ON v.id = s.id)"
         )
-    return ", ".join(ctes) + " SELECT id AS vid, pr AS pr_fx FROM pr5"
+    return ", ".join(ctes) + " SELECT id AS vid, CAST(pr AS BIGINT) AS pr_fx FROM pr5"
 
 
 # ---------------------------------------------------------------------------
@@ -269,17 +277,26 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """md5-keyed MinHash variant: every shingle hash and band-bucket key
+    is md5-derived, so the DuckDB oracle (minhash_lsh_sql) reproduces
+    the banded-LSH pipeline bit-for-bit. The default xxhash64 variant
+    (JVM-only hashes) is pytest-verified for recall instead."""
     from drone_spark.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.7
+        _read(spark, sf_dir, "documents"), threshold=0.7, hash_fn="md5"
     ).select("a", "b")
 
 
 def q_simhash_dedup(spark, sf_dir):
+    """md5-keyed SimHash variant (60-bit signatures) — the pigeonhole
+    candidate set is complete, so the verified result equals the exact
+    hamming-≤3 pair set the DuckDB oracle computes directly."""
     from drone_spark.ops.dedup import simhash_near_dups
 
-    return simhash_near_dups(_read(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_dups(
+        _read(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
+    )
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -347,14 +364,30 @@ def q_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+def _cents(c) -> F.Column:
+    """Exact fixed-point: 2-decimal value -> integer hundredths (BIGINT).
+
+    DECIMAL results do not survive every harness identically — DuckDB's
+    pandas path narrows DECIMAL to float64 (str "150.0") while Spark
+    yields decimal.Decimal (str "150.00"), and DuckDB widens SUM(BIGINT)
+    to HUGEINT (→ float64 in pandas). int64 is the one numeric type that
+    round-trips bit-identically through fetchall/pandas/arrow in both
+    engines, so every money aggregate below is summed in cents."""
+    return (F.col(c).cast("decimal(18,2)") * 100).cast("long")
+
+
+# DuckDB textual mirror of _cents
+def _sql_cents(col: str) -> str:
+    return f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_c"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -367,14 +400,14 @@ def q_top_spenders(spark, sf_dir):
     c = _read(spark, sf_dir, "customer")
     spend = (
         o.groupBy("o_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+        .agg(F.sum(_cents("o_totalprice")).alias("spend_c"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("c_custkey"))
+    w = Window.orderBy(F.desc("spend_c"), F.asc("c_custkey"))
     return (
         spend.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 10)
-        .select("c_custkey", "c_name", "spend", "rnk")
+        .select("c_custkey", "c_name", "spend_c", "rnk")
     )
 
 
@@ -387,7 +420,7 @@ def q_events_hourly(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(_cents("value")).alias("sum_value_c"),
         )
     )
 
@@ -402,7 +435,7 @@ def q_nation_rollup(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("sum_acctbal"),
+            F.sum(_cents("s_acctbal")).alias("sum_acctbal_c"),
         )
     )
 
@@ -488,12 +521,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id AS vid, MIN(lab) AS label FROM walk GROUP BY id"
         ),
         "sssp": (
+            # depth cap derived from the data (#vertices is a hard upper
+            # bound on any shortest-path hop count) instead of a fixed 40,
+            # so the oracle cannot under-explore a high-diameter graph
             f"WITH RECURSIVE {SQL_COPURCHASE}, {SQL_SYM}, "
             "walk(id, d) AS ("
             " SELECT (SELECT MIN(src) FROM edges), 0"
             " UNION"
             " SELECT s.dst, w.d + 1 FROM walk w JOIN sym s ON s.src = w.id"
-            " WHERE w.d < 40) "
+            " WHERE w.d < (SELECT COUNT(*) FROM v)) "
             "SELECT id AS vid, MIN(d) AS dist FROM walk GROUP BY id"
         ),
         "exact_dedup": (
@@ -557,40 +593,87 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine "
             "FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
             "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
-            "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+            "(PARTITION BY query_id ORDER BY ROUND(cosine, 9) DESC, neighbor_id) AS rank "
             "FROM scored) "
             "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"
         ),
+        # money sums are integer cents (see _cents): DuckDB SUM(BIGINT)
+        # widens to HUGEINT, so every sum re-CASTs to BIGINT — int64 is
+        # the only numeric type that survives fetchall/pandas/arrow
+        # identically in both engines.
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, "
-            "SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, "
+            f"CAST(SUM({_sql_cents('l_quantity')}) AS BIGINT) AS sum_qty_c, "
+            f"CAST(SUM({_sql_cents('l_extendedprice')}) AS BIGINT) AS sum_base_price_c, "
             "COUNT(*) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "top_spenders": (
             "WITH spend AS (SELECT o_custkey, "
-            "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend "
+            f"CAST(SUM({_sql_cents('o_totalprice')}) AS BIGINT) AS spend_c "
             "FROM orders GROUP BY o_custkey), "
-            "ranked AS (SELECT c_custkey, c_name, spend, "
-            "ROW_NUMBER() OVER (ORDER BY spend DESC, c_custkey) AS rnk "
+            "ranked AS (SELECT c_custkey, c_name, spend_c, "
+            "ROW_NUMBER() OVER (ORDER BY spend_c DESC, c_custkey) AS rnk "
             "FROM spend JOIN customer ON o_custkey = c_custkey) "
-            "SELECT c_custkey, c_name, spend, rnk FROM ranked WHERE rnk <= 10"
+            "SELECT c_custkey, c_name, spend_c, rnk FROM ranked WHERE rnk <= 10"
         ),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "COUNT(*) AS n_events, "
-            "SUM(CAST(value AS DECIMAL(18,2))) AS sum_value "
+            f"CAST(SUM({_sql_cents('value')}) AS BIGINT) AS sum_value_c "
             "FROM events GROUP BY date_trunc('hour', ts), event_type"
         ),
         "nation_rollup": (
             "SELECT r_name, COUNT(*) AS n_suppliers, "
-            "SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS sum_acctbal "
+            f"CAST(SUM({_sql_cents('s_acctbal')}) AS BIGINT) AS sum_acctbal_c "
             "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
-        # lang_id, minhash_dedup, simhash_dedup, embedding_near_dups,
-        # cosine_topk_lsh: seeded-hash / pandas kernels — rows-only check;
-        # exactness covered by pytest oracles (tests/test_dedup.py,
-        # tests/test_similarity.py, tests/test_textstats.py).
+        "lang_id": _lang_id_oracle(),
+        "minhash_dedup": _minhash_oracle(),
+        "simhash_dedup": _simhash_oracle(),
+        "graph_simulation": _graph_simulation_oracle(),
+        # embedding_near_dups, cosine_topk_lsh, cosine_topk_ivf:
+        # seeded-hyperplane / k-means kernels — genuinely non-SQL;
+        # rows-only driver check + pytest recall oracles
+        # (tests/test_dedup.py, tests/test_similarity.py).
     }
+
+
+def _lang_id_oracle() -> str:
+    from drone_spark.ops.textstats import lang_id_sql
+
+    return lang_id_sql("documents")
+
+
+def _minhash_oracle() -> str:
+    from drone_spark.ops.dedup import minhash_lsh_sql
+
+    return minhash_lsh_sql(threshold=0.7, doc_table="documents")
+
+
+def _simhash_oracle() -> str:
+    from drone_spark.ops.dedup import simhash_pairs_sql
+
+    return simhash_pairs_sql(max_hamming=3, doc_table="documents")
+
+
+def _graph_simulation_oracle() -> str:
+    """Unrolled simulation fixpoint for q_graph_simulation's pattern —
+    nodes {0: attr 1, 1: attr 2}, one edge 0→1 (attrs are the
+    reference's id%100, graph.go:367). The pattern DAG has depth 1, so
+    the fixpoint closes in one retraction round: sim(1) = attr-2
+    vertices (no outgoing pattern edges → never retracted); sim(0) =
+    attr-1 vertices with an out-neighbor of attr 2."""
+    return (
+        f"WITH {SQL_COPURCHASE}, "
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges)), "
+        "attr AS (SELECT id, id % 100 AS attr FROM v) "
+        "SELECT CAST(1 AS BIGINT) AS pattern_node, id AS data_node "
+        "FROM attr WHERE attr = 2 "
+        "UNION ALL "
+        "SELECT CAST(0 AS BIGINT), a.id FROM attr a "
+        "WHERE a.attr = 1 AND EXISTS (SELECT 1 FROM edges e "
+        "JOIN attr b ON b.id = e.dst WHERE e.src = a.id AND b.attr = 2)"
+    )

@@ -80,9 +80,14 @@ def _pagerank_job(source: str, cores: int, max_supersteps: int = 0) -> dict:
 
         edges = _bipartite_edges(spark, source.split(":", 1)[1])
     n_edges = edges.count()
+    # sparse checkpoints by default: full parquet snapshots every 8th
+    # superstep (resume granularity 8), in-memory lineage truncation
+    # between — the per-superstep fixed cost is then one Spark job
+    # (state materialization with observed metrics). Resume tests pin
+    # checkpoint_every=1 separately.
     eng = SuperstepEngine(
         spark, Catalog(tempfile.mkdtemp(prefix="bench_pr_")), num_parts=cores,
-        checkpoint_every=int(os.environ.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY", "1")),
+        checkpoint_every=int(os.environ.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY", "8")),
     )
     t0 = time.monotonic()
     res = pagerank(
@@ -172,7 +177,7 @@ def main() -> None:
 
     eng = SuperstepEngine(
         spark, Catalog(tempfile.mkdtemp(prefix="bench_")), num_parts=CPUS,
-        checkpoint_every=1,
+        checkpoint_every=8,
     )
     timed("cc", lambda: connected_components(
         spark, eng, cop, run_id="bench_cc", backend="subgraph"))
@@ -225,37 +230,39 @@ def main() -> None:
     timed("cosine_topk", lambda: cosine_topk_bruteforce(emb, queries, k=10).count())
     spark.stop()
 
-    # -- scaling probe: same PageRank job at N/4 and N cores (subprocess
-    # isolation so each JVM really has that parallelism)
+    # -- scaling probe: same PageRank job at several core counts
+    # (subprocess isolation so each JVM really has that parallelism).
+    # BASELINE.md mandates the local[8] → local[32] pair as the sandbox
+    # proxy for N→4N executors; the 2→8 pair is reported alongside as a
+    # diagnostic (this VM advertises 32 vCPUs but sustained
+    # multi-threaded work anti-scales past ~16 under the host CPU
+    # quota — the bandwidth probe quantifies that ceiling per run).
     if scaling_edges_dir is not None:
-        # N and 4N parallelism levels. Default 4→16, NOT 8→32: this VM
-        # advertises 32 vCPUs but sustained multi-threaded work
-        # anti-scales past ~16 (host CPU quota — a 32-thread PageRank
-        # measures 3.3x SLOWER than 16-thread on identical input, while
-        # 8→16 scales at ~1.0 efficiency). 4→16 measures the engine's
-        # scaling on cores that actually exist.
-        low_cores, high_cores = (
-            int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
+        pair_main = tuple(
+            int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
         )
+        pair_diag = tuple(
+            int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES_DIAG", "2,8").split(",")
+        )
+        level_set = sorted(set(pair_main) | set(pair_diag))
         scaling_src = f"parquet:{scaling_edges_dir}"
-        # interleave the two levels and keep the fastest run per level:
-        # this host is a shared VM, so min-of-N is the noise-robust
-        # estimator for the scaling ratio
+        # interleave the levels and keep the fastest run per level: this
+        # host is a shared VM, so min-of-N is the noise-robust estimator
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
         # soft wall-clock budget: skip later repeats when the host is
         # being throttled hard (shared VM) so the whole bench stays bounded
-        budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "600"))
+        budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "900"))
         probe_t0 = time.monotonic()
         levels: dict[int, dict] = {}
         probe_env = dict(os.environ)
         # the probe measures iteration scaling: snapshot only at the end
         # (in-memory lineage truncation between), so per-superstep parquet
         # commits don't flatten the parallel fraction
-        probe_env.setdefault("SPARK_GRAFT_PR_CHECKPOINT_EVERY", str(SCALING_STEPS + 1))
+        probe_env["SPARK_GRAFT_PR_CHECKPOINT_EVERY"] = str(SCALING_STEPS + 1)
         for rep in range(repeats):
             if rep > 0 and time.monotonic() - probe_t0 > budget_s:
                 break
-            for c in (low_cores, high_cores):
+            for c in level_set:
                 out = subprocess.run(
                     [sys.executable, __file__, "--pagerank-only", str(c),
                      scaling_src, str(SCALING_STEPS)],
@@ -264,29 +271,38 @@ def main() -> None:
                 run = json.loads(out.stdout.strip().splitlines()[-1])
                 if c not in levels or run["iter_seconds"] < levels[c]["iter_seconds"]:
                     levels[c] = run
-        thr_low = levels[low_cores]["edges_per_sec"]
-        thr_high = levels[high_cores]["edges_per_sec"]
+
+        bandwidth = _bandwidth_probe()
+
+        def pair_report(low: int, high: int) -> dict:
+            thr_low = levels[low]["edges_per_sec"]
+            thr_high = levels[high]["edges_per_sec"]
+            return {
+                "cores_low": low,
+                "cores_high": high,
+                "n_vertices": SCALING_VERTICES,
+                "n_edges": levels[high]["n_edges"],
+                "supersteps": SCALING_STEPS,
+                "seconds_low": round(levels[low]["seconds"], 2),
+                "seconds_high": round(levels[high]["seconds"], 2),
+                "edges_per_sec_low": round(thr_low, 0),
+                "edges_per_sec_high": round(thr_high, 0),
+                "efficiency": round(thr_high / (thr_low * (high / low)), 3),
+            }
+
         extras["scaling"] = {
-            "cores_low": low_cores,
-            "cores_high": high_cores,
-            "n_vertices": SCALING_VERTICES,
-            "n_edges": levels[high_cores]["n_edges"],
-            "supersteps": SCALING_STEPS,
-            "seconds_low": round(levels[low_cores]["seconds"], 2),
-            "seconds_high": round(levels[high_cores]["seconds"], 2),
-            "edges_per_sec_low": round(thr_low, 0),
-            "edges_per_sec_high": round(thr_high, 0),
-            "efficiency": round(
-                thr_high / (thr_low * (high_cores / low_cores)), 3
-            ),
-            "host_mem_bandwidth_gbps": _bandwidth_probe(),
+            **pair_report(*pair_main),
+            "host_mem_bandwidth_gbps": bandwidth,
             "note": (
-                "single shared VM: memory bandwidth saturates at ~2 procs"
+                "mandated local[8]→local[32] proxy pair (BASELINE.md). "
+                "Single shared VM: memory bandwidth saturates at ~2 procs"
                 " (see host_mem_bandwidth_gbps), capping in-VM core"
                 " scaling of shuffle-bound work; N→4N executors on a real"
-                " cluster scale bandwidth with machines (BASELINE.md)"
+                " cluster scale bandwidth with machines (BASELINE.md/"
+                "docs/SCALE.md)"
             ),
         }
+        extras["scaling_diag"] = pair_report(*pair_diag)
 
     total = round(sum(timings.values()), 2)
     print(json.dumps({

@@ -9,19 +9,30 @@ exchange per-vertex minima (:94-99). Label propagation (north_rule) is
 the same machinery with ``hash(v)`` as the initial label (hash-to-min);
 both converge to a component-constant label, checked exactly.
 
+**Frontier (delta) evaluation** — the reference re-floods only vertices
+whose label changed since the last superstep (``updatedByMessage``,
+CC.go:103-117). Both backends below do the same: each superstep routes
+only the labels that *changed last superstep* into the flood, so late
+supersteps touch O(changed) rows instead of re-shipping all O(V) labels
+through O(E) expansion. The per-partition ``n_changed`` metric decays
+to 0 across supersteps (asserted by tests).
+
 Two backends, same results:
 
-- ``relational`` — one hash-to-min round per superstep:
-  ``state ⋈ sym_edges → groupBy(dst).min → join`` . Supersteps ≈ graph
-  diameter; every operator is Catalyst-codegen'd.
+- ``relational`` — one hash-to-min round per superstep: ``frontier ⋈
+  sym_edges → groupBy(dst).min → join``. Supersteps ≈ graph diameter;
+  every operator is Catalyst-codegen'd.
 - ``subgraph`` (default) — the DRONE-style kernel: edges are
-  vertex-cut partitioned once; each superstep cogroups the partition's
-  edges with its current labels and runs **union-find to local
-  fixpoint inside an Arrow batch** (``applyInPandas``), then a global
-  ``groupBy(vid).min`` combines mirrors at masters. Supersteps drop
-  from O(diameter) to O(log #partitions) — the reference's entire
-  reason for existing (CC.go:28-45), re-expressed as a grouped pandas
-  kernel instead of goroutines + gRPC.
+  vertex-cut partitioned once (graph/partitioner.py) and stay cached
+  hash-partitioned; each superstep cogroups the partition's edges with
+  the *changed* labels routed to it via the partitioner's ``replicas``
+  table (the Master./Mirror. analogue, graph.go:382-441) and runs
+  **union-find to local fixpoint inside an Arrow batch**
+  (``applyInPandas``), then a global ``groupBy(vid).min`` combines
+  mirror candidates at masters. Supersteps drop from O(diameter) to
+  O(log #partitions) — the reference's entire reason for existing
+  (CC.go:28-45), re-expressed as a grouped pandas kernel instead of
+  goroutines + gRPC.
 
 Both run under the checkpointing SuperstepEngine, so CC/LP inherit
 resume + per-partition metrics.
@@ -32,8 +43,6 @@ here has exactly one row per vertex.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -56,27 +65,30 @@ def _init_labels(sym: DataFrame, label_expr) -> DataFrame:
     )
 
 
+def _apply_updates(state: DataFrame, cand: DataFrame) -> DataFrame:
+    """state ⟕ candidate minima → (vid, label, delta); delta>0 marks the
+    next frontier (the reference's updatedByMessage set, CC.go:103-117)."""
+    new_label = F.least(F.col("label"), F.coalesce("msg", F.col("label")))
+    return state.join(cand, "vid", "left").select(
+        "vid",
+        new_label.alias("label"),
+        (F.col("label") > new_label).cast("double").alias("delta"),
+    )
+
+
 # ---------------------------------------------------------------------------
-# backend: relational hash-to-min
+# backend: relational hash-to-min (frontier-filtered)
 # ---------------------------------------------------------------------------
 def _relational_step(sym_r: DataFrame):
     def step(state: DataFrame, _k: int) -> DataFrame:
-        msgs = (
-            state.select(F.col("vid").alias("src"), "label")
+        cand = (
+            state.where(F.col("delta") > 0)  # frontier only
+            .select(F.col("vid").alias("src"), "label")
             .join(sym_r, "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("label").alias("msg"))
         )
-        return (
-            state.join(msgs, "vid", "left")
-            .select(
-                "vid",
-                F.least(F.col("label"), F.coalesce("msg", F.col("label"))).alias("label"),
-                (F.col("label") > F.least(F.col("label"), F.coalesce("msg", F.col("label"))))
-                .cast("double")
-                .alias("delta"),
-            )
-        )
+        return _apply_updates(state, cand)
 
     return step
 
@@ -84,16 +96,22 @@ def _relational_step(sym_r: DataFrame):
 # ---------------------------------------------------------------------------
 # backend: subgraph-centric local fixpoint (union-find per partition)
 # ---------------------------------------------------------------------------
-def _local_fixpoint_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Union-find over one partition's edges, seeded with current labels.
+def _seeded_fixpoint_kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over one partition's edges, seeded with the labels that
+    changed last superstep.
 
-    Arrow hands us the whole subgraph as one pandas DataFrame — the
-    in-memory analogue of a DRONE worker's adjacency maps
-    (graph.go:103-122) — and we run the local fixpoint the reference
-    implements as a DFS flood (CC.go:28-45).
-    Input columns: vid, label, nbr (nbr == -1 for label-only rows).
-    Output: (vid, label) with the partition-local minimum per group.
+    Arrow hands us the partition's whole subgraph (the in-memory
+    analogue of a DRONE worker's adjacency maps, graph.go:103-122) plus
+    only the *frontier* labels routed here via the replicas table. The
+    local fixpoint (reference's DFS flood, CC.go:28-45) is: any vertex
+    structurally connected to a seed may adopt the minimum seeded label
+    of its local component. Emits (vid, label) candidates for every
+    local vertex in a seeded component; unseeded components emit nothing
+    — their minima were already distributed in an earlier superstep.
     """
+    if seeds.empty:
+        return pd.DataFrame({"vid": pd.Series(dtype="int64"),
+                             "label": pd.Series(dtype="int64")})
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -109,57 +127,53 @@ def _local_fixpoint_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    vids = pdf["vid"].to_numpy()
-    nbrs = pdf["nbr"].to_numpy()
-    for v, n in zip(vids, nbrs):
-        if n >= 0:
-            union(int(v), int(n))
-    # group minimum of incoming labels
-    roots = pdf["vid"].map(lambda v: find(int(v)))
-    out = pd.DataFrame({"vid": pdf["vid"], "root": roots, "label": pdf["label"]})
-    min_per_root = out.groupby("root")["label"].transform("min")
-    out["label"] = min_per_root
-    return out.groupby("vid", as_index=False)["label"].min()
+    srcs = edges["src"].to_numpy()
+    dsts = edges["dst"].to_numpy()
+    for s, d in zip(srcs, dsts):
+        union(int(s), int(d))
+    best: dict[int, int] = {}
+    for v, lab in zip(seeds["vid"].to_numpy(), seeds["label"].to_numpy()):
+        r = find(int(v))
+        lab = int(lab)
+        if r not in best or lab < best[r]:
+            best[r] = lab
+    out_v: list[int] = []
+    out_l: list[int] = []
+    import numpy as np
+
+    verts = np.unique(np.concatenate([srcs, dsts, seeds["vid"].to_numpy()]))
+    for v in verts:
+        r = find(int(v))
+        if r in best:
+            out_v.append(int(v))
+            out_l.append(best[r])
+    return pd.DataFrame({"vid": out_v, "label": out_l})
 
 
-def _subgraph_step(spark: SparkSession, edges_p: DataFrame):
-    """edges_p: (src, dst, part) — vertex-cut partitioned, persisted."""
+def _subgraph_step(spark: SparkSession, edges_p: DataFrame, routes: DataFrame):
+    """edges_p: (src, dst, part) — vertex-cut partitioned, persisted.
+    routes: (vid, rpart) — the partitioner's replicas table (every
+    partition holding the vertex as master or mirror, J3 of SURVEY §2.3)."""
 
     def step(state: DataFrame, _k: int) -> DataFrame:
-        # route current labels to every partition that holds the vertex
-        # (master→mirror broadcast J3 as a join), run the local kernel,
-        # then combine mirror results back at one row per vertex (J2).
-        local = (
-            state.select(F.col("vid").alias("src"), "label")
-            .join(edges_p, "src")
-            .select("part", F.col("src").alias("vid"), "label", F.col("dst").alias("nbr"))
+        # master→mirror broadcast (J3) of the FRONTIER only: changed
+        # labels join the replica routing table, then each partition's
+        # kernel runs the local fixpoint; mirror candidates combine back
+        # at one row per vertex (J2, groupBy min).
+        seeds = (
+            state.where(F.col("delta") > 0)
+            .select("vid", "label")
+            .join(routes, "vid")
+            .select("rpart", "vid", "label")
         )
-        # vertices appearing only as dst in a partition carry their label too
-        dst_side = (
-            state.select(F.col("vid").alias("dst"), "label")
-            .join(edges_p.select("dst", "part").distinct(), "dst")
-            .select("part", F.col("dst").alias("vid"), "label", F.lit(-1).alias("nbr"))
-        )
-        fixed = (
-            local.unionByName(dst_side)
-            .groupBy("part")
-            .applyInPandas(
-                lambda pdf: _local_fixpoint_kernel(pdf),
-                schema="vid long, label long",
-            )
+        cand = (
+            seeds.groupBy("rpart")
+            .cogroup(edges_p.groupBy("part"))
+            .applyInPandas(_seeded_fixpoint_kernel, schema="vid long, label long")
             .groupBy("vid")
             .agg(F.min("label").alias("msg"))
         )
-        return (
-            state.join(fixed, "vid", "left")
-            .select(
-                "vid",
-                F.least(F.col("label"), F.coalesce("msg", F.col("label"))).alias("label"),
-                (F.col("label") > F.least(F.col("label"), F.coalesce("msg", F.col("label"))))
-                .cast("double")
-                .alias("delta"),
-            )
-        )
+        return _apply_updates(state, cand)
 
     return step
 
@@ -181,15 +195,22 @@ def _run_labeling(
 ) -> RunResult:
     n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = _sym_edges(edges)
+    cleanup: list[DataFrame] = []
     if backend == "relational":
         sym_r = sym.repartition(n_parts, "src").persist()
         n_edges = sym_r.count()
-        step, cleanup = _relational_step(sym_r), sym_r
+        step = _relational_step(sym_r)
+        cleanup.append(sym_r)
     elif backend == "subgraph":
         pg = partition_graph(sym, n_parts, salt_threshold=salt_threshold)
         edges_p = pg.edges.repartition(n_parts, "part").persist()
         n_edges = edges_p.count()
-        step, cleanup = _subgraph_step(spark, edges_p), edges_p
+        # replicas: (vid, part, is_master) → routing (vid, rpart); the
+        # column is renamed so the cogroup isn't an ambiguous self-join
+        routes = pg.replicas.select("vid", "part").toDF("vid", "rpart").persist()
+        routes.count()
+        step = _subgraph_step(spark, edges_p, routes)
+        cleanup.extend([edges_p, routes])
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -202,7 +223,8 @@ def _run_labeling(
             resume=resume, edges_per_step=n_edges,
         )
     finally:
-        cleanup.unpersist()
+        for df in cleanup:
+            df.unpersist()
 
 
 def connected_components(

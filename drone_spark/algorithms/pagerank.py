@@ -46,8 +46,13 @@ def pagerank(
     damping: float = DAMPING,
     max_supersteps: int = 200,
     resume: bool = False,
+    extra_vertices: DataFrame | None = None,
 ) -> RunResult:
-    """Run PageRank; result state = (vid, pr, outdeg, delta)."""
+    """Run PageRank; result state = (vid, pr, outdeg, delta).
+
+    ``extra_vertices``: ids to include beyond edge endpoints (isolated
+    pages from the pages table, SURVEY §2.1 S4) — they receive the
+    teleport mass ``1-damping`` and scatter nothing."""
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges_r = (
         edges.select("src", "dst").repartition(n_parts, "src").persist()
@@ -56,7 +61,7 @@ def pagerank(
 
     def init() -> DataFrame:
         return (
-            vertices(edges_r)
+            vertices(edges_r, extra=extra_vertices)
             .join(out_degrees(edges_r), "id", "left")
             .select(
                 F.col("id").alias("vid"),
@@ -138,13 +143,20 @@ def pagerank_delta(
     Late supersteps touch a shrinking frontier, so edge traffic decays
     with convergence instead of staying O(E) per superstep (SURVEY §4.1
     "incremental evaluation" — the one optimization Catalyst cannot
-    derive). ``frontier_tol`` defaults to tol/100: suppressed residuals
-    accumulate across ~tens of supersteps, so the truncation floor must
-    sit two orders below the convergence tolerance (validated against
-    the NumPy oracle in tests).
+    derive). ``frontier_tol`` defaults to tol/100.
 
-    State: (vid, pr, acc, d, outdeg, delta) — ``d`` is the signed change
-    still to scatter, ``delta`` its magnitude (engine convergence)."""
+    Unlike the reference — which recomputes the scatter delta from
+    scratch each round and so *permanently drops* sub-threshold residual
+    mass (PageRank.go:76-91) — ``d`` here carries unscattered residual
+    forward: a vertex that stays below ``frontier_tol`` keeps
+    accumulating incoming mass until it crosses the threshold and
+    scatters the whole backlog. Truncation error is therefore bounded by
+    the *current* suppressed residuals (≤ frontier_tol per vertex), not
+    by their sum over all supersteps — the accuracy bound holds on
+    adversarial chain/fan-in graphs too (tests/test_pagerank.py).
+
+    State: (vid, pr, acc, d, outdeg, delta) — ``d`` is the signed mass
+    still to scatter, ``delta`` the |pr| change (engine convergence)."""
     frontier_tol = tol / 100 if frontier_tol is None else frontier_tol
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges_r = (
@@ -170,8 +182,9 @@ def pagerank_delta(
         )
 
     def step(state: DataFrame, _k: int) -> DataFrame:
+        scattered = (F.abs("d") > frontier_tol) & (F.col("outdeg") > 0)
         msgs = (
-            state.where((F.abs("d") > frontier_tol) & (F.col("outdeg") > 0))
+            state.where(scattered)
             .select("vid", (F.col("d") / F.col("outdeg")).alias("w"))
             .join(edges_r, F.col("vid") == F.col("src"))
             .groupBy("dst")
@@ -179,11 +192,18 @@ def pagerank_delta(
         )
         acc_new = F.col("acc") + F.coalesce("dacc", F.lit(0.0))
         pr_new = F.lit(1.0 - damping) + F.lit(damping) * acc_new
+        # residual carry: scattered vertices consumed their d; suppressed
+        # vertices keep it and add this round's incoming change
+        d_new = (
+            F.when(scattered, F.lit(0.0)).otherwise(F.col("d"))
+            + pr_new
+            - F.col("pr")
+        )
         return state.join(msgs, state["vid"] == msgs["dst"], "left").select(
             "vid",
             pr_new.alias("pr"),
             acc_new.alias("acc"),
-            (pr_new - F.col("pr")).alias("d"),
+            d_new.alias("d"),
             "outdeg",
             F.abs(pr_new - F.col("pr")).alias("delta"),
         )
@@ -231,16 +251,13 @@ def pagerank_cogroup(
     pg = partition_graph(edges.select("src", "dst"), n_parts, salt_threshold)
     edges_p = pg.edges.repartition(n_parts, "part").persist()
     n_edges = edges_p.count()
-    # (vid, rpart) routing table: every partition where vid has
-    # out-edges. The column is renamed (not just aliased) so the cogroup
-    # of routed-state with edges_p isn't an ambiguous self-join — cogroup
+    # (vid, rpart) routing table from the partitioner: every partition
+    # where vid has out-edges (PartitionedGraph.out_routes — the
+    # master→mirror scatter route, a projection of the replicas table).
+    # The column is renamed (not just aliased) so the cogroup of
+    # routed-state with edges_p isn't an ambiguous self-join — cogroup
     # matches grouping keys positionally, names need not agree.
-    routes = (
-        edges_p.select(F.col("src").alias("vid"), "part")
-        .distinct()
-        .toDF("vid", "rpart")
-        .persist()
-    )
+    routes = pg.out_routes().toDF("vid", "rpart").persist()
     routes.count()
 
     def init() -> DataFrame:

@@ -60,12 +60,34 @@ def graph_simulation(
     pattern: Pattern,
     vertex_attrs: DataFrame | None = None,
     max_rounds: int = 100,
+    engine=None,
+    run_id: str = "graph_sim",
+    resume: bool = False,
 ) -> DataFrame:
     """Dual-simulation match set: (pattern_node, data_node) pairs.
 
     ``vertex_attrs``: (id, attr); defaults to the reference's id%100.
-    """
+
+    Runs the retraction fixpoint on the :class:`SuperstepEngine` like
+    every other iterative kernel, so Sim inherits per-superstep
+    checkpoints, resume and metrics (the r1 version had its own
+    persist/count cycle with none of those). State rows are the seed
+    candidate pairs with an ``alive`` flag — retraction flips the flag
+    (delta=1), so the metrics ``n_changed`` column traces the
+    retraction cascade (Sim.go:103-172) and the state size stays
+    constant (bounded by the attr-equality seed set)."""
     from ..graph.builder import vertices
+
+    if engine is None:
+        import tempfile
+
+        from ..catalog import Catalog
+        from ..engine.superstep import SuperstepEngine
+
+        engine = SuperstepEngine(
+            spark, Catalog(tempfile.mkdtemp(prefix="sim_")),
+            num_parts=8, checkpoint_every=5,
+        )
 
     verts = vertices(edges)
     if vertex_attrs is None:
@@ -73,19 +95,26 @@ def graph_simulation(
 
     p_nodes = spark.createDataFrame(pattern.nodes, "u long, uattr long")
     p_edges = spark.createDataFrame(pattern.edges, "u long, u2 long")
-
-    # seed: attr-equality candidates (Sim.go:45-68) — broadcast hash join
-    sim = (
-        vertex_attrs.join(
-            F.broadcast(p_nodes), F.col("attr") == F.col("uattr")
-        )
-        .select(F.col("id").alias("v"), "u")
-        .persist()
-    )
-    sim.count()
+    # engine state key: one long per (v,u) pair
+    u_factor = max(u for u, _ in pattern.nodes) + 1
     data_edges = edges.select("src", "dst").persist()
+    n_edges = data_edges.count()
 
-    for _ in range(max_rounds):
+    def init() -> DataFrame:
+        # seed: attr-equality candidates (Sim.go:45-68) — broadcast join
+        return (
+            vertex_attrs.join(F.broadcast(p_nodes), F.col("attr") == F.col("uattr"))
+            .select(F.col("id").alias("v"), "u")
+            .select(
+                (F.col("v") * u_factor + F.col("u")).alias("vid"),
+                "v", "u",
+                F.lit(True).alias("alive"),
+                F.lit(1.0).alias("delta"),
+            )
+        )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        sim = state.where("alive").select("v", "u")
         # requirement: every (v,u) must witness each pattern edge u->u2
         need = sim.join(F.broadcast(p_edges), "u")  # (v, u, u2)
         witnessed = (
@@ -103,17 +132,21 @@ def graph_simulation(
             .exceptAll(witnessed)
             .select("v", "u")
             .distinct()
-            .persist()
+            .withColumn("dead", F.lit(True))
         )
-        n_bad = bad.count()
-        if n_bad == 0:
-            bad.unpersist()
-            break
-        new_sim = sim.join(bad, ["v", "u"], "left_anti").persist()
-        new_sim.count()
-        sim.unpersist()
-        bad.unpersist()
-        sim = new_sim
+        return state.join(bad, ["v", "u"], "left").select(
+            "vid", "v", "u",
+            (F.col("alive") & F.col("dead").isNull()).alias("alive"),
+            (F.col("alive") & F.col("dead").isNotNull()).cast("double").alias("delta"),
+        )
 
-    data_edges.unpersist()
-    return sim.select(F.col("u").alias("pattern_node"), F.col("v").alias("data_node"))
+    try:
+        res = engine.run(
+            run_id, init, step, tol=0.0, max_supersteps=max_rounds,
+            resume=resume, edges_per_step=n_edges,
+        )
+    finally:
+        data_edges.unpersist()
+    return res.state.where("alive").select(
+        F.col("u").alias("pattern_node"), F.col("v").alias("data_node")
+    )

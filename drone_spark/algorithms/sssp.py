@@ -14,18 +14,71 @@ superstep re-scatter (the reference's ``updatedSet``, SSSP.go:152-161) —
 expressed as a filter on the state's ``delta`` column, so late
 supersteps touch a shrinking fraction of the graph.
 
+Two backends:
+
+- ``relational`` — one-hop relaxation per superstep (frontier ⋈ edges →
+  groupBy(vid).min); supersteps ≈ weighted-graph diameter.
+- ``subgraph`` — the reference's actual execution shape (SSSP.go:21-44,
+  83-106): a **heap-based local Dijkstra runs to fixpoint inside each
+  vertex-cut partition** per superstep, so a superstep crosses an
+  entire partition-local region instead of one hop; supersteps drop
+  from O(diameter) to roughly O(#partition boundary crossings). The
+  frontier's distances are routed to every partition holding the vertex
+  (partitioner replicas table) and each cogrouped Arrow batch runs
+  Dijkstra from those seeds over its local adjacency.
+
 Unreached vertices are dropped from the result, matching the
 reference's sink filter (SSSPworker.go:270).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine.superstep import RunResult, SuperstepEngine
 from ..graph.builder import vertices
+from ..graph.partitioner import partition_graph
 
 INF = float("inf")
+
+
+def _local_dijkstra_kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    """Heap Dijkstra over one partition's adjacency, started from the
+    frontier distances routed here — the Spark re-expression of the
+    reference's per-worker incremental Dijkstra (SSSP.go:21-44, 83-106:
+    ``container/heap`` over the in-RAM adjacency). Emits candidate
+    (vid, dist) for every locally-reached vertex; the global
+    ``groupBy(vid).min`` then applies the monotone-improvement filter
+    (SSSP.go:145-150)."""
+    if seeds.empty:
+        return pd.DataFrame(
+            {"vid": pd.Series(dtype="int64"), "dist": pd.Series(dtype="float64")}
+        )
+    import heapq
+
+    weighted = "weight" in edges.columns
+    adj: dict[int, list[tuple[int, float]]] = {}
+    ws = edges["weight"].to_numpy() if weighted else None
+    for i, (s, d) in enumerate(zip(edges["src"].to_numpy(), edges["dst"].to_numpy())):
+        adj.setdefault(int(s), []).append((int(d), float(ws[i]) if weighted else 1.0))
+    dist: dict[int, float] = {}
+    heap: list[tuple[float, int]] = []
+    for v, dv in zip(seeds["vid"].to_numpy(), seeds["dist"].to_numpy()):
+        v, dv = int(v), float(dv)
+        if dv < dist.get(v, INF):
+            dist[v] = dv
+            heapq.heappush(heap, (dv, v))
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if dv > dist.get(v, INF):
+            continue
+        for u, w in adj.get(v, ()):  # local relaxation to fixpoint
+            nd = dv + w
+            if nd < dist.get(u, INF):
+                dist[u] = nd
+                heapq.heappush(heap, (nd, u))
+    return pd.DataFrame({"vid": list(dist.keys()), "dist": list(dist.values())})
 
 
 def sssp(
@@ -36,39 +89,74 @@ def sssp(
     run_id: str = "sssp",
     max_supersteps: int = 200,
     resume: bool = False,
+    backend: str = "relational",
+    num_parts: int | None = None,
+    salt_threshold: int = 1024,
 ) -> RunResult:
     """State: (vid, dist, delta); delta>0 marks the current frontier."""
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
     weighted = "weight" in edges.columns
     cols = ["src", "dst"] + (["weight"] if weighted else [])
-    edges_r = edges.select(*cols).repartition(n_parts, "src").persist()
-    n_edges = edges_r.count()
-    w = F.col("weight") if weighted else F.lit(1.0)
+    cleanup: list[DataFrame] = []
+
+    if backend == "relational":
+        edges_r = edges.select(*cols).repartition(n_parts, "src").persist()
+        n_edges = edges_r.count()
+        cleanup.append(edges_r)
+        w = F.col("weight") if weighted else F.lit(1.0)
+
+        def step(state: DataFrame, _k: int) -> DataFrame:
+            msgs = (
+                state.where(F.col("delta") > 0)  # frontier only
+                .select(F.col("vid").alias("src"), "dist")
+                .join(edges_r, "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.min(F.col("dist") + w).alias("msg"))
+            )
+            return _apply(state, msgs)
+
+        verts_src = edges_r
+    elif backend == "subgraph":
+        pg = partition_graph(edges.select(*cols), n_parts, salt_threshold)
+        edges_p = pg.edges.repartition(n_parts, "part").persist()
+        n_edges = edges_p.count()
+        routes = pg.replicas.select("vid", "part").toDF("vid", "rpart").persist()
+        routes.count()
+        cleanup.extend([edges_p, routes])
+
+        def step(state: DataFrame, _k: int) -> DataFrame:
+            seeds = (
+                state.where(F.col("delta") > 0)
+                .select("vid", "dist")
+                .join(routes, "vid")
+                .select("rpart", "vid", "dist")
+            )
+            msgs = (
+                seeds.groupBy("rpart")
+                .cogroup(edges_p.groupBy("part"))
+                .applyInPandas(_local_dijkstra_kernel, schema="vid long, dist double")
+                .groupBy("vid")
+                .agg(F.min("dist").alias("msg"))
+            )
+            return _apply(state, msgs)
+
+        verts_src = edges_p
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def _apply(state: DataFrame, msgs: DataFrame) -> DataFrame:
+        new_dist = F.least("dist", F.coalesce("msg", F.col("dist")))
+        return state.join(msgs, "vid", "left").select(
+            "vid",
+            new_dist.alias("dist"),
+            (F.col("dist") > new_dist).cast("double").alias("delta"),
+        )
 
     def init() -> DataFrame:
-        return vertices(edges_r).select(
+        return vertices(verts_src.select("src", "dst")).select(
             F.col("id").alias("vid"),
             F.when(F.col("id") == source, 0.0).otherwise(INF).alias("dist"),
             F.when(F.col("id") == source, 1.0).otherwise(0.0).alias("delta"),
-        )
-
-    def step(state: DataFrame, _k: int) -> DataFrame:
-        msgs = (
-            state.where(F.col("delta") > 0)  # frontier only
-            .select(F.col("vid").alias("src"), "dist")
-            .join(edges_r, "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.min(F.col("dist") + w).alias("msg"))
-        )
-        return (
-            state.join(msgs, "vid", "left")
-            .select(
-                "vid",
-                F.least("dist", F.coalesce("msg", F.col("dist"))).alias("dist"),
-                (F.col("dist") > F.least("dist", F.coalesce("msg", F.col("dist"))))
-                .cast("double")
-                .alias("delta"),
-            )
         )
 
     try:
@@ -77,7 +165,8 @@ def sssp(
             resume=resume, edges_per_step=n_edges,
         )
     finally:
-        edges_r.unpersist()
+        for df in cleanup:
+            df.unpersist()
 
 
 def reached(result_state: DataFrame) -> DataFrame:

@@ -17,19 +17,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def vertices(edges: DataFrame) -> DataFrame:
+def vertices(edges: DataFrame, extra: DataFrame | None = None) -> DataFrame:
     """Distinct vertex ids appearing in any edge endpoint.
 
-    (The reference's isolated-vertex path is dead code — disabled at
-    every call site, graph.go:443-457 / PRWorker.go:366 — so vertices
-    not in any edge are out of graph scope here too; the pages table
-    retains them for non-graph queries.)
+    ``extra``: optional one-column DataFrame of additional vertex ids —
+    the ``Isolateds.<i>`` path of the reference (graph.go:443-457;
+    disabled at every reference call site, but SURVEY §2.1 S4 maps it to
+    "vertices = edges ∪ isolated from pages table"). Passing the pages
+    table's id column keeps degree-0 pages in graph scope, e.g. PageRank
+    assigns them the teleport mass 1-α = 0.15.
     """
-    return (
+    v = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct()
     )
+    if extra is not None:
+        v = v.unionAll(extra.select(F.col(extra.columns[0]).alias("id")))
+    return v.distinct()
 
 
 def out_degrees(edges: DataFrame) -> DataFrame:

@@ -45,12 +45,21 @@ class PartitionedGraph:
                                            plus mirror rows where edges live
     degrees:  (id, outdeg)               — global out-degree (PageRank scatter)
     num_parts: int
+
+    ``out_routes()``: (vid, part) — partitions holding vid's *out*-edges
+    (the master→mirror scatter route for push algorithms like PageRank;
+    a subset of replicas, which also lists dst-only partitions).
     """
 
     edges: DataFrame
     replicas: DataFrame
     degrees: DataFrame
     num_parts: int
+
+    def out_routes(self) -> DataFrame:
+        return (
+            self.edges.select(F.col("src").alias("vid"), "part").distinct()
+        )
 
 
 def partition_graph(
@@ -93,8 +102,11 @@ def partition_graph(
         .select("vid", "part", F.lit(False).alias("is_master"))
     )
     replicas = masters.unionByName(mirrors)
+    edge_cols = ["src", "dst", "part"] + (
+        ["weight"] if "weight" in edges.columns else []
+    )
     return PartitionedGraph(
-        edges=placed.select("src", "dst", "part"),
+        edges=placed.select(*edge_cols),
         replicas=replicas,
         degrees=deg,
         num_parts=num_parts,

@@ -92,25 +92,58 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 64, text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """(doc_id, sig: array<long>) — min over shingles of xxhash64(shingle, seed_i).
+def _hash60_md5(col, salt: str):
+    """60-bit hash from md5 — identical in Spark, DuckDB and Python
+    (SQL twin: ``('0x' || substr(md5(<salt> || x), 1, 15))::BIGINT``),
+    used by the oracle-checkable operator variants."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+    ).cast("long")
 
-    One explode + groupBy; the num_hashes mins are computed as a single
-    ``min(array)`` aggregation of per-shingle hash arrays (JVM-side)."""
+
+def _shingle_hash(i: int, hash_fn: str):
+    if hash_fn == "md5":
+        return _hash60_md5(F.col("shingle"), f"{i}:")
+    return F.xxhash64(F.col("shingle"), F.lit(i))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — min over shingles of hash_i(shingle).
+
+    Bounded-memory shape: one explode then ``num_hashes`` plain ``min``
+    aggregate columns — Catalyst partially aggregates map-side, so the
+    per-group state is exactly ``num_hashes`` longs regardless of how
+    many shingles a document has (the previous collect_list fold
+    buffered shingles×num_hashes longs per doc — a 100k-shingle page
+    was ~50 MB of agg state).
+
+    Zero-shingle documents (empty/whitespace-only text) get a sentinel
+    signature — the hash vector of the empty shingle — so identical
+    blank docs still pair up in LSH instead of silently vanishing.
+
+    ``hash_fn``: "xxhash64" (JVM, default) or "md5" (60-bit, computable
+    in DuckDB/Python — the oracle-checkable variant)."""
     sh = shingles(docs, text_col, n)
-    hashes = F.array(
-        *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+    per = sh.select(
+        "doc_id", *[_shingle_hash(i, hash_fn).alias(f"h{i}") for i in range(num_hashes)]
     )
-    per_shingle = sh.select("doc_id", hashes.alias("hs"))
-    # element-wise min across rows: aggregate with zip_with(least)
-    return per_shingle.groupBy("doc_id").agg(
-        F.aggregate(
-            F.collect_list("hs"),
-            F.array(*[F.lit(2**63 - 1).cast("long")] * num_hashes),
-            lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)),
-        ).alias("sig")
+    mins = per.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    # sentinel hash exprs reference "shingle"; bind it as the empty string
+    sentinel = docs.where(norm_text(text_col) == "").select(
+        "doc_id", F.lit("").alias("shingle")
+    ).select(
+        "doc_id", *[_shingle_hash(i, hash_fn).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.unionByName(sentinel).select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -121,6 +154,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     text_col: str = "text",
     n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via banded LSH over MinHash signatures.
 
@@ -128,26 +162,32 @@ def minhash_lsh_pairs(
     docs sharing a bucket; verification = estimated Jaccard from full
     signature agreement ≥ threshold. Scale shape: bucket join only —
     never all-pairs; hot buckets (boilerplate text) are bounded by the
-    band hash's 64-bit range and AQE skew splitting."""
+    band hash's 64-bit range and AQE skew splitting.
+
+    ``hash_fn="md5"`` switches both the shingle hashes and the band
+    bucket keys to md5-derived values a DuckDB oracle reproduces
+    bit-for-bit (minhash_lsh_sql)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, text_col, n).persist()
+
+    def band_key(i: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", i * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ],
+        )
+        if hash_fn == "md5":
+            return _hash60_md5(joined, f"b{i}:")
+        return F.xxhash64(joined, F.lit(i))
+
+    sigs = minhash_signatures(docs, num_hashes, text_col, n, hash_fn).persist()
     bands_df = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", i * rows_per_band + j + 1)
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(i).alias("band"), band_key(i).alias("bucket"))
                     for i in range(bands)
                 ]
             )
@@ -184,53 +224,68 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (Arrow-batched numpy kernel:
-    per-token 64-bit hashes -> bit-vote matrix -> sign)."""
+def simhash(
+    docs: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash over whitespace tokens (with multiplicity) — fully
+    relational, zero Python in the plan: explode tokens, hash JVM-side,
+    one groupBy with per-bit-position ``sum`` vote aggregates (map-side
+    partial agg), then assemble the signature as a sum of bit literals.
+    The former Arrow kernel hashed per token *in a Python loop*
+    (hashlib.md5 per token) — the hot loop at 100 TB; this plan keeps
+    the whole thing inside whole-stage codegen.
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        masks = (1 << np.arange(64, dtype=np.uint64))
-        for batch in batches:
-            out = np.zeros(len(batch), dtype=np.int64)
-            for row_i, text in enumerate(batch[text_col]):
-                toks = (text or "").lower().split()
-                if not toks:
-                    continue
-                hs = np.array(
-                    [
-                        int.from_bytes(
-                            __import__("hashlib").md5(t.encode()).digest()[:8], "little"
-                        )
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] & masks[None, :]) != 0).sum(axis=0)
-                votes = bits * 2 > len(toks)
-                out[row_i] = int.from_bytes(
-                    np.packbits(votes.astype(np.uint8), bitorder="little").tobytes(),
-                    "little",
-                    signed=True,
-                )
-            yield pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        kernel, schema="doc_id long, simhash long"
+    ``hash_fn="xxhash64"`` → 64-bit signature; ``"md5"`` → 60-bit
+    (15 hex digits), reproducible in DuckDB/Python for oracles.
+    Empty/blank docs get signature 0 (as before)."""
+    n_bits = 64 if hash_fn == "xxhash64" else 60
+    toks = (
+        docs.select("doc_id", F.explode(F.split(norm_text(text_col), " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    th = toks.select("doc_id", h.alias("h"))
+    votes = th.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("long")).alias(f"v{b}")
+            for b in range(n_bits)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        bit = -(2**63) if b == 63 else (1 << b)
+        sig = sig + F.when(
+            F.col(f"v{b}") * 2 > F.col("n"), F.lit(bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    with_sig = votes.select("doc_id", sig.alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(with_sig, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
     )
 
 
 def simhash_near_dups(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation: split the 64-bit hash into max_hamming+1
-    16-bit blocks — any pair within distance k agrees on ≥1 block
-    (pigeonhole), so candidates = equi-join per block. JVM-side popcount
-    via bit_count for verification."""
-    sh = simhash(docs, text_col).persist()
+    Candidate generation: split the signature into max_hamming+1 blocks
+    — any pair within distance k agrees on ≥1 block (pigeonhole), so
+    candidates = equi-join per block; the candidate set is therefore
+    *complete* and the verified result exact. JVM-side popcount via
+    bit_count for verification."""
+    n_bits = 64 if hash_fn == "xxhash64" else 60
+    sh = simhash(docs, text_col, hash_fn).persist()
     n_blocks = max_hamming + 1
-    block_bits = 64 // n_blocks
+    block_bits = n_bits // n_blocks
     blocks = sh.select(
         "doc_id",
         "simhash",
@@ -239,9 +294,15 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * block_bits)
-                        .bitwiseAND(F.lit((1 << block_bits) - 1))
-                        .alias("key"),
+                        (
+                            # a 64-bit block mask overflows a Java long;
+                            # a full-width block needs no mask at all
+                            F.shiftrightunsigned(F.col("simhash"), i * block_bits)
+                            if block_bits >= 64
+                            else F.shiftrightunsigned(
+                                F.col("simhash"), i * block_bits
+                            ).bitwiseAND(F.lit((1 << block_bits) - 1))
+                        ).alias("key"),
                     )
                     for i in range(n_blocks)
                 ]
@@ -275,22 +336,135 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 4,
+    target_bucket: int = 256,
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold, verified exactly.
 
-    Candidates here are all pairs within a hash bucket of the
-    sign-random-projection sketch (8 hyperplanes -> 256 buckets, exact
-    check inside buckets). Near-duplicates almost always share the full
-    sketch; the pytest oracle measures recall vs brute force."""
-    from .similarity import rp_signature, cosine_pairs_exact
+    Candidates are pairs sharing a sign-random-projection bucket in any
+    of ``n_tables`` independent tables (recall compounds as 1-(1-p)^L);
+    each candidate is verified with the exact cosine. ``n_planes``
+    defaults to ``planes_for_corpus(count)`` — log2(N/target_bucket) —
+    so bucket population (and within-bucket pair work) stays bounded as
+    the corpus grows instead of exploding quadratically at a fixed 256
+    buckets. The pytest oracle measures recall vs brute force."""
+    from .similarity import rp_signature, cosine_pairs_exact, planes_for_corpus
 
-    sig = rp_signature(embeddings, id_col=id_col, vec_col=vec_col, n_planes=8)
-    cand = (
-        sig.alias("x")
-        .join(sig.alias("y"), "bucket")
-        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+    if n_planes is None:
+        n_planes = planes_for_corpus(embeddings.count(), target_bucket)
+    cands = []
+    for t in range(n_tables):
+        sig = rp_signature(
+            embeddings, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, seed=7 + 31 * t,
         )
+        cands.append(
+            sig.alias("x")
+            .join(sig.alias("y"), "bucket")
+            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    return cosine_pairs_exact(cand.distinct(), embeddings, threshold, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (md5-variant operators above)
+# ---------------------------------------------------------------------------
+_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _sql_shingles(doc_table: str, n: int = 3) -> str:
+    """CTE chain producing (doc_id, shingle) — textual twin of
+    :func:`shingles` plus the zero-shingle sentinel '' row used by
+    :func:`minhash_signatures`."""
+    return (
+        f"norm AS (SELECT doc_id, {_SQL_NORM} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm), "
+        "idx AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks), "
+        "grams AS (SELECT DISTINCT doc_id, shingle FROM ("
+        f"  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle"
+        f"  FROM idx WHERE len(t) >= {n} AND i <= len(t) - {n - 1}"
+        "  UNION ALL"
+        f"  SELECT doc_id, array_to_string(t, ' ') AS shingle FROM toks WHERE len(t) < {n}"
+        ") WHERE length(shingle) > 0), "
+        "grams2 AS (SELECT doc_id, shingle FROM grams "
+        "UNION ALL SELECT doc_id, '' FROM norm WHERE nt = '')"
     )
-    return cosine_pairs_exact(cand, embeddings, threshold, id_col, vec_col)
+
+
+def minhash_lsh_sql(
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    doc_table: str = "documents",
+    n: int = 3,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_fn="md5") → (a, b)."""
+    rows = num_hashes // bands
+    mins = ", ".join(
+        "MIN(" + _sql_hash60(f"'{i}:' || shingle") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = []
+    for i in range(bands):
+        joined = " || ',' || ".join(
+            f"h{i * rows + j}::VARCHAR" for j in range(rows)
+        )
+        bucket = _sql_hash60(f"'b{i}:' || {joined}")
+        band_rows.append(
+            f"SELECT doc_id, {i} AS band, {bucket} AS bucket FROM sigs"
+        )
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return (
+        f"WITH {_sql_shingles(doc_table, n)}, "
+        f"sigs AS (SELECT doc_id, {mins} FROM grams2 GROUP BY doc_id), "
+        "bands AS (" + " UNION ALL ".join(band_rows) + "), "
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x "
+        "JOIN bands y ON x.band = y.band AND x.bucket = y.bucket "
+        "AND x.doc_id < y.doc_id) "
+        f"SELECT a, b FROM cand JOIN sigs sa ON sa.doc_id = a "
+        f"JOIN sigs sb ON sb.doc_id = b "
+        f"WHERE ({eq_terms}) * 1.0 / {num_hashes} >= {threshold}"
+    )
+
+
+def simhash_pairs_sql(
+    max_hamming: int = 3, doc_table: str = "documents"
+) -> str:
+    """DuckDB twin of simhash_near_dups(hash_fn="md5") → (a, b, hamming).
+
+    The Spark side's pigeonhole candidate generation is complete, so its
+    verified result equals the exact distance-≤k pair set; the oracle
+    computes that set directly (all-pairs is fine at oracle scale)."""
+    n_bits = 60
+    votes = ", ".join(
+        f"SUM((h >> {b}) & 1) AS v{b}" for b in range(n_bits)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN 2 * v{b} > n THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(n_bits)
+    )
+    return (
+        f"WITH norm AS (SELECT doc_id, {_SQL_NORM} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm), "
+        f"th AS (SELECT doc_id, {_sql_hash60('tok')} AS h FROM toks "
+        "WHERE length(tok) > 0), "
+        f"votes AS (SELECT doc_id, COUNT(*) AS n, {votes} FROM th GROUP BY doc_id), "
+        f"sigs0 AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS sig FROM votes), "
+        f"sigs AS (SELECT d.doc_id, COALESCE(s.sig, 0) AS sig FROM {doc_table} d "
+        "LEFT JOIN sigs0 s ON d.doc_id = s.doc_id) "
+        "SELECT x.doc_id AS a, y.doc_id AS b, "
+        "CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming "
+        "FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id "
+        f"WHERE bit_count(xor(x.sig, y.sig)) <= {max_hamming}"
+    )

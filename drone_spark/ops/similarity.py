@@ -55,8 +55,12 @@ def cosine_topk_bruteforce(
             / (_norm(vec_col) * _norm("qv"))
         ).alias("cosine"),
     ).where(F.col("neighbor_id") != F.col(query_id_col))
+    # rank on the cosine quantized to 1e-9: engines summing in different
+    # orders disagree at ~1e-16, so near-ties would otherwise order
+    # differently across harnesses; quantizing makes them exact ties,
+    # deterministically broken by neighbor id (ADVICE r1)
     w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+        F.desc(F.round("cosine", 9)), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -71,6 +75,22 @@ def cosine_topk_bruteforce(
 def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def planes_for_corpus(n_vectors: int, target_bucket: int = 256) -> int:
+    """Scale the hyperplane count with the corpus so expected bucket
+    population stays ~``target_bucket``: planes ≈ log2(N / target).
+
+    A fixed plane count is a scale bug — 8 planes = 256 buckets puts
+    millions of vectors per bucket at 10^9 rows and the within-bucket
+    verification explodes quadratically. With planes growing as log2(N),
+    bucket population — and therefore per-bucket all-pairs work — stays
+    constant as the corpus grows."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 2
+    return max(2, math.ceil(math.log2(n_vectors / target_bucket)))
 
 
 def rp_signature(
@@ -121,17 +141,22 @@ def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int | None = None,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    target_bucket: int = 256,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing a query's RP
     bucket in at least one of ``n_tables`` independent hash tables are
     scored (multi-table LSH: recall compounds as 1-(1-p)^L while the
     candidate set stays a union of bucket joins — never all-pairs).
-    Recall measured by tests vs brute force."""
+    ``n_planes`` defaults to ``planes_for_corpus(count)`` so bucket
+    population tracks the corpus size. Recall measured by tests vs
+    brute force (≥0.8 at test scale)."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(embeddings.count(), target_bucket)
     def sigs(df, idc):
         parts = []
         for t in range(n_tables):
@@ -161,7 +186,9 @@ def cosine_topk_lsh(
         .join(e, "neighbor_id")
         .withColumn("cosine", _dot("nv", "qv") / (_norm("nv") * _norm("qv")))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -257,7 +284,9 @@ def cosine_topk_ivf(
         .join(e, "neighbor_id")
         .withColumn("cosine", _dot("nv", "qv") / (_norm("nv") * _norm("qv")))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

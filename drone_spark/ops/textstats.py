@@ -110,20 +110,43 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax over per-language marker-token hit
-    counts, 'und' when nothing matches. Vectorized pandas over Arrow
-    batches (the only Python in this module's plans)."""
+    counts (with multiplicity), 'und' when nothing matches; ties break
+    in ``_LANG_MARKERS`` declaration order.
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            toks = batch[text_col].str.lower().str.split()
-            counts = {
-                lang: toks.apply(lambda ts, m=set(markers): sum(t in m for t in ts or []))
-                for lang, markers in _LANG_MARKERS.items()
-            }
-            scores = pd.DataFrame(counts)
-            best = scores.idxmax(axis=1).where(scores.max(axis=1) > 0, "und")
-            yield pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": best})
+    Pure JVM expressions — tokenize once with ``split``, count each
+    language's markers with an array ``filter`` (whole-stage codegen, no
+    Python anywhere in the plan), argmax via ``greatest`` + a CASE
+    chain. The same formulation is ANSI-SQL-expressible, so the DuckDB
+    oracle replays it exactly (lang_id_sql below)."""
+    toks = F.split(norm_text(text_col), " ")
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        score, schema="doc_id long, lang_pred string"
+    def marker_count(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_MARKERS:  # first max in declaration order wins
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def lang_id_sql(doc_table: str = "documents", norm_sql: str | None = None) -> str:
+    """DuckDB mirror of :func:`lang_id` (textual twin of the Spark plan)."""
+    norm = norm_sql or "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(string_split(nt, ' '), t -> t IN ({lst}))) AS s_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in _LANG_MARKERS) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in _LANG_MARKERS:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return (
+        f"WITH norm AS (SELECT doc_id, {norm} AS nt FROM {doc_table}), "
+        "scored AS (SELECT doc_id, " + ", ".join(score_exprs) + " FROM norm) "
+        f"SELECT doc_id, {case} AS lang_pred FROM scored"
     )

@@ -61,3 +61,28 @@ def test_subgraph_backend_fewer_supersteps_on_path_graph(spark, engine):
     assert rel.converged and sub.converged
     assert {r["label"] for r in sub.state.collect()} == {0}
     assert sub.supersteps < rel.supersteps
+
+
+@pytest.mark.parametrize("backend", ["relational", "subgraph"])
+def test_cc_frontier_decays(spark, engine, small_edges, backend):
+    # frontier/delta evaluation (reference CC.go:103-117): late
+    # supersteps touch a shrinking changed set; the per-partition
+    # n_changed metric must decay to 0 at convergence.
+    res = connected_components(
+        spark, engine, small_edges, run_id=f"cc_decay_{backend}",
+        backend=backend, salt_threshold=10,
+    )
+    m = (
+        engine.metrics(f"cc_decay_{backend}")
+        .groupBy("superstep")
+        .agg(F.sum("n_changed").alias("changed"))
+        .orderBy("superstep")
+        .collect()
+    )
+    changed = [r["changed"] for r in m]
+    assert len(changed) == res.supersteps + 1  # every superstep recorded
+    assert changed[-1] == 0  # converged: nothing changed in final step
+    # the frontier shrinks: the last active superstep touches fewer
+    # vertices than the full first flood
+    if len(changed) > 2:
+        assert changed[-2] < changed[0]

@@ -45,10 +45,7 @@ def test_shingles_known(spark):
 def test_ngram_jaccard_finds_injected_pairs(spark, docs_with_dups):
     pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.8).collect()
     pairset = {(r["a"], r["b"]) for r in pairs}
-    # each base doc & its exact dup have jaccard 1.0
-    base_ids = [r["doc_id"] for r in docs_with_dups.where("doc_id < 10000").limit(5).collect()]
-    for i, b in enumerate(sorted(base_ids)[:5]):
-        pass  # ids are arbitrary; just assert the exact-dup pairs exist:
+    # ids are arbitrary; just assert the exact-dup pairs exist:
     exact_pairs = {
         (min(r["a"], r["b"]), max(r["a"], r["b"]))
         for r in pairs
@@ -95,3 +92,67 @@ def test_embedding_near_dups(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     got = {(r["a"], r["b"]) for r in embedding_near_dups(emb, threshold=0.98).collect()}
     assert (0, 100) in got
+
+
+def test_minhash_signatures_bounded_agg_matches_per_shingle_mins(spark):
+    # the 64-min-aggregate signature must equal a direct per-shingle
+    # recomputation (the semantics of the former collect_list fold)
+    from drone_spark.ops.dedup import minhash_signatures, shingles
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four"),
+         (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df, num_hashes=8).collect()}
+    per = shingles(df).select(
+        "doc_id", *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(8)]
+    ).toPandas()
+    for doc in (1, 2):
+        mine = [int(per[per.doc_id == doc][f"h{i}"].min()) for i in range(8)]
+        assert sigs[doc] == mine
+    # zero-shingle docs get the sentinel signature (hash of "") and
+    # therefore pair with each other instead of vanishing (ADVICE r1)
+    assert sigs[3] == sigs[4]
+
+
+def test_blank_docs_pair_in_minhash_lsh(spark):
+    from drone_spark.ops.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real content words here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in pairs
+
+
+def test_md5_variants_match_xxhash_semantics(spark, docs_with_dups):
+    # the oracle-checkable md5-keyed variants find the same exact-dup
+    # pairs as the default xxhash64 variants (hash choice must not
+    # change near-dup semantics, only cross-engine computability)
+    from drone_spark.ops.dedup import minhash_lsh_pairs, simhash_near_dups
+
+    from drone_spark.ops.textstats import norm_text
+
+    # ground truth: byte-identical normalized texts → identical
+    # signatures under ANY hash choice → est_jaccard 1.0 in both
+    fp = docs_with_dups.select("doc_id", F.md5(norm_text("text")).alias("fp"))
+    fa = fp.select(F.col("doc_id").alias("a"), "fp")
+    fb = fp.select(F.col("doc_id").alias("b"), "fp")
+    identical = {
+        (r["a"], r["b"])
+        for r in fa.join(fb, "fp").where(F.col("a") < F.col("b"))
+        .select("a", "b").collect()
+    }
+    assert identical  # fixture injects 5 exact dups
+    mh_md5 = {(r["a"], r["b"]) for r in
+              minhash_lsh_pairs(docs_with_dups, threshold=0.95, hash_fn="md5").collect()}
+    mh_xx = {(r["a"], r["b"]) for r in
+             minhash_lsh_pairs(docs_with_dups, threshold=0.95).collect()}
+    assert identical <= mh_md5 and identical <= mh_xx
+    sh_md5 = {(r["a"], r["b"]) for r in
+              simhash_near_dups(docs_with_dups, max_hamming=0, hash_fn="md5").collect()}
+    sh_xx = {(r["a"], r["b"]) for r in
+             simhash_near_dups(docs_with_dups, max_hamming=0).collect()}
+    assert identical <= sh_md5 and identical <= sh_xx

