@@ -15,9 +15,12 @@ on local[$SPARK_GRAFT_CPUS]:
 
 Extra top-level keys report the north-rule numbers: supersteps,
 edges/sec, supersteps/hour for the PageRank run, plus (unless
-SPARK_GRAFT_SKIP_SCALING=1) a two-parallelism-level scaling probe of
-the same PageRank job via subprocesses (local[N/4] vs local[N]) —
-the sandbox proxy for the N→4N executor scaling-efficiency criterion.
+SPARK_GRAFT_SKIP_SCALING=1) the scaling probe: the same PageRank job
+via subprocesses at the mandated local[8] → local[32] pair (the
+BASELINE.md sandbox proxy for N→4N executors, key "scaling") and the
+2 → 8 diagnostic pair (key "scaling_diag"), with a per-run host
+memory-bandwidth probe so the efficiency numbers can be read against
+the shared-VM hardware ceiling.
 """
 
 from __future__ import annotations

@@ -25,17 +25,21 @@ What Spark does *not* give us and this engine adds (SURVEY.md §4.3):
   per-worker numbers through FinishRequest,
   master_service.proto:33-55).
 
-Cost model per superstep: exactly **one Spark job** — the state
-materialization. Convergence *and* the per-partition metrics ride on
-that same action as ``Observation`` aggregates (the per-part rows are
-conditional aggregates keyed by the vertex-hash partition), so there is
-no second scan-and-aggregate job per superstep. Metric rows buffer on
-the driver and are appended to the metrics table at every full
-checkpoint (and at run end), keeping the metrics table consistent with
-the resume points: on resume, rows beyond the resumed superstep are
-truncated and the resume-point row is recomputed from the loaded state,
-so a crash between the state commit and the metrics append can neither
-double-count nor permanently lose the resume superstep's row.
+Cost model per superstep: the state materialization (parquet snapshot
+at checkpoints, eager in-memory truncation between) plus one tiny
+aggregation over the materialized state that returns ≤num_parts rows —
+the per-partition metrics AND the global convergence max in a single
+scan (piggy-backing the per-part aggregates onto the write action as
+``Observation`` expressions was measured ~6.5 s/superstep slower: a
+CollectMetrics node with ~100 conditional aggregates sits on the hot
+path of the step plan, while the separate scan reads already-
+materialized state). Metric rows buffer on the driver and are appended
+to the metrics table at every full checkpoint (and at run end), keeping
+the metrics table consistent with the resume points: on resume, rows
+beyond the resumed superstep are truncated and the resume-point row is
+recomputed from the loaded state, so a crash between the state commit
+and the metrics append can neither double-count nor permanently lose
+the resume superstep's row.
 
 State contract: a DataFrame with a long ``vid`` column, a double
 ``delta`` column (per-vertex change this superstep; drives convergence
@@ -51,11 +55,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import Catalog
-
-_METRICS_SCHEMA = (
-    "superstep int, part int, n_vertices long, n_changed long, "
-    "max_delta double, seconds double, state_version int, edges_traversed long"
-)
 
 
 @dataclass
@@ -171,41 +170,62 @@ class SuperstepEngine:
     def _part_col(self):
         return F.pmod(F.xxhash64("vid"), F.lit(self.num_parts)).cast("int")
 
-    def _observe_aggs(self) -> list:
-        """Global convergence max plus per-master-partition conditional
-        aggregates — all evaluated inside the state-materialization
-        action, replacing the former second metrics job per superstep."""
-        part = self._part_col()
-        aggs = [F.max("delta").alias("max_delta")]
-        for p in range(self.num_parts):
-            is_p = part == p
-            aggs.append(F.count(F.when(is_p, True)).alias(f"n{p}"))
-            aggs.append(
-                F.sum(F.when(is_p & (F.col("delta") > 0), 1).otherwise(0)).alias(f"c{p}")
-            )
-            aggs.append(F.max(F.when(is_p, F.col("delta"))).alias(f"d{p}"))
-        return aggs
+    def _collect_part_metrics(
+        self, committed: DataFrame, superstep: int, seconds: float,
+        version: int, edges_per_step: int | None,
+    ) -> float:
+        """Per-master-partition counts from the *materialized* state —
+        a tiny second aggregation over the committed parquet / cached
+        localCheckpoint (codegen HashAggregate, ≤num_parts result rows).
 
-    def _buffer_metrics(
-        self, row: dict, superstep: int, seconds: float, version: int,
-        edges_per_step: int | None,
-    ) -> None:
-        for p in range(self.num_parts):
-            n = row.get(f"n{p}") or 0
-            if not n:
-                continue
+        Deliberately NOT piggy-backed on the state write: a
+        CollectMetrics node with num_parts×3 conditional aggregates on
+        top of the step's own aggregation measured ~6.5 s/superstep
+        extra (observed r2), while this separate scan of the already-
+        materialized state costs ~0.1-0.3 s."""
+        rows = (
+            committed.groupBy(self._part_col().alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("delta") > 0).cast("long")).alias("c"),
+                F.max("delta").alias("d"),
+            )
+            .collect()
+        )
+        for r in rows:
             self._pending_metrics.append(
                 (
-                    superstep, p, int(n), int(row.get(f"c{p}") or 0),
-                    float(row.get(f"d{p}") or 0.0), seconds, version,
+                    superstep, int(r["part"]), int(r["n"]), int(r["c"] or 0),
+                    float(r["d"] or 0.0), seconds, version,
                     int(edges_per_step or 0),
                 )
             )
+        # global convergence value falls out of the same ≤num_parts rows
+        return max((float(r["d"] or 0.0) for r in rows), default=0.0)
 
     def _flush_metrics(self, run_id: str) -> None:
         if not self._pending_metrics:
             return
-        df = self.spark.createDataFrame(self._pending_metrics, _METRICS_SCHEMA)
+        # inline VALUES instead of createDataFrame: the Python-RDD-backed
+        # write path spawns Python workers and measured 5-8 s per flush;
+        # a literal VALUES plan is pure JVM and ~0.1 s. All cells are
+        # ints/floats produced by this module — safe to inline.
+        def dbl(x: float) -> str:
+            if x != x:
+                return "CAST('NaN' AS DOUBLE)"
+            if x in (float("inf"), float("-inf")):
+                return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+            return f"CAST({x!r} AS DOUBLE)"
+
+        rows = ", ".join(
+            f"({s}, {p}, {n}L, {c}L, {dbl(d)}, {dbl(sec)}, {v}, {e}L)"
+            for (s, p, n, c, d, sec, v, e) in self._pending_metrics
+        )
+        df = self.spark.sql(
+            "SELECT * FROM VALUES " + rows +
+            " AS t(superstep, part, n_vertices, n_changed, max_delta,"
+            " seconds, state_version, edges_traversed)"
+        )
         self.catalog.append(df.coalesce(1), self._metrics_table(run_id))
         self._pending_metrics = []
 
@@ -224,10 +244,9 @@ class SuperstepEngine:
         if cat.exists(mtable):
             kept = cat.read(spark, mtable).where(F.col("superstep") < k)
             cat.write_snapshot(kept.coalesce(1), mtable, meta={"truncated_to": k})
-        agg = state.agg(*self._observe_aggs()).first().asDict()
-        self._buffer_metrics(agg, k, 0.0, version, edges_per_step)
+        pending = self._collect_part_metrics(state, k, 0.0, version, edges_per_step)
         self._flush_metrics(run_id)
-        return float(agg["max_delta"] or 0.0)
+        return pending
 
     def _commit(
         self,
@@ -240,31 +259,29 @@ class SuperstepEngine:
     ) -> tuple[DataFrame, float]:
         """Materialize one superstep exactly once and record metrics.
 
-        One Spark job per superstep, no driver-side collect: the state
-        materialization (parquet snapshot when ``full``, else in-memory
-        ``localCheckpoint``) carries an ``Observation`` with the global
-        convergence aggregate *and* the per-partition metric aggregates.
-        Metric rows buffer on the driver; ``full`` commits flush them to
-        the metrics table as one coalesced append."""
-        from pyspark.sql import Observation
-
+        Two Spark actions per superstep: (1) the state materialization —
+        parquet snapshot when ``full``, in-memory eager
+        ``localCheckpoint`` between checkpoints; (2) a tiny per-partition
+        aggregation over the *materialized* state (≤num_parts rows back
+        to the driver) that yields both the metric rows and the global
+        convergence max. Metric rows buffer on the driver and flush to
+        the metrics table as one coalesced append per ``full`` commit —
+        no per-superstep metrics write."""
         cat, spark = self.catalog, self.spark
         state_table = self._state_table(run_id)
 
-        obs = Observation()
-        observed = new_state.observe(obs, *self._observe_aggs())
         if full:
             version = cat.write_snapshot(
-                observed, state_table, meta={"superstep": superstep}
+                new_state, state_table, meta={"superstep": superstep}
             )
             committed = cat.read(spark, state_table)
         else:
             version = -1  # not a resume point
-            committed = observed.localCheckpoint(eager=True)
-        row = obs.get
-        max_delta = float(row["max_delta"] or 0.0)
+            committed = new_state.localCheckpoint(eager=True)
         seconds = time.monotonic() - t0
-        self._buffer_metrics(row, superstep, seconds, version, edges_per_step)
+        max_delta = self._collect_part_metrics(
+            committed, superstep, seconds, version, edges_per_step
+        )
         if full:
             self._flush_metrics(run_id)
         # returning the committed scan = lineage truncation: the next

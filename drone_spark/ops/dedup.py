@@ -4,17 +4,14 @@ Jaccard, embedding-cosine near-dup.
 Shapes chosen for 100 TB: every method is candidate-generation by a
 shuffle-friendly equi-join key (hash bucket / band signature / shared
 shingle) followed by verification on the candidates only — never an
-all-pairs comparison. All signature math is either JVM expressions
-(xxhash64 is codegen'd) or Arrow-batched numpy.
+all-pairs comparison. All signature math is JVM expressions (xxhash64 /
+md5-derived hashes, bit ops — whole-stage codegen; no Python anywhere
+in these plans, pinned by tests/test_plans.py).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .textstats import norm_text
 
