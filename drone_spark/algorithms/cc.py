@@ -205,9 +205,10 @@ def _run_labeling(
         pg = partition_graph(sym, n_parts, salt_threshold=salt_threshold)
         edges_p = pg.edges.repartition(n_parts, "part").persist()
         n_edges = edges_p.count()
-        # replicas: (vid, part, is_master) → routing (vid, rpart); the
-        # column is renamed so the cogroup isn't an ambiguous self-join
-        routes = pg.replicas.select("vid", "part").toDF("vid", "rpart").persist()
+        # partitioner routing table, derived from the cached edge
+        # partitioning (presence = the replicas table's mirror rows);
+        # renamed so the cogroup isn't an ambiguous self-join
+        routes = pg.presence_routes(edges_p).toDF("vid", "rpart").persist()
         routes.count()
         step = _subgraph_step(spark, edges_p, routes)
         cleanup.extend([edges_p, routes])

@@ -120,7 +120,7 @@ def sssp(
         pg = partition_graph(edges.select(*cols), n_parts, salt_threshold)
         edges_p = pg.edges.repartition(n_parts, "part").persist()
         n_edges = edges_p.count()
-        routes = pg.replicas.select("vid", "part").toDF("vid", "rpart").persist()
+        routes = pg.presence_routes(edges_p).toDF("vid", "rpart").persist()
         routes.count()
         cleanup.extend([edges_p, routes])
 

@@ -61,6 +61,22 @@ class PartitionedGraph:
             self.edges.select(F.col("src").alias("vid"), "part").distinct()
         )
 
+    def presence_routes(self, edges: DataFrame | None = None) -> DataFrame:
+        """(vid, part) — partitions holding ANY edge incident to vid (the
+        mirror set of the replicas table without the master-only rows):
+        the scatter route for undirected flooding (CC/LP) and for SSSP
+        seeds. Pass the *persisted* partitioned edge table to derive it
+        from the cache instead of re-running the placement lineage —
+        building it through the full replicas chain (masters+mirrors
+        joins) measured ~5 s of one-time prep that a 2-superstep run
+        never amortizes."""
+        e = edges if edges is not None else self.edges
+        return (
+            e.select(F.col("src").alias("vid"), "part")
+            .unionAll(e.select(F.col("dst").alias("vid"), "part"))
+            .distinct()
+        )
+
 
 def partition_graph(
     edges: DataFrame, num_parts: int, salt_threshold: int = 1024
