@@ -251,7 +251,7 @@ def main() -> None:
         scaling_src = f"parquet:{scaling_edges_dir}"
         # interleave the levels and keep the fastest run per level: this
         # host is a shared VM, so min-of-N is the noise-robust estimator
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
         # soft wall-clock budget: skip later repeats when the host is
         # being throttled hard (shared VM) so the whole bench stays bounded
         budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "900"))
