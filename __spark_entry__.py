@@ -311,6 +311,20 @@ def q_embedding_near_dups(spark, sf_dir):
     ).select("a", "b")
 
 
+def q_embedding_near_dups_exact(spark, sf_dir):
+    """Exhaustive cosine-pair baseline (the ground truth the LSH
+    variant's recall is measured against). Spark's fold dot product is
+    bit-identical to DuckDB's list_cosine_similarity (verified: 990/990
+    pairs identical at sf0.01), so the >= threshold pair set
+    hash-matches exactly. Vectors cast to double on both sides."""
+    from drone_spark.ops.dedup import embedding_near_dups_exact
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_near_dups_exact(emb, threshold=0.35).select("a", "b")
+
+
 def q_cosine_topk(spark, sf_dir):
     from drone_spark.ops.similarity import cosine_topk_bruteforce
 
@@ -470,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "cosine_topk_ivf": q_cosine_topk_ivf,
@@ -630,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
         "lang_id": _lang_id_oracle(),
+        "embedding_near_dups_exact": _embedding_exact_oracle(),
         "minhash_dedup": _minhash_oracle(),
         "simhash_dedup": _simhash_oracle(),
         "graph_simulation": _graph_simulation_oracle(),
@@ -644,6 +660,12 @@ def _lang_id_oracle() -> str:
     from drone_spark.ops.textstats import lang_id_sql
 
     return lang_id_sql("documents")
+
+
+def _embedding_exact_oracle() -> str:
+    from drone_spark.ops.dedup import embedding_near_dups_exact_sql
+
+    return embedding_near_dups_exact_sql(0.35)
 
 
 def _minhash_oracle() -> str:

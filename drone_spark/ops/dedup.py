@@ -368,6 +368,41 @@ def embedding_near_dups(
     return cosine_pairs_exact(cand.distinct(), embeddings, threshold, id_col, vec_col)
 
 
+def embedding_near_dups_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exhaustive-verification baseline: ALL pairs with cosine ≥
+    threshold (the ground truth the LSH variant's recall is measured
+    against). O(N²) by construction — small corpora / validation only;
+    :func:`embedding_near_dups` is the scale path. Spark's fold-based
+    dot product is bit-identical to DuckDB's list_cosine_similarity
+    (both accumulate in index order), so this variant hash-matches a
+    SQL oracle exactly."""
+    from .similarity import cosine_pairs_exact
+
+    ids = embeddings.select(F.col(id_col))
+    cand = (
+        ids.toDF("a")
+        .join(ids.toDF("b"), F.col("a") < F.col("b"))
+    )
+    return cosine_pairs_exact(cand, embeddings, threshold, id_col, vec_col)
+
+
+def embedding_near_dups_exact_sql(
+    threshold: float, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`embedding_near_dups_exact` → (a, b)."""
+    return (
+        f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}) "
+        "SELECT x.vec_id AS a, y.vec_id AS b "
+        "FROM e x JOIN e y ON x.vec_id < y.vec_id "
+        f"WHERE list_cosine_similarity(x.v, y.v) >= {threshold}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (md5-variant operators above)
 # ---------------------------------------------------------------------------

@@ -156,3 +156,18 @@ def test_md5_variants_match_xxhash_semantics(spark, docs_with_dups):
     sh_xx = {(r["a"], r["b"]) for r in
              simhash_near_dups(docs_with_dups, max_hamming=0).collect()}
     assert identical <= sh_md5 and identical <= sh_xx
+
+
+def test_embedding_exact_baseline_superset_of_lsh(spark):
+    import numpy as np
+    from drone_spark.ops.dedup import embedding_near_dups_exact
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = [(i, base[i].tolist(), 0) for i in range(20)]
+    rows.append((100, (base[0] + rng.standard_normal(16).astype("float32") * 0.01).tolist(), 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {(r["a"], r["b"]) for r in embedding_near_dups_exact(emb, threshold=0.98).collect()}
+    lsh = {(r["a"], r["b"]) for r in embedding_near_dups(emb, threshold=0.98).collect()}
+    assert (0, 100) in exact
+    assert lsh <= exact  # bucketing can only miss, never invent pairs
