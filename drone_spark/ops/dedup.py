@@ -59,14 +59,37 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 # n-gram Jaccard dedup (exact verification via shared-shingle candidates)
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
     intersection via shared-shingle self-join + count (only docs that
     share ≥1 shingle ever meet — candidate generation IS the join);
-    union by inclusion-exclusion from per-doc set sizes."""
-    sh = shingles(docs, text_col, n).persist()
+    union by inclusion-exclusion from per-doc set sizes.
+
+    ``max_doc_freq`` is the scale lever: a shingle appearing in k docs
+    contributes k² join rows, so one boilerplate shingle ("all rights
+    reserved...") shared by 10^6 pages is a 10^12-row hot key. Setting
+    ``max_doc_freq`` drops shingles with document frequency above it
+    *before* the self-join, bounding any shingle's contribution at
+    max_doc_freq² rows; Jaccard is then computed over the non-boilerplate
+    shingle universe (near-identical ranking in practice — ubiquitous
+    shingles carry no dedup signal). ``None`` (default) keeps the exact
+    all-shingles semantics the SQL oracle replays."""
+    sh = shingles(docs, text_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")

@@ -171,3 +171,22 @@ def test_embedding_exact_baseline_superset_of_lsh(spark):
     lsh = {(r["a"], r["b"]) for r in embedding_near_dups(emb, threshold=0.98).collect()}
     assert (0, 100) in exact
     assert lsh <= exact  # bucketing can only miss, never invent pairs
+
+
+def test_ngram_jaccard_doc_freq_cap_bounds_boilerplate(spark):
+    # 30 docs all sharing one boilerplate sentence + 2 true dups:
+    # uncapped, the boilerplate shingles alone make every pair a
+    # candidate (O(N²)); capped, only the true dup pair survives while
+    # boilerplate contributes nothing.
+    boiler = "all rights reserved contact us terms of service"
+    rows = [(i, f"unique document body {i} " * 3 + boiler) for i in range(30)]
+    rows += [(100, "identical interesting content here " + boiler),
+             (101, "identical interesting content here " + boiler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(df, threshold=0.9, max_doc_freq=5)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    # and the uncapped exact path still finds the dup pair too
+    exact = {(r["a"], r["b"])
+             for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert (100, 101) in exact
