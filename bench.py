@@ -207,6 +207,19 @@ def main() -> None:
     timed("pagerank_delta_1e6", run_delta)
     extras["pagerank_delta"] = delta_res
 
+    # cogrouped-CSR backend (the north-star execution shape): same
+    # corpus graph, same 1e-6 fixpoint, numpy gather-scatter kernel per
+    # vertex-cut partition
+    from drone_spark.algorithms.pagerank import pagerank_cogroup
+
+    cg_res = {}
+    def run_cg():
+        r = pagerank_cogroup(spark, eng, corpus_edges, run_id="bench_prcg", tol=1e-6)
+        cg_res["supersteps"] = r.supersteps
+        cg_res["converged"] = r.converged
+    timed("pagerank_cogroup_1e6", run_cg)
+    extras["pagerank_cogroup"] = cg_res
+
     # pre-materialize the scaling-probe edge table once (both
     # parallelism levels then read identical parquet — the probe times
     # pure PageRank iteration, not graph synthesis). Direct synthesis at
