@@ -11,9 +11,12 @@ deterministically from ``lineitem`` in BOTH dialects (FIXTURES.md F5):
 Iterative fixpoints (PageRank to 1e-6, full CC/LP/SSSP) are checked by
 NumPy oracles in tests/; here PageRank is pinned to exactly 5
 supersteps so the oracle is expressible as unrolled SQL CTEs, and
-CC/LP/SSSP use DuckDB recursive CTEs. LSH/SimHash/embedding dedup and
-lang-id are genuinely non-SQL (seeded hyperplanes / xxhash64 / pandas
-kernels) → rows-only driver check + pytest oracles.
+CC/LP/SSSP use DuckDB recursive CTEs. Hash-keyed ops (MinHash, SimHash,
+RP-LSH, embedding near-dup) run md5-derived variants whose signatures
+are exact integer arithmetic reproducible in DuckDB; IVF probes all
+cells (provably the exhaustive top-k) — so every query has a SQL
+oracle. Production xxhash64/gaussian/pruned variants keep pytest
+recall oracles.
 """
 
 from __future__ import annotations
@@ -300,14 +303,21 @@ def q_simhash_dedup(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """md5-plane variant: ±1 Rademacher hyperplanes derived from md5 +
+    fixed-point (floor(v*1e6) int64) signature arithmetic, so the DuckDB
+    oracle (embedding_near_dups_md5_sql) reproduces the bucketing
+    bit-for-bit and the full candidate→verify pipeline hash-matches.
+    The production gaussian-plane variant is pytest-verified for recall
+    at 0.98 with injected duplicates (tests/test_dedup.py). Driver
+    embeddings are 64-dim quasi-random (max pairwise cosine ≈0.51):
+    0.35 keeps the check non-trivial."""
     from drone_spark.ops.dedup import embedding_near_dups
 
-    # driver embeddings are 64-dim quasi-random (max pairwise cosine
-    # ≈0.51): 0.35 keeps the rows-only check non-trivial; real near-dup
-    # semantics are pytest-verified at 0.98 with injected duplicates
-    # (tests/test_dedup.py)
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     return embedding_near_dups(
-        _read(spark, sf_dir, "embeddings"), threshold=0.35
+        emb, threshold=0.35, n_planes=4, n_tables=4, plane_fn="md5"
     ).select("a", "b")
 
 
@@ -341,16 +351,23 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_cosine_topk_lsh(spark, sf_dir):
+    """md5-plane LSH variant (±1 planes, fixed-point signatures) so the
+    DuckDB oracle (cosine_topk_lsh_md5_sql) reproduces bucketing,
+    candidate generation, scoring and ranking exactly. The production
+    gaussian-plane variant keeps the pytest recall oracle
+    (tests/test_similarity.py)."""
     from drone_spark.ops.similarity import cosine_topk_lsh
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     queries = (
         emb.orderBy("vec_id").limit(5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return cosine_topk_lsh(emb, queries, k=10, n_planes=4).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    return cosine_topk_lsh(
+        emb, queries, k=10, n_planes=4, n_tables=8, plane_fn="md5"
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def q_graph_simulation(spark, sf_dir):
@@ -366,14 +383,23 @@ def q_graph_simulation(spark, sf_dir):
 
 
 def q_cosine_topk_ivf(spark, sf_dir):
+    """Full-probe IVF (n_probe = n_cells): probing every cell makes the
+    result provably equal to the exhaustive top-k, so the brute-force
+    DuckDB oracle gates the whole IVF machinery — exactly-once k-means
+    cell assignment (a lost or duplicated vector would break equality),
+    per-cell candidate joins, merge and ranking. The *pruned* behavior
+    (n_probe < n_cells) is pytest-verified for recall vs brute force
+    (tests/test_similarity.py)."""
     from drone_spark.ops.similarity import cosine_topk_ivf
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     queries = (
         emb.orderBy("vec_id").limit(5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return cosine_topk_ivf(emb, queries, k=10, n_cells=8, n_probe=4).select(
+    return cosine_topk_ivf(emb, queries, k=10, n_cells=8, n_probe=8).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -649,11 +675,39 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle(),
         "simhash_dedup": _simhash_oracle(),
         "graph_simulation": _graph_simulation_oracle(),
-        # embedding_near_dups, cosine_topk_lsh, cosine_topk_ivf:
-        # seeded-hyperplane / k-means kernels — genuinely non-SQL;
-        # rows-only driver check + pytest recall oracles
-        # (tests/test_dedup.py, tests/test_similarity.py).
+        "embedding_near_dups": _embedding_md5_oracle(),
+        "cosine_topk_lsh": _cosine_lsh_oracle(),
+        # full-probe IVF (n_probe = n_cells) is provably the exhaustive
+        # top-k, so the brute-force SQL gates the whole IVF pipeline —
+        # see q_cosine_topk_ivf docstring; pruned recall is pytest's.
+        "cosine_topk_ivf": _cosine_bruteforce_oracle(),
     }
+
+
+def _embedding_md5_oracle() -> str:
+    from drone_spark.ops.dedup import embedding_near_dups_md5_sql
+
+    return embedding_near_dups_md5_sql(0.35, n_planes=4, n_tables=4, dim=64)
+
+
+def _cosine_lsh_oracle() -> str:
+    from drone_spark.ops.similarity import cosine_topk_lsh_md5_sql
+
+    return cosine_topk_lsh_md5_sql(k=10, n_planes=4, n_tables=8, dim=64, n_queries=5)
+
+
+def _cosine_bruteforce_oracle() -> str:
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        "FROM embeddings ORDER BY vec_id LIMIT 5), "
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine "
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY ROUND(cosine, 9) DESC, neighbor_id) AS rank "
+        "FROM scored) "
+        "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"
+    )
 
 
 def _lang_id_oracle() -> str:

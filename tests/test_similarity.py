@@ -101,3 +101,56 @@ def test_ivf_topk_recall(spark, emb, emb_pd, queries):
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(set(exact[q]) & approx.get(q, set())) / k for q in exact]
     assert sum(recalls) / len(recalls) >= 0.5  # probing half the cells
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb, queries):
+    """n_probe = n_cells ⇒ every vector is a candidate ⇒ IVF must equal
+    the exhaustive top-k exactly — gates that the k-means assignment
+    partitions the corpus exactly-once (a lost or duplicated vector
+    breaks equality) and that merge/ranking are correct. This is the
+    equivalence the driver's cosine_topk_ivf oracle relies on."""
+    from drone_spark.ops.similarity import cosine_topk_ivf
+
+    emb_d = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q_d = queries.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    k = 10
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(emb_d, q_d, k=k).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_ivf(emb_d, q_d, k=k, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_md5_plane_signature_matches_duckdb(spark, emb):
+    """The md5-plane fixed-point RP signature (entry-pinned LSH/near-dup
+    variant) is exact integer arithmetic: Spark's numpy kernel and the
+    DuckDB SQL twin must produce identical buckets for every (vector,
+    table)."""
+    import duckdb
+
+    from drone_spark.ops.similarity import rp_signature, rp_sig_sql_cte
+
+    n_planes, n_tables = 4, 2
+    got = {}
+    for t in range(n_tables):
+        sig = rp_signature(
+            emb, n_planes=n_planes, seed=7 + 31 * t, plane_fn="md5"
+        ).collect()
+        for r in sig:
+            got[(r["vec_id"], t)] = r["bucket"] + t * 2 ** n_planes
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    sql = f"WITH {rp_sig_sql_cte(64, n_planes, n_tables)} SELECT vec_id, t, bucket FROM sig"
+    want = {(v, t): b for v, t, b in con.sql(sql).fetchall()}
+    assert got == want
