@@ -192,12 +192,19 @@ def _run_labeling(
     resume: bool,
     num_parts: int | None = None,
     salt_threshold: int = 1024,
+    pre_partitioned: bool = False,
 ) -> RunResult:
+    """``pre_partitioned``: the input is an already-symmetrized edge
+    table hash-distributed on ``src`` (bucketed catalog table,
+    sources/bucketed.py) — skips both the symmetrize union and the
+    per-run full-table shuffle."""
+    from ..sources.bucketed import prepare_edges
+
     n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = _sym_edges(edges)
+    sym = edges if pre_partitioned else _sym_edges(edges)
     cleanup: list[DataFrame] = []
     if backend == "relational":
-        sym_r = sym.repartition(n_parts, "src").persist()
+        sym_r = prepare_edges(sym, n_parts, pre_partitioned=pre_partitioned)
         n_edges = sym_r.count()
         step = _relational_step(sym_r)
         cleanup.append(sym_r)

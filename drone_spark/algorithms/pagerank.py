@@ -47,15 +47,23 @@ def pagerank(
     max_supersteps: int = 200,
     resume: bool = False,
     extra_vertices: DataFrame | None = None,
+    pre_partitioned: bool = False,
 ) -> RunResult:
     """Run PageRank; result state = (vid, pr, outdeg, delta).
 
     ``extra_vertices``: ids to include beyond edge endpoints (isolated
     pages from the pages table, SURVEY §2.1 S4) — they receive the
-    teleport mass ``1-damping`` and scatter nothing."""
+    teleport mass ``1-damping`` and scatter nothing.
+
+    ``pre_partitioned``: the input is already hash-distributed on
+    ``src`` (a bucketed catalog table, sources/bucketed.py) — skips the
+    per-run full-edge-table shuffle, the dominant one-off cost at
+    100 TB."""
+    from ..sources.bucketed import prepare_edges
+
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_r = (
-        edges.select("src", "dst").repartition(n_parts, "src").persist()
+    edges_r = prepare_edges(
+        edges.select("src", "dst"), n_parts, pre_partitioned=pre_partitioned
     )
     n_edges = edges_r.count()  # materialize cache; also the teps numerator
 
@@ -135,6 +143,7 @@ def pagerank_delta(
     max_supersteps: int = 200,
     resume: bool = False,
     frontier_tol: float | None = None,
+    pre_partitioned: bool = False,
 ) -> RunResult:
     """Incremental (delta) PageRank — the reference's evaluation scheme
     (PageRank.go:67-91): per-vertex ``acc`` accumulates received mass;
@@ -157,11 +166,13 @@ def pagerank_delta(
 
     State: (vid, pr, acc, d, outdeg, delta) — ``d`` is the signed mass
     still to scatter, ``delta`` the |pr| change (engine convergence)."""
+    from ..sources.bucketed import prepare_edges
+
     frontier_tol = tol / 100 if frontier_tol is None else frontier_tol
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_r = (
-        edges.select("src", "dst").repartition(n_parts, "src")
-        .sortWithinPartitions("src").persist()
+    edges_r = prepare_edges(
+        edges.select("src", "dst"), n_parts,
+        pre_partitioned=pre_partitioned, sort=True,
     )
     n_edges = edges_r.count()
 

@@ -92,15 +92,24 @@ def sssp(
     backend: str = "relational",
     num_parts: int | None = None,
     salt_threshold: int = 1024,
+    pre_partitioned: bool = False,
 ) -> RunResult:
-    """State: (vid, dist, delta); delta>0 marks the current frontier."""
+    """State: (vid, dist, delta); delta>0 marks the current frontier.
+
+    ``pre_partitioned``: input already hash-distributed on ``src``
+    (bucketed catalog table, sources/bucketed.py) — skips the per-run
+    edge shuffle."""
+    from ..sources.bucketed import prepare_edges
+
     n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
     weighted = "weight" in edges.columns
     cols = ["src", "dst"] + (["weight"] if weighted else [])
     cleanup: list[DataFrame] = []
 
     if backend == "relational":
-        edges_r = edges.select(*cols).repartition(n_parts, "src").persist()
+        edges_r = prepare_edges(
+            edges.select(*cols), n_parts, pre_partitioned=pre_partitioned
+        )
         n_edges = edges_r.count()
         cleanup.append(edges_r)
         w = F.col("weight") if weighted else F.lit(1.0)

@@ -76,3 +76,34 @@ def test_pagerank_delta_residual_carry_on_adversarial_chain(spark, engine):
     exp = numpy_pagerank(chain + fan)
     diffs = np.array([abs(got[v] - exp[v]) for v in exp])
     assert diffs.max() < 1e-5
+
+
+def test_pagerank_bucketed_pre_partitioned_matches(
+    spark, engine, small_edges, small_edges_pd, tmp_path
+):
+    """PageRank over a bucketed catalog edge table with
+    pre_partitioned=True (no per-run edge shuffle — the 100 TB path,
+    sources/bucketed.py) must produce the same fixpoint as the
+    repartition path."""
+    from drone_spark.sources.bucketed import (
+        read_bucketed_edges, write_bucketed_edges,
+    )
+    from tests.oracles import numpy_pagerank
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed_edges(
+        small_edges, "pr_edges_bucketed", str(tmp_path / "eb"), n_buckets=n
+    )
+    try:
+        res = pagerank(
+            spark, engine, read_bucketed_edges(spark, "pr_edges_bucketed"),
+            run_id="pr_bucketed", tol=1e-6, pre_partitioned=True,
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed")
+    assert res.converged
+    got = {r["vid"]: r["pr"] for r in res.state.collect()}
+    exp = numpy_pagerank(list(small_edges_pd.itertuples(index=False, name=None)))
+    assert set(got) == set(exp)
+    diffs = np.array([abs(got[v] - exp[v]) for v in exp])
+    assert diffs.max() < 1e-5

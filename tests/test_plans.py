@@ -100,6 +100,49 @@ def test_simhash_and_lang_id_have_no_python_eval(spark):
             assert marker not in plan, f"{marker} in plan:\n{plan[:2000]}"
 
 
+def test_bucketed_edges_skip_edge_shuffle(spark, small_edges, tmp_path):
+    """Edge table stored bucketed on src (sources/bucketed.py): the
+    scatter join must need NO exchange on the edge side — only the
+    per-vertex state shuffles. The same join over a plain parquet scan
+    of identical data shows one extra hashpartitioning(src) exchange:
+    that exchange is the per-run full-edge-table shuffle a bucketed
+    catalog table eliminates at 100 TB. (Broadcast disabled so the tiny
+    test state doesn't hide the distribution requirement.)"""
+    from drone_spark.sources.bucketed import (
+        read_bucketed_edges, write_bucketed_edges,
+    )
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed_edges(
+        small_edges, "edges_bucketed_test", str(tmp_path / "eb"), n_buckets=n
+    )
+    plain_path = str(tmp_path / "plain")
+    small_edges.write.parquet(plain_path)
+
+    def scatter_exchanges(e) -> list[str]:
+        state = e.select(F.col("src").alias("vid")).distinct().select(
+            "vid", F.lit(1.0).alias("w")
+        )
+        j = state.join(e, state["vid"] == e["src"]).groupBy("dst").agg(F.sum("w"))
+        import re
+
+        return re.findall(r"Exchange hashpartitioning\(([a-z_]+)#", _plan(j))
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = scatter_exchanges(read_bucketed_edges(spark, "edges_bucketed_test"))
+        plain = scatter_exchanges(spark.read.parquet(plain_path))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")
+    assert "src" not in bucketed, bucketed  # edge side: no shuffle
+    assert "src" in plain, plain  # the shuffle bucketing removed
+    # derived state inherits the scan's distribution too, so the
+    # bucketed plan keeps only the post-aggregation dst exchange
+    assert len(bucketed) < len(plain), (bucketed, plain)
+
+
 def test_minhash_signatures_partial_aggregation(spark):
     # bounded-memory signatures: the plan must show hash-partial
     # aggregation (map-side combine) feeding a final agg — not an
