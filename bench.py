@@ -220,6 +220,32 @@ def main() -> None:
     timed("pagerank_cogroup_1e6", run_cg)
     extras["pagerank_cogroup"] = cg_res
 
+    # bucketed-storage probe: same corpus graph, fixed 3 supersteps,
+    # plain parquet (per-run repartition shuffle) vs bucketed table
+    # (pre_partitioned=True, zero edge shuffle — sources/bucketed.py).
+    # The delta is the per-run cost a bucketed catalog table removes;
+    # the bucket write itself is the once-per-corpus placement step.
+    from drone_spark.algorithms.pagerank import pagerank
+    from drone_spark.sources.bucketed import (
+        read_bucketed_edges, write_bucketed_edges,
+    )
+
+    bdir = tempfile.mkdtemp(prefix="bench_bucketed_")
+    t0 = time.monotonic()
+    write_bucketed_edges(corpus_edges, "bench_edges_b", bdir + "/eb", n_buckets=CPUS)
+    t_write = time.monotonic() - t0
+    probes = {}
+    for name, (e, pp) in {
+        "plain_s": (corpus_edges, False),
+        "bucketed_s": (read_bucketed_edges(spark, "bench_edges_b"), True),
+    }.items():
+        t0 = time.monotonic()
+        pagerank(spark, eng, e, run_id=f"bench_bp_{name}", tol=0.0,
+                 max_supersteps=3, pre_partitioned=pp)
+        probes[name] = round(time.monotonic() - t0, 2)
+    probes["bucket_write_s"] = round(t_write, 2)
+    extras["bucketed_probe"] = probes
+
     # pre-materialize the scaling-probe edge table once (both
     # parallelism levels then read identical parquet — the probe times
     # pure PageRank iteration, not graph synthesis). Direct synthesis at

@@ -376,11 +376,12 @@ def embedding_near_dups(
 
     if n_planes is None:
         n_planes = planes_for_corpus(embeddings.count(), target_bucket)
+    dim = len(embeddings.select(vec_col).first()[0])
     cands = []
     for t in range(n_tables):
         sig = rp_signature(
             embeddings, id_col=id_col, vec_col=vec_col,
-            n_planes=n_planes, seed=7 + 31 * t, plane_fn=plane_fn,
+            n_planes=n_planes, seed=7 + 31 * t, plane_fn=plane_fn, dim=dim,
         )
         cands.append(
             sig.alias("x")

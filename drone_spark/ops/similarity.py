@@ -120,6 +120,7 @@ def rp_signature(
     n_planes: int = 8,
     seed: int = 7,
     plane_fn: str = "gaussian",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, bucket) — sign pattern of n_planes random hyperplanes,
     computed as one numpy matmul per Arrow batch.
@@ -129,8 +130,13 @@ def rp_signature(
     :func:`md5_planes` ±1 planes against ``floor(v*1e6)`` fixed-point
     vectors: exact integer arithmetic, reproducible bit-for-bit by a
     DuckDB SQL oracle (same LSH guarantee — a ±1 Rademacher projection
-    is a standard sign-random-projection family)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    is a standard sign-random-projection family).
+
+    ``dim``: embedding dimensionality; pass it when known — inferring
+    it costs a ``first()`` job per call, which multiplies across
+    multi-table LSH."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     if plane_fn == "md5":
         planes = md5_planes(dim, n_planes, seed)
     else:
@@ -224,10 +230,12 @@ def cosine_topk_lsh(
     (:func:`cosine_topk_lsh_md5_sql`)."""
     if n_planes is None:
         n_planes = planes_for_corpus(embeddings.count(), target_bucket)
+    dim = len(embeddings.select(vec_col).first()[0])
     def sigs(df, idc):
         parts = []
         for t in range(n_tables):
-            s = rp_signature(df, idc, vec_col, n_planes, seed=7 + 31 * t, plane_fn=plane_fn)
+            s = rp_signature(df, idc, vec_col, n_planes, seed=7 + 31 * t,
+                             plane_fn=plane_fn, dim=dim)
             parts.append(
                 s.select(idc, (F.lit(t * (2 ** n_planes)) + F.col("bucket")).alias("bucket"))
             )
