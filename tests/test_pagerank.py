@@ -107,3 +107,32 @@ def test_pagerank_bucketed_pre_partitioned_matches(
     assert set(got) == set(exp)
     diffs = np.array([abs(got[v] - exp[v]) for v in exp])
     assert diffs.max() < 1e-5
+
+
+def test_pagerank_warm_start_same_fixpoint_fewer_supersteps(
+    spark, engine, small_edges, small_edges_pd
+):
+    """Warm-starting from a previous converged state over an updated
+    graph reaches the same fixpoint (power iteration is
+    init-independent) in fewer supersteps — the cross-run IncEval
+    analogue for graph updates."""
+    from pyspark.sql import functions as F
+
+    base = pagerank(spark, engine, small_edges, run_id="pr_ws_base", tol=1e-6)
+    # graph delta: drop a sliver of edges and add a few new ones
+    updated = small_edges.where(F.xxhash64("src", "dst") % 97 != 0).unionByName(
+        spark.createDataFrame([(1, 3), (3, 1), (2, 9)], "src long, dst long")
+    )
+    cold = pagerank(spark, engine, updated, run_id="pr_ws_cold", tol=1e-6)
+    warm = pagerank(
+        spark, engine, updated, run_id="pr_ws_warm", tol=1e-6,
+        warm_start=base.state,
+    )
+    got_c = {r["vid"]: r["pr"] for r in cold.state.collect()}
+    got_w = {r["vid"]: r["pr"] for r in warm.state.collect()}
+    assert set(got_c) == set(got_w)
+    import numpy as np
+
+    diffs = np.array([abs(got_c[v] - got_w[v]) for v in got_c])
+    assert diffs.max() < 2e-6  # same 1e-6 fixpoint from both inits
+    assert warm.supersteps < cold.supersteps
