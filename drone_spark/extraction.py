@@ -47,8 +47,16 @@ def url_to_id_py(url: str) -> int:
 URL_TO_ID_SQL = "CAST(CONV(SUBSTRING(MD5({u}), 1, 15), 16, 10) AS BIGINT)"
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
-    """pages → (url, text, out_links) via one Arrow-batched pass."""
+def extract_pages(pages: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """pages → (url, text, out_links) via one Arrow-batched pass.
+
+    ``carry``: extra input columns passed through the kernel unchanged
+    (appended after the extracted columns) — the streaming ingestion
+    path carries ``warc_ts`` through so the edge stream can
+    watermark-dedup on crawl time (streaming/ingest.py)."""
+    carry_schema = "".join(
+        f", {name} {pages.schema[name].dataType.simpleString()}" for name in carry
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -56,11 +64,14 @@ def extract_pages(pages: DataFrame) -> DataFrame:
             texts = docs.str.extract(_ARTICLE_RE, expand=False).fillna("")
             texts = texts.apply(_html.unescape)
             links = docs.apply(_HREF_RE.findall)
-            yield pd.DataFrame(
-                {"url": batch["url"], "text": texts, "out_links": links}
-            )
+            out = {"url": batch["url"], "text": texts, "out_links": links}
+            for name in carry:
+                out[name] = batch[name]
+            yield pd.DataFrame(out)
 
-    return pages.select("url", "html").mapInPandas(extract, schema=EXTRACTED_SCHEMA)
+    return pages.select("url", "html", *carry).mapInPandas(
+        extract, schema=EXTRACTED_SCHEMA + carry_schema
+    )
 
 
 def edges_from_pages(pages: DataFrame, dedup: bool = True) -> DataFrame:

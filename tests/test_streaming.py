@@ -47,3 +47,39 @@ def test_stream_dedup(spark, events_batch, tmp_path):
     got = run_available_now(dedup_stream(stream), "t_dedup", mode="append")
     assert got.count() == events_batch.count()
     assert got.select("event_id").distinct().count() == events_batch.count()
+
+
+def test_edges_stream_matches_batch(spark, small_pages, tmp_path):
+    """Streaming crawl ingestion parity: the streamed (extract →
+    watermark-deduped) edge set over a static pages directory equals
+    the batch edges_from_pages distinct edge set."""
+    from drone_spark.extraction import edges_from_pages
+    from drone_spark.streaming.ingest import edges_stream, read_pages_stream
+
+    d = str(tmp_path / "pages")
+    small_pages.write.parquet(d)
+    got = run_available_now(
+        edges_stream(read_pages_stream(spark, d)), "t_edges_stream"
+    ).select("src", "dst")
+    exp = edges_from_pages(small_pages).select("src", "dst")
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_edges_stream_dedups_recrawl(spark, small_pages, tmp_path):
+    """A page re-crawled within the watermark horizon re-emits its
+    out-links; the edge stream must pass each (src, dst) exactly once."""
+    from drone_spark.extraction import edges_from_pages
+    from drone_spark.streaming.ingest import edges_stream, read_pages_stream
+
+    recrawl = small_pages.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    d = str(tmp_path / "pages_recrawl")
+    small_pages.unionByName(recrawl).repartition(4).write.parquet(d)
+    got = run_available_now(
+        edges_stream(read_pages_stream(spark, d)), "t_edges_recrawl"
+    )
+    assert got.count() == edges_from_pages(small_pages).count()
+    assert got.select("src", "dst").distinct().count() == got.count()
