@@ -86,3 +86,30 @@ def test_cc_frontier_decays(spark, engine, small_edges, backend):
     # vertices than the full first flood
     if len(changed) > 2:
         assert changed[-2] < changed[0]
+
+
+def test_cc_pre_partitioned_bucketed(spark, engine, small_edges, small_edges_pd, tmp_path):
+    """CC over a caller-symmetrized edge table stored bucketed on src
+    (pre_partitioned=True — no symmetrize union, no per-run shuffle)
+    matches the union-find oracle exactly."""
+    from drone_spark.sources.bucketed import (
+        read_bucketed_edges, write_bucketed_edges,
+    )
+
+    sym = small_edges.unionByName(
+        small_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed_edges(sym, "cc_edges_b", str(tmp_path / "eb"), n_buckets=n)
+    try:
+        res = connected_components(
+            spark, engine, read_bucketed_edges(spark, "cc_edges_b"),
+            run_id="cc_pp", backend="relational", pre_partitioned=True,
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cc_edges_b")
+    got = {r["vid"]: r["label"] for r in res.state.collect()}
+    exp = union_find_components(
+        list(small_edges_pd.itertuples(index=False, name=None))
+    )
+    assert got == exp

@@ -68,3 +68,32 @@ def test_sssp_subgraph_weighted(spark, engine):
     )
     got = {r["vid"]: r["dist"] for r in reached(res.state).collect()}
     assert got == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_sssp_pre_partitioned_bucketed(spark, engine, small_edges, small_edges_pd, tmp_path):
+    """SSSP over a bucketed edge table (pre_partitioned=True) matches
+    the BFS oracle exactly."""
+    from drone_spark.algorithms.sssp import sssp
+    from drone_spark.sources.bucketed import (
+        read_bucketed_edges, write_bucketed_edges,
+    )
+    from tests.oracles import bfs_distances
+
+    src = int(small_edges_pd["src"].iloc[0])
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed_edges(
+        small_edges, "sssp_edges_b", str(tmp_path / "eb"), n_buckets=n
+    )
+    try:
+        res = sssp(
+            spark, engine, read_bucketed_edges(spark, "sssp_edges_b"),
+            source=src, run_id="sssp_pp", pre_partitioned=True,
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sssp_edges_b")
+    got = {r["vid"]: r["dist"] for r in res.state.collect()}
+    exp = bfs_distances(
+        list(small_edges_pd.itertuples(index=False, name=None)), src
+    )
+    reached = {v: d for v, d in got.items() if d != float("inf")}
+    assert reached == {v: float(d) for v, d in exp.items()}
