@@ -302,6 +302,20 @@ def q_simhash_dedup(spark, sf_dir):
     )
 
 
+def q_minhash_dedup_clusters(spark, sf_dir):
+    """Transitive closure of the md5-MinHash near-dup pairs: connected
+    components over the pair graph, canonical = min doc_id per
+    component, singletons map to themselves — the pipeline's actual
+    retention decision (near-dup similarity is not transitive)."""
+    from drone_spark.ops.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7, hash_fn="md5").select("a", "b")
+    return dedup_clusters(
+        spark, _engine(spark), pairs, docs=docs, run_id="entry_dclust"
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """md5-plane variant: ±1 Rademacher hyperplanes derived from md5 +
     fixed-point (floor(v*1e6) int64) signature arithmetic, so the DuckDB
@@ -508,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -675,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle(),
         "simhash_dedup": _simhash_oracle(),
         "graph_simulation": _graph_simulation_oracle(),
+        "minhash_dedup_clusters": _dedup_clusters_oracle(),
         "embedding_near_dups": _embedding_md5_oracle(),
         "cosine_topk_lsh": _cosine_lsh_oracle(),
         # full-probe IVF (n_probe = n_cells) is provably the exhaustive
@@ -682,6 +698,12 @@ def oracle_sql() -> dict[str, str]:
         # see q_cosine_topk_ivf docstring; pruned recall is pytest's.
         "cosine_topk_ivf": _cosine_bruteforce_oracle(),
     }
+
+
+def _dedup_clusters_oracle() -> str:
+    from drone_spark.ops.dedup import dedup_clusters_sql, minhash_lsh_sql
+
+    return dedup_clusters_sql(minhash_lsh_sql(threshold=0.7, doc_table="documents"))
 
 
 def _embedding_md5_oracle() -> str:

@@ -349,6 +349,70 @@ def simhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# transitive dedup clusters (pairs → canonical doc per component)
+# ---------------------------------------------------------------------------
+def dedup_clusters(
+    spark,
+    engine,
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    doc_id_col: str = "doc_id",
+    run_id: str = "dedup_clusters",
+) -> DataFrame:
+    """(doc_id, canonical) — the transitive closure of a near-dup pair
+    relation: connected components over the pair graph, canonical = min
+    doc_id per component. This is the *retention decision* a
+    training-data pipeline actually needs: near-dup similarity is not
+    transitive (a~b, b~c does not imply a~c above threshold), so
+    keeping "one doc per pair" under- or over-deletes; keeping one doc
+    per *component* is the standard closure policy. Reuses the
+    iterative CC kernel (algorithms/cc.py — min-label message passing,
+    frontier-routed), so the closure scales like any other graph job
+    instead of a driver-side union-find.
+
+    ``docs``: pass the full corpus to also map never-paired docs to
+    themselves (singleton clusters); without it only paired docs
+    appear. Dedup = keep rows where doc_id == canonical."""
+    from ..algorithms.cc import connected_components
+
+    a, b = pairs.columns[0], pairs.columns[1]
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    res = connected_components(
+        spark, engine, edges, run_id=run_id, backend="relational"
+    )
+    clusters = res.state.select(
+        F.col("vid").alias(doc_id_col), F.col("label").alias("canonical")
+    )
+    if docs is not None:
+        clusters = (
+            docs.select(doc_id_col)
+            .join(clusters, doc_id_col, "left")
+            .select(
+                doc_id_col,
+                F.coalesce("canonical", F.col(doc_id_col)).alias("canonical"),
+            )
+        )
+    return clusters
+
+
+def dedup_clusters_sql(pairs_sql: str, doc_table: str = "documents") -> str:
+    """DuckDB oracle twin of :func:`dedup_clusters` over ``pairs_sql``
+    (a complete SELECT returning (a, b)) with singleton coverage from
+    ``doc_table`` → (doc_id, canonical)."""
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs_sql}), "
+        "sym AS (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "walk(id, lab) AS ("
+        f" SELECT doc_id, doc_id FROM {doc_table}"
+        " UNION"
+        " SELECT s.dst, w.lab FROM walk w JOIN sym s ON s.src = w.id"
+        " WHERE w.lab < s.dst) "
+        "SELECT id AS doc_id, MIN(lab) AS canonical FROM walk GROUP BY id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 def embedding_near_dups(

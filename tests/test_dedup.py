@@ -190,3 +190,19 @@ def test_ngram_jaccard_doc_freq_cap_bounds_boilerplate(spark):
     exact = {(r["a"], r["b"])
              for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
     assert (100, 101) in exact
+
+
+def test_dedup_clusters_transitive_closure(spark, engine):
+    """Near-dup similarity is not transitive: a~b and b~c may hold with
+    a~c below threshold. The cluster op must still put {a,b,c} in ONE
+    component (canonical = min id), and map never-paired docs to
+    themselves."""
+    from drone_spark.ops.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(10, 20), (20, 30), (50, 60)], "a long, b long")
+    docs = spark.createDataFrame([(i,) for i in (10, 20, 30, 50, 60, 99)], "doc_id long")
+    got = {
+        r["doc_id"]: r["canonical"]
+        for r in dedup_clusters(spark, engine, pairs, docs=docs).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50, 99: 99}
