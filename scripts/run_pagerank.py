@@ -29,7 +29,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet dir with (src,dst)")
+    src.add_argument("--edges-table", help="bucketed catalog table name "
+                     "(sources/bucketed.py) — runs pre_partitioned, no edge shuffle")
     src.add_argument("--pages", help="parquet dir with the pages table")
+    ap.add_argument("--warm-start", default=None,
+                    help="parquet dir with a previous run's (vid, pr) — seed the "
+                    "iteration for few-superstep re-rank after a graph delta "
+                    "(variants full/delta)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--damping", type=float, default=0.85)
@@ -55,8 +61,14 @@ def main() -> None:
         pagerank, pagerank_cogroup, pagerank_delta,
     )
 
+    pre_partitioned = False
     if args.edges:
         edges = spark.read.parquet(args.edges)
+    elif args.edges_table:
+        from drone_spark.sources.bucketed import read_bucketed_edges
+
+        edges = read_bucketed_edges(spark, args.edges_table)
+        pre_partitioned = True
     else:
         from drone_spark.extraction import edges_from_pages
 
@@ -74,10 +86,20 @@ def main() -> None:
         "delta": pagerank_delta,
         "cogroup": pagerank_cogroup,
     }[args.variant]
+    kwargs = {}
+    if args.variant in ("full", "delta"):
+        kwargs["pre_partitioned"] = pre_partitioned
+    elif pre_partitioned:
+        print("note: --edges-table with cogroup re-partitions by vertex-cut part",
+              file=sys.stderr)
+    if args.warm_start:
+        if args.variant != "full":
+            ap.error("--warm-start requires --variant full")
+        kwargs["warm_start"] = spark.read.parquet(args.warm_start)
     res = fn(
         spark, engine, edges, run_id=args.run_id, tol=args.tol,
         damping=args.damping, max_supersteps=args.max_supersteps,
-        resume=args.resume,
+        resume=args.resume, **kwargs,
     )
     res.state.select("vid", "pr").write.mode("overwrite").parquet(args.out)
     n_edges = edges.count()
