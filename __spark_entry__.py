@@ -642,17 +642,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5"
         ),
-        "cosine_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
-            "FROM embeddings ORDER BY vec_id LIMIT 5), "
-            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-            "list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine "
-            "FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
-            "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
-            "(PARTITION BY query_id ORDER BY ROUND(cosine, 9) DESC, neighbor_id) AS rank "
-            "FROM scored) "
-            "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"
-        ),
+        # same SQL as cosine_topk_ivf's oracle: full-probe IVF is
+        # provably the exhaustive top-k (one shared definition so the
+        # two gates can't desynchronize)
+        "cosine_topk": _cosine_bruteforce_oracle(),
         # money sums are integer cents (see _cents): DuckDB SUM(BIGINT)
         # widens to HUGEINT, so every sum re-CASTs to BIGINT — int64 is
         # the only numeric type that survives fetchall/pandas/arrow

@@ -193,15 +193,28 @@ def _run_labeling(
     num_parts: int | None = None,
     salt_threshold: int = 1024,
     pre_partitioned: bool = False,
+    assume_symmetric: bool = False,
 ) -> RunResult:
-    """``pre_partitioned``: the input is an already-symmetrized edge
-    table hash-distributed on ``src`` (bucketed catalog table,
-    sources/bucketed.py) — skips both the symmetrize union and the
-    per-run full-table shuffle."""
+    """``pre_partitioned``: the input is hash-distributed on ``src``
+    (bucketed catalog table, sources/bucketed.py) — skips the per-run
+    full-table shuffle. Because CC/LP flood labels along *undirected*
+    edges, a pre-partitioned input must ALSO already be symmetric
+    (both (a,b) and (b,a) rows): the symmetrize union would destroy
+    the distribution the flag promises. That is a semantic
+    precondition, not a layout detail — a directed table silently
+    yields wrong components — so it must be asserted separately via
+    ``assume_symmetric=True``; ``pre_partitioned`` alone raises."""
     from ..sources.bucketed import prepare_edges
 
+    if pre_partitioned and not assume_symmetric:
+        raise ValueError(
+            "pre_partitioned CC/LP input must already be symmetric "
+            "(re-symmetrizing would re-shuffle it); pass "
+            "assume_symmetric=True to attest both (a,b) and (b,a) "
+            "rows exist, or drop pre_partitioned"
+        )
     n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = edges if pre_partitioned else _sym_edges(edges)
+    sym = edges if assume_symmetric else _sym_edges(edges)
     cleanup: list[DataFrame] = []
     if backend == "relational":
         sym_r = prepare_edges(sym, n_parts, pre_partitioned=pre_partitioned)

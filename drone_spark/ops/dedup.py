@@ -398,17 +398,26 @@ def dedup_clusters(
 def dedup_clusters_sql(pairs_sql: str, doc_table: str = "documents") -> str:
     """DuckDB oracle twin of :func:`dedup_clusters` over ``pairs_sql``
     (a complete SELECT returning (a, b)) with singleton coverage from
-    ``doc_table`` → (doc_id, canonical)."""
+    ``doc_table`` → (doc_id, canonical).
+
+    The closure walks over ALL pair endpoints — including ids absent
+    from ``doc_table`` — exactly like the Spark side, where such ids
+    participate in the CC (they can connect two in-corpus docs, and
+    the component minimum may itself be an out-of-corpus id); only the
+    *output* restricts to ``doc_table``."""
     return (
         f"WITH RECURSIVE pairs AS ({pairs_sql}), "
         "sym AS (SELECT a AS src, b AS dst FROM pairs "
         "UNION ALL SELECT b, a FROM pairs), "
+        f"univ AS (SELECT doc_id AS id FROM {doc_table} "
+        "UNION SELECT a FROM pairs UNION SELECT b FROM pairs), "
         "walk(id, lab) AS ("
-        f" SELECT doc_id, doc_id FROM {doc_table}"
+        " SELECT id, id FROM univ"
         " UNION"
         " SELECT s.dst, w.lab FROM walk w JOIN sym s ON s.src = w.id"
         " WHERE w.lab < s.dst) "
-        "SELECT id AS doc_id, MIN(lab) AS canonical FROM walk GROUP BY id"
+        "SELECT w.id AS doc_id, MIN(w.lab) AS canonical FROM walk w "
+        f"JOIN {doc_table} d ON d.doc_id = w.id GROUP BY w.id"
     )
 
 

@@ -74,8 +74,37 @@ def prepare_edges(
     input already distributed on ``key`` (a bucketed-table scan, or a
     caller-managed partitioning): no repartition, no sort — just
     persist, which preserves the scan's output partitioning through the
-    InMemoryRelation."""
+    InMemoryRelation.
+
+    A misdeclared ``pre_partitioned`` input is never *wrong* — Catalyst
+    inserts the exchange the join needs — it just silently pays the
+    per-run shuffle the flag claims to skip. The detectable misconfigs
+    (bucketed reading disabled session-wide; shuffle partitions ≠
+    ``n_parts``, which makes the planner shuffle around the buckets)
+    warn here; a bucket-count mismatch is not visible from a DataFrame
+    and stays on the caller (bucket with ``n_buckets`` = the job's
+    ``num_parts``)."""
     if pre_partitioned:
+        import warnings
+
+        spark = edges.sparkSession
+        if spark.conf.get("spark.sql.sources.bucketing.enabled", "true") != "true":
+            warnings.warn(
+                "prepare_edges(pre_partitioned=True) but "
+                "spark.sql.sources.bucketing.enabled is false — bucketed "
+                "scans will not report their distribution and every join "
+                "will re-shuffle the edge table",
+                stacklevel=2,
+            )
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if shuffle_parts != n_parts:
+            warnings.warn(
+                f"prepare_edges(pre_partitioned=True) with num_parts="
+                f"{n_parts} but spark.sql.shuffle.partitions="
+                f"{shuffle_parts}; if the table's bucket count matches "
+                "neither, joins re-shuffle the edge table despite the flag",
+                stacklevel=2,
+            )
         return edges.persist()
     out = edges.repartition(n_parts, key)
     if sort:

@@ -35,7 +35,7 @@ def main() -> None:
     ap.add_argument("--warm-start", default=None,
                     help="parquet dir with a previous run's (vid, pr) — seed the "
                     "iteration for few-superstep re-rank after a graph delta "
-                    "(variants full/delta)")
+                    "(requires --variant full)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--damping", type=float, default=0.85)

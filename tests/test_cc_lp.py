@@ -102,9 +102,20 @@ def test_cc_pre_partitioned_bucketed(spark, engine, small_edges, small_edges_pd,
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     write_bucketed_edges(sym, "cc_edges_b", str(tmp_path / "eb"), n_buckets=n)
     try:
+        import pytest
+
+        with pytest.raises(ValueError, match="symmetric"):
+            # pre_partitioned alone must refuse: symmetry is a semantic
+            # precondition the caller has to attest explicitly
+            connected_components(
+                spark, engine, read_bucketed_edges(spark, "cc_edges_b"),
+                run_id="cc_pp_guard", backend="relational",
+                pre_partitioned=True,
+            )
         res = connected_components(
             spark, engine, read_bucketed_edges(spark, "cc_edges_b"),
             run_id="cc_pp", backend="relational", pre_partitioned=True,
+            assume_symmetric=True,
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS cc_edges_b")

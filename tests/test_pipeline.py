@@ -46,23 +46,10 @@ def test_daily_crawl_warm_start_rerank(spark, engine, tmp_path):
 
         updated = read_bucketed_edges(spark, "pipe_edges")
         # the appended table still satisfies the scatter join's
-        # distribution from the scan: no edge-side exchange (broadcast
-        # off so the tiny test state can't hide the requirement)
-        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
-            st = updated.select(F.col("src").alias("vid")).distinct().select(
-                "vid", F.lit(1.0).alias("w")
-            )
-            j = st.join(updated, st["vid"] == updated["src"])
-            jplan = j._jdf.queryExecution().executedPlan().toString()
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
-        import re
+        # distribution from the scan: no edge-side exchange
+        from tests.plan_utils import scatter_exchanges
 
-        assert "src" not in re.findall(
-            r"Exchange hashpartitioning\(([a-z_]+)#", jplan
-        ), jplan
+        assert "src" not in scatter_exchanges(spark, updated)
 
         warm = pagerank(
             spark, engine, updated, run_id="pipe_day1", tol=1e-6,

@@ -112,29 +112,20 @@ def test_bucketed_edges_skip_edge_shuffle(spark, small_edges, tmp_path):
         read_bucketed_edges, write_bucketed_edges,
     )
 
+    from tests.plan_utils import scatter_exchanges
+
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     write_bucketed_edges(
         small_edges, "edges_bucketed_test", str(tmp_path / "eb"), n_buckets=n
     )
     plain_path = str(tmp_path / "plain")
     small_edges.write.parquet(plain_path)
-
-    def scatter_exchanges(e) -> list[str]:
-        state = e.select(F.col("src").alias("vid")).distinct().select(
-            "vid", F.lit(1.0).alias("w")
-        )
-        j = state.join(e, state["vid"] == e["src"]).groupBy("dst").agg(F.sum("w"))
-        import re
-
-        return re.findall(r"Exchange hashpartitioning\(([a-z_]+)#", _plan(j))
-
-    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        bucketed = scatter_exchanges(read_bucketed_edges(spark, "edges_bucketed_test"))
-        plain = scatter_exchanges(spark.read.parquet(plain_path))
+        bucketed = scatter_exchanges(
+            spark, read_bucketed_edges(spark, "edges_bucketed_test")
+        )
+        plain = scatter_exchanges(spark, spark.read.parquet(plain_path))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")
     assert "src" not in bucketed, bucketed  # edge side: no shuffle
     assert "src" in plain, plain  # the shuffle bucketing removed
