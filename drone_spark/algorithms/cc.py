@@ -206,6 +206,13 @@ def _run_labeling(
     ``assume_symmetric=True``; ``pre_partitioned`` alone raises."""
     from ..sources.bucketed import prepare_edges
 
+    if pre_partitioned and backend != "relational":
+        raise ValueError(
+            "pre_partitioned applies to the relational backend only: "
+            "the subgraph backend re-partitions edges by vertex-cut "
+            "part regardless, so the flag's zero-edge-shuffle promise "
+            "cannot hold there — pass backend='relational'"
+        )
     if pre_partitioned and not assume_symmetric:
         raise ValueError(
             "pre_partitioned CC/LP input must already be symmetric "

@@ -286,7 +286,7 @@ def pagerank_cogroup(
     # The column is renamed (not just aliased) so the cogroup of
     # routed-state with edges_p isn't an ambiguous self-join — cogroup
     # matches grouping keys positionally, names need not agree.
-    routes = pg.out_routes().toDF("vid", "rpart").persist()
+    routes = pg.out_routes(edges_p).toDF("vid", "rpart").persist()
     routes.count()
 
     def init() -> DataFrame:

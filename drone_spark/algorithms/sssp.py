@@ -98,9 +98,15 @@ def sssp(
 
     ``pre_partitioned``: input already hash-distributed on ``src``
     (bucketed catalog table, sources/bucketed.py) — skips the per-run
-    edge shuffle."""
+    edge shuffle. Relational backend only: the subgraph backend
+    re-partitions by vertex-cut part regardless."""
     from ..sources.bucketed import prepare_edges
 
+    if pre_partitioned and backend != "relational":
+        raise ValueError(
+            "pre_partitioned applies to the relational backend only: "
+            "the subgraph backend re-partitions edges by vertex-cut part"
+        )
     n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
     weighted = "weight" in edges.columns
     cols = ["src", "dst"] + (["weight"] if weighted else [])

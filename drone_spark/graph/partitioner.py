@@ -56,10 +56,12 @@ class PartitionedGraph:
     degrees: DataFrame
     num_parts: int
 
-    def out_routes(self) -> DataFrame:
-        return (
-            self.edges.select(F.col("src").alias("vid"), "part").distinct()
-        )
+    def out_routes(self, edges: DataFrame | None = None) -> DataFrame:
+        """(vid, part) — pass the *persisted* partitioned edge table to
+        derive from the cache instead of re-running the placement
+        lineage (same reasoning as :meth:`presence_routes`)."""
+        e = edges if edges is not None else self.edges
+        return e.select(F.col("src").alias("vid"), "part").distinct()
 
     def presence_routes(self, edges: DataFrame | None = None) -> DataFrame:
         """(vid, part) — partitions holding ANY edge incident to vid (the

@@ -358,10 +358,11 @@ def dedup_clusters(
     docs: DataFrame | None = None,
     doc_id_col: str = "doc_id",
     run_id: str = "dedup_clusters",
+    max_supersteps: int = 100,
 ) -> DataFrame:
     """(doc_id, canonical) — the transitive closure of a near-dup pair
-    relation: connected components over the pair graph, canonical = min
-    doc_id per component. This is the *retention decision* a
+    relation: connected components over the pair graph, one canonical
+    representative per component. This is the *retention decision* a
     training-data pipeline actually needs: near-dup similarity is not
     transitive (a~b, b~c does not imply a~c above threshold), so
     keeping "one doc per pair" under- or over-deletes; keeping one doc
@@ -370,29 +371,47 @@ def dedup_clusters(
     frontier-routed), so the closure scales like any other graph job
     instead of a driver-side union-find.
 
-    ``docs``: pass the full corpus to also map never-paired docs to
-    themselves (singleton clusters); without it only paired docs
-    appear. Dedup = keep rows where doc_id == canonical."""
+    ``docs``: pass the full corpus to (a) map never-paired docs to
+    themselves (singleton clusters) and (b) pick the canonical as the
+    min IN-CORPUS doc of each component — pair endpoints outside the
+    corpus may bridge components but can never be the retained
+    representative, so "keep rows where doc_id == canonical" always
+    keeps exactly one in-corpus doc per component. Without ``docs``,
+    only paired endpoints appear and canonical = component min.
+
+    Raises if the closure doesn't converge within ``max_supersteps``
+    (a component diameter beyond it would silently split clusters)."""
     from ..algorithms.cc import connected_components
 
     a, b = pairs.columns[0], pairs.columns[1]
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     res = connected_components(
-        spark, engine, edges, run_id=run_id, backend="relational"
+        spark, engine, edges, run_id=run_id, backend="relational",
+        max_supersteps=max_supersteps,
     )
-    clusters = res.state.select(
-        F.col("vid").alias(doc_id_col), F.col("label").alias("canonical")
-    )
-    if docs is not None:
-        clusters = (
-            docs.select(doc_id_col)
-            .join(clusters, doc_id_col, "left")
-            .select(
-                doc_id_col,
-                F.coalesce("canonical", F.col(doc_id_col)).alias("canonical"),
-            )
+    if not res.converged:
+        raise RuntimeError(
+            f"dedup closure did not converge within {max_supersteps} "
+            "supersteps (a pair-graph component has a larger diameter); "
+            "an incomplete closure would silently split clusters — "
+            "raise max_supersteps"
         )
-    return clusters
+    comp = res.state.select(
+        F.col("vid").alias(doc_id_col), F.col("label").alias("comp")
+    )
+    if docs is None:
+        return comp.select(doc_id_col, F.col("comp").alias("canonical"))
+    in_corpus = docs.select(doc_id_col).join(comp, doc_id_col)
+    canon = in_corpus.groupBy("comp").agg(F.min(doc_id_col).alias("canonical"))
+    clustered = in_corpus.join(canon, "comp").select(doc_id_col, "canonical")
+    return (
+        docs.select(doc_id_col)
+        .join(clustered, doc_id_col, "left")
+        .select(
+            doc_id_col,
+            F.coalesce("canonical", F.col(doc_id_col)).alias("canonical"),
+        )
+    )
 
 
 def dedup_clusters_sql(pairs_sql: str, doc_table: str = "documents") -> str:
@@ -402,9 +421,10 @@ def dedup_clusters_sql(pairs_sql: str, doc_table: str = "documents") -> str:
 
     The closure walks over ALL pair endpoints — including ids absent
     from ``doc_table`` — exactly like the Spark side, where such ids
-    participate in the CC (they can connect two in-corpus docs, and
-    the component minimum may itself be an out-of-corpus id); only the
-    *output* restricts to ``doc_table``."""
+    participate in the CC (they can connect two in-corpus docs) but
+    can never be the canonical: the representative is the min
+    IN-CORPUS doc of each component, and only in-corpus docs appear in
+    the output."""
     return (
         f"WITH RECURSIVE pairs AS ({pairs_sql}), "
         "sym AS (SELECT a AS src, b AS dst FROM pairs "
@@ -415,9 +435,14 @@ def dedup_clusters_sql(pairs_sql: str, doc_table: str = "documents") -> str:
         " SELECT id, id FROM univ"
         " UNION"
         " SELECT s.dst, w.lab FROM walk w JOIN sym s ON s.src = w.id"
-        " WHERE w.lab < s.dst) "
-        "SELECT w.id AS doc_id, MIN(w.lab) AS canonical FROM walk w "
-        f"JOIN {doc_table} d ON d.doc_id = w.id GROUP BY w.id"
+        " WHERE w.lab < s.dst), "
+        "comp AS (SELECT id, MIN(lab) AS comp FROM walk GROUP BY id), "
+        f"incorp AS (SELECT d.doc_id, c.comp FROM {doc_table} d "
+        "JOIN comp c ON c.id = d.doc_id), "
+        "canon AS (SELECT comp, MIN(doc_id) AS canonical FROM incorp "
+        "GROUP BY comp) "
+        "SELECT i.doc_id, n.canonical FROM incorp i "
+        "JOIN canon n ON n.comp = i.comp"
     )
 
 
@@ -540,12 +565,13 @@ def _sql_shingles(doc_table: str, n: int = 3) -> str:
     """CTE chain producing (doc_id, shingle) — textual twin of
     :func:`shingles` plus the zero-shingle sentinel '' row used by
     :func:`minhash_signatures`."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
     return (
         f"norm AS (SELECT doc_id, {_SQL_NORM} AS nt FROM {doc_table}), "
         "toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm), "
         "idx AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks), "
         "grams AS (SELECT DISTINCT doc_id, shingle FROM ("
-        f"  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle"
+        f"  SELECT doc_id, {gram} AS shingle"
         f"  FROM idx WHERE len(t) >= {n} AND i <= len(t) - {n - 1}"
         "  UNION ALL"
         f"  SELECT doc_id, array_to_string(t, ' ') AS shingle FROM toks WHERE len(t) < {n}"

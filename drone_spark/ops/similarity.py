@@ -58,7 +58,10 @@ def cosine_topk_bruteforce(
     # rank on the cosine quantized to 1e-9: engines summing in different
     # orders disagree at ~1e-16, so near-ties would otherwise order
     # differently across harnesses; quantizing makes them exact ties,
-    # deterministically broken by neighbor id (ADVICE r1)
+    # deterministically broken by neighbor id (ADVICE r1). Residual
+    # risk: a true value within ~1e-16 of a 0.5e-9 rounding boundary
+    # can still land in different buckets per engine — probability
+    # ~1e-7 per scored pair, not zero.
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc(F.round("cosine", 9)), F.asc("neighbor_id")
     )

@@ -211,15 +211,18 @@ def test_dedup_clusters_transitive_closure(spark, engine):
 def test_dedup_clusters_sql_matches_spark_with_external_endpoints(spark, engine):
     """Pairs may reference ids outside the doc universe (e.g. a pair
     table built over a superset corpus): such ids participate in the
-    closure — they can bridge two in-corpus docs and may even BE the
-    component minimum — but only in-corpus docs appear in the output.
-    Spark op and DuckDB oracle must agree on all of it."""
+    closure — they can bridge two in-corpus docs — but the canonical is
+    always the min IN-CORPUS doc (an external canonical would make
+    'keep doc_id == canonical' delete a whole component), and only
+    in-corpus docs appear in the output. Spark op and DuckDB oracle
+    must agree on all of it."""
     import duckdb
     import pandas as pd
 
     from drone_spark.ops.dedup import dedup_clusters, dedup_clusters_sql
 
-    # 77 bridges 10 and 20; 5 is an external minimum; 99 is a singleton
+    # 77 bridges 10 and 20; 5 is an external raw minimum (must NOT
+    # become canonical); 99 is a singleton
     pair_rows = [(10, 77), (77, 20), (10, 5), (50, 60)]
     doc_ids = [10, 20, 50, 60, 99]
     pairs = spark.createDataFrame(pair_rows, "a long, b long")
@@ -228,7 +231,7 @@ def test_dedup_clusters_sql_matches_spark_with_external_endpoints(spark, engine)
         r["doc_id"]: r["canonical"]
         for r in dedup_clusters(spark, engine, pairs, docs=docs).collect()
     }
-    assert got == {10: 5, 20: 5, 50: 50, 60: 50, 99: 99}
+    assert got == {10: 10, 20: 10, 50: 50, 60: 50, 99: 99}
 
     con = duckdb.connect()
     con.register("documents_df", pd.DataFrame({"doc_id": doc_ids}))

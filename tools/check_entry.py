@@ -97,7 +97,9 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
+            # persist: the dtype-kind check re-reads via toPandas —
+            # without the cache that re-executes the whole pipeline
+            sdf = fn(spark, sf_dir).persist()
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
@@ -109,20 +111,27 @@ def main():
             print(f"{name:24s} rows-only: {len(srows)} rows, {t_spark:.1f}s (no oracle)")
             if len(srows) == 0 and name != "simhash_dedup":
                 print(f"  WARNING: 0 rows")
+            sdf.unpersist()
             continue
         try:
-            res = con.execute(oracles[name])
+            # materialize the oracle once — the dtype-kind check below
+            # re-reads it as a DataFrame; recursive-CTE oracles are too
+            # expensive to run twice
+            con.execute("CREATE OR REPLACE TEMP TABLE _oracle AS " + oracles[name])
+            res = con.execute("SELECT * FROM _oracle")
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:
             print(f"{name:24s} DUCKDB-ERROR {type(e).__name__}: {str(e)[:160]}")
             failures.append(name)
+            sdf.unpersist()
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
         tmis = type_mismatches(srows, scols, drows, dcols)
-        kmis = pandas_kind_mismatches(sdf, con, oracles[name])
+        kmis = pandas_kind_mismatches(sdf, con, "SELECT * FROM _oracle")
+        sdf.unpersist()
         ok_types = not tmis and not kmis
         status = "OK" if (ok_cols and ok_count and ok_hash and ok_types) else "MISMATCH"
         print(
