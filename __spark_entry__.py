@@ -271,6 +271,12 @@ def q_lang_id(spark, sf_dir):
     return lang_id(_read(spark, sf_dir, "documents"))
 
 
+def q_vocab_topk(spark, sf_dir):
+    from drone_spark.ops.textstats import vocab_topk
+
+    return vocab_topk(_read(spark, sf_dir, "documents"), k=100)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from drone_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -519,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
@@ -678,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
+        "vocab_topk": _vocab_topk_oracle(),
         "lang_id": _lang_id_oracle(),
         "embedding_near_dups_exact": _embedding_exact_oracle(),
         "minhash_dedup": _minhash_oracle(),
@@ -723,6 +731,12 @@ def _cosine_bruteforce_oracle() -> str:
         "FROM scored) "
         "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"
     )
+
+
+def _vocab_topk_oracle() -> str:
+    from drone_spark.ops.textstats import vocab_topk_sql
+
+    return vocab_topk_sql(k=100)
 
 
 def _lang_id_oracle() -> str:

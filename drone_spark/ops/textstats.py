@@ -150,3 +150,44 @@ def lang_id_sql(doc_table: str = "documents", norm_sql: str | None = None) -> st
         "scored AS (SELECT doc_id, " + ", ".join(score_exprs) + " FROM norm) "
         f"SELECT doc_id, {case} AS lang_pred FROM scored"
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace
+    tokens → (token, n, rank). The frequency histogram every curation
+    pipeline builds (stopword discovery, boilerplate detection,
+    tokenizer-vocab seeding). Pure JVM: explode → groupBy token →
+    count, with Catalyst's partial aggregation doing the map-side
+    combine, so the shuffle carries one row per distinct token per map
+    partition — not one per occurrence. The top-k itself is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows), NOT a global sort of the vocabulary;
+    the rank window then runs over ≤k rows. Ties rank
+    deterministically by token (DuckDB twin: vocab_topk_sql)."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split(norm_text(text_col), " ")).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n", "rank"
+    )
+
+
+def vocab_topk_sql(k: int = 100, doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`vocab_topk`."""
+    return (
+        "WITH norm AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+        f" AS nt FROM {doc_table}), "
+        "toks AS (SELECT UNNEST(string_split(nt, ' ')) AS token FROM norm), "
+        "counts AS (SELECT token, COUNT(*) AS n FROM toks "
+        "WHERE length(token) > 0 GROUP BY token), "
+        "ranked AS (SELECT token, n, ROW_NUMBER() OVER "
+        "(ORDER BY n DESC, token) AS rank FROM counts) "
+        f"SELECT token, n, rank FROM ranked WHERE rank <= {k}"
+    )

@@ -68,3 +68,21 @@ def test_lang_id_on_clear_text(spark):
     )
     got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
     assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_vocab_topk_matches_python_and_plan(spark, docs):
+    """Top-k vocabulary matches a pure-Python counter, and the plan
+    uses distributed TakeOrdered top-k, not a global vocabulary sort."""
+    from collections import Counter
+
+    from drone_spark.ops.textstats import vocab_topk
+
+    got = vocab_topk(docs, k=20).collect()
+    pdf = docs.toPandas()
+    c = Counter()
+    for t in pdf["text"]:
+        c.update(w for w in " ".join(t.lower().strip().split()).split(" ") if w)
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["token"], r["n"]) for r in sorted(got, key=lambda r: r["rank"])] == exp
+    plan = vocab_topk(docs, k=20)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
