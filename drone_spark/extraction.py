@@ -54,6 +54,13 @@ def extract_pages(pages: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     (appended after the extracted columns) — the streaming ingestion
     path carries ``warc_ts`` through so the edge stream can
     watermark-dedup on crawl time (streaming/ingest.py)."""
+    clash = set(carry) & {"url", "text", "out_links"}
+    if clash:
+        raise ValueError(
+            f"carry columns {sorted(clash)} collide with the extracted "
+            "output columns (url, text, out_links) — carrying them "
+            "would silently overwrite the extraction result"
+        )
     carry_schema = "".join(
         f", {name} {pages.schema[name].dataType.simpleString()}" for name in carry
     )

@@ -357,6 +357,8 @@ def dedup_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,
     doc_id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
     run_id: str = "dedup_clusters",
     max_supersteps: int = 100,
 ) -> DataFrame:
@@ -383,8 +385,15 @@ def dedup_clusters(
     (a component diameter beyond it would silently split clusters)."""
     from ..algorithms.cc import connected_components
 
-    a, b = pairs.columns[0], pairs.columns[1]
-    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    missing = {a_col, b_col} - set(pairs.columns)
+    if missing:
+        raise ValueError(
+            f"pairs is missing endpoint column(s) {sorted(missing)} "
+            f"(has {pairs.columns}); pass a_col/b_col naming the two "
+            "doc-id endpoints — guessing by position would cluster on "
+            "the wrong values"
+        )
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     res = connected_components(
         spark, engine, edges, run_id=run_id, backend="relational",
         max_supersteps=max_supersteps,
@@ -554,7 +563,7 @@ def embedding_near_dups_md5_sql(
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (md5-variant operators above)
 # ---------------------------------------------------------------------------
-_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+from .textstats import NORM_SQL as _SQL_NORM  # single normalizer source
 
 
 def _sql_hash60(expr: str) -> str:

@@ -22,6 +22,12 @@ def norm_text(col) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+# DuckDB twin of norm_text — the ONE oracle-side normalizer string;
+# every generated oracle (lang_id, vocab_topk, dedup._SQL_NORM) must
+# reference this so Spark/SQL normalizer parity has a single source.
+NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
 def token_count(col) -> Column:
     """Whitespace token count (0 for empty/blank text)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -133,7 +139,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id_sql(doc_table: str = "documents", norm_sql: str | None = None) -> str:
     """DuckDB mirror of :func:`lang_id` (textual twin of the Spark plan)."""
-    norm = norm_sql or "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    norm = norm_sql or NORM_SQL
     score_exprs = []
     for lang, markers in _LANG_MARKERS.items():
         lst = ", ".join(f"'{m}'" for m in markers)
@@ -182,8 +188,7 @@ def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFra
 def vocab_topk_sql(k: int = 100, doc_table: str = "documents") -> str:
     """DuckDB twin of :func:`vocab_topk`."""
     return (
-        "WITH norm AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-        f" AS nt FROM {doc_table}), "
+        f"WITH norm AS (SELECT {NORM_SQL} AS nt FROM {doc_table}), "
         "toks AS (SELECT UNNEST(string_split(nt, ' ')) AS token FROM norm), "
         "counts AS (SELECT token, COUNT(*) AS n FROM toks "
         "WHERE length(token) > 0 GROUP BY token), "

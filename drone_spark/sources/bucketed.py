@@ -44,9 +44,16 @@ def write_bucketed_edges(
     key: str = "src",
 ) -> None:
     """Persist ``edges`` as an external table bucketed (and sorted)
-    by ``key`` — the once-per-corpus placement step."""
+    by ``key`` — the once-per-corpus placement step.
+
+    The repartition on the bucket key makes each writer task own whole
+    buckets, so every bucket lands as ONE file globally sorted on
+    ``key`` — without it each upstream task emits a file per bucket it
+    touches (tasks×buckets small files) and the per-bucket ``sortBy``
+    holds only within each fragment, not the bucket."""
     (
-        edges.write.bucketBy(n_buckets, key)
+        edges.repartition(n_buckets, key)
+        .write.bucketBy(n_buckets, key)
         .sortBy(key)
         .option("path", path)
         .mode("overwrite")
@@ -74,7 +81,12 @@ def prepare_edges(
     input already distributed on ``key`` (a bucketed-table scan, or a
     caller-managed partitioning): no repartition, no sort — just
     persist, which preserves the scan's output partitioning through the
-    InMemoryRelation.
+    InMemoryRelation. ``sort`` is likewise the storage's job on that
+    path: tables written by :func:`write_bucketed_edges` are one
+    globally-sorted file per bucket, so the sorted-partition property
+    some algorithms request (``pagerank_delta``) comes from the scan;
+    for caller-managed inputs, sortedness is part of the caller's
+    pre_partitioned contract.
 
     A misdeclared ``pre_partitioned`` input is never *wrong* — Catalyst
     inserts the exchange the join needs — it just silently pays the

@@ -105,6 +105,10 @@ def main():
         except Exception as e:
             print(f"{name:24s} SPARK-ERROR {type(e).__name__}: {str(e)[:160]}")
             failures.append(name)
+            try:  # don't leak partial cache blocks into later queries
+                sdf.unpersist()
+            except Exception:
+                pass
             continue
         t_spark = time.time() - t0
         if name not in oracles:
