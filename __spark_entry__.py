@@ -280,8 +280,10 @@ def q_vocab_topk(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     from drone_spark.ops.dedup import ngram_jaccard_pairs
 
+    # max_doc_freq=None: the oracle replays exact all-shingles semantics
+    # (the production default is a hot-shingle cap; see dedup.py)
     return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), threshold=0.5
+        _read(spark, sf_dir, "documents"), threshold=0.5, max_doc_freq=None
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -268,6 +268,8 @@ def pagerank_cogroup(
     resume: bool = False,
     num_parts: int | None = None,
     salt_threshold: int = 1024,
+    pre_partitioned: bool = False,
+    warm_start: DataFrame | None = None,
 ) -> RunResult:
     """Subgraph-centric PageRank — the north-star execution shape.
 
@@ -284,32 +286,66 @@ def pagerank_cogroup(
     tolerance); which backend wins depends on the partition-local edge
     density — at web scale the cogroup kernel trades one shuffle of the
     rank table for executing the scatter entirely inside Arrow batches.
+
+    ``pre_partitioned``: the input already carries the vertex-cut
+    ``part`` column and is hash-distributed on it (a table written by
+    sources/bucketed.write_vertexcut_edges, or a caller-managed layout)
+    — skips both the one-time partitioner job and the per-run edge
+    shuffle, the cogroup analogue of the relational backend's flag.
+
+    ``warm_start``: seed ``pr`` from a previous run's result state —
+    same cross-run incremental re-rank semantics as :func:`pagerank`
+    (the fixpoint is init-independent; a small graph delta converges in
+    a handful of supersteps).
     """
     n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
     from ..graph.partitioner import partition_graph
 
-    pg = partition_graph(edges.select("src", "dst"), n_parts, salt_threshold)
-    edges_p = pg.edges.repartition(n_parts, "part").persist()
+    if pre_partitioned:
+        if "part" not in edges.columns:
+            raise ValueError(
+                "pagerank_cogroup(pre_partitioned=True) needs edges with "
+                "a vertex-cut 'part' column (write them with "
+                "sources/bucketed.write_vertexcut_edges); a src-bucketed "
+                "table is NOT part-distributed — pass the partitioned "
+                "table or drop the flag"
+            )
+        edges_p = edges.select("src", "dst", "part").persist()
+    else:
+        pg = partition_graph(edges.select("src", "dst"), n_parts, salt_threshold)
+        edges_p = pg.edges.repartition(n_parts, "part").persist()
     n_edges = edges_p.count()
-    # (vid, rpart) routing table from the partitioner: every partition
-    # where vid has out-edges (PartitionedGraph.out_routes — the
-    # master→mirror scatter route, a projection of the replicas table).
-    # The column is renamed (not just aliased) so the cogroup of
-    # routed-state with edges_p isn't an ambiguous self-join — cogroup
-    # matches grouping keys positionally, names need not agree.
-    routes = pg.out_routes(edges_p).toDF("vid", "rpart").persist()
+    # (vid, rpart) routing table: every partition where vid has
+    # out-edges (PartitionedGraph.out_routes — the master→mirror scatter
+    # route, a projection of the replicas table) — derived from the
+    # persisted edge table so it works for both input paths. The column
+    # is renamed (not just aliased) so the cogroup of routed-state with
+    # edges_p isn't an ambiguous self-join — cogroup matches grouping
+    # keys positionally, names need not agree.
+    routes = (
+        edges_p.select(F.col("src").alias("vid"), "part").distinct()
+        .toDF("vid", "rpart").persist()
+    )
     routes.count()
 
     def init() -> DataFrame:
-        return (
-            vertices(edges_p)
+        base = (
+            vertices(edges_p.select("src", "dst"))
             .join(out_degrees(edges_p.select("src", "dst")), "id", "left")
-            .select(
-                F.col("id").alias("vid"),
-                F.lit(1.0).alias("pr"),
-                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
-                F.lit(1.0).alias("delta"),
+        )
+        if warm_start is not None:
+            base = base.join(
+                warm_start.select(F.col("vid").alias("id"), F.col("pr").alias("pr0")),
+                "id", "left",
             )
+            pr0 = F.coalesce("pr0", F.lit(1.0))
+        else:
+            pr0 = F.lit(1.0)
+        return base.select(
+            F.col("id").alias("vid"),
+            pr0.alias("pr"),
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.lit(1.0).alias("delta"),
         )
 
     def kernel(key, states: pd.DataFrame, part_edges: pd.DataFrame) -> pd.DataFrame:

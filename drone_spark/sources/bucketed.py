@@ -61,6 +61,34 @@ def write_bucketed_edges(
     )
 
 
+def write_vertexcut_edges(
+    edges: DataFrame,
+    name: str,
+    path: str,
+    n_parts: int,
+    salt_threshold: int = 1024,
+) -> None:
+    """Persist ``edges`` vertex-cut partitioned (graph/partitioner.py)
+    as a table bucketed by the ``part`` column — the once-per-corpus
+    placement step for the cogroup (subgraph-centric) backends, the
+    direct analogue of the reference's pre-placed ``G.<i>`` worker
+    files (graph.go:341-441). A scan of this table feeds
+    ``pagerank_cogroup(pre_partitioned=True)`` with zero per-run
+    partitioner job and zero edge shuffle; within each bucket rows are
+    sorted by ``src`` for scan locality."""
+    from ..graph.partitioner import partition_graph
+
+    pg = partition_graph(edges.select("src", "dst"), n_parts, salt_threshold)
+    (
+        pg.edges.repartition(n_parts, "part")
+        .write.bucketBy(n_parts, "part")
+        .sortBy("src")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+
+
 def read_bucketed_edges(spark: SparkSession, name: str) -> DataFrame:
     """Scan the bucketed table — the scan's output partitioning carries
     the bucket spec, so downstream key-joins skip the edge exchange."""
@@ -100,6 +128,15 @@ def prepare_edges(
         import warnings
 
         spark = edges.sparkSession
+        if sort:
+            warnings.warn(
+                "prepare_edges(pre_partitioned=True, sort=True): sortedness "
+                "is the storage's contract on this path — tables from "
+                "write_bucketed_edges are already one sorted file per "
+                "bucket, but a caller-managed pre-partitioned input must "
+                "arrive sorted itself; no sortWithinPartitions is applied",
+                stacklevel=2,
+            )
         if spark.conf.get("spark.sql.sources.bucketing.enabled", "true") != "true":
             warnings.warn(
                 "prepare_edges(pre_partitioned=True) but "
