@@ -57,7 +57,10 @@ SCALING_VERTICES = int(os.environ.get("SPARK_GRAFT_SCALING_VERTICES", "2000000")
 SCALING_STEPS = int(os.environ.get("SPARK_GRAFT_SCALING_STEPS", "3"))
 
 
-def _pagerank_job(source: str, cores: int, max_supersteps: int = 0) -> dict:
+def _pagerank_job(
+    source: str, cores: int, max_supersteps: int = 0,
+    backend: str = "relational",
+) -> dict:
     """Self-contained PageRank run; returns timing facts.
 
     ``source``: ``corpus:<n_pages>`` — the north-rule input: link graph
@@ -66,16 +69,21 @@ def _pagerank_job(source: str, cores: int, max_supersteps: int = 0) -> dict:
     ``bipartite:<sf_dir>`` for the TPC-derived graph.
     ``max_supersteps``: 0 = run to 1e-6 convergence; >0 = fixed superstep
     count (used by the scaling probe so both parallelism levels do
-    identical work). Importable by the scaling subprocess
-    (python bench.py --pagerank-only <cores> <source> [steps]).
+    identical work). ``backend``: "relational" (join-based superstep) or
+    "cogroup" (vertex-cut numpy-CSR kernel — the compute-dominated
+    shape the cogroup scaling pair measures). Importable by the scaling
+    subprocess (python bench.py --pagerank-only <cores> <source>
+    [steps] [backend]).
     """
     from drone_spark.catalog import Catalog
     from drone_spark.engine.superstep import SuperstepEngine
     from drone_spark.session import get_spark
-    from drone_spark.algorithms.pagerank import pagerank
+    from drone_spark.algorithms.pagerank import pagerank, pagerank_cogroup
 
     spark = get_spark(f"bench-pr-{cores}", cores=cores, shuffle_partitions=cores)
     pre_partitioned = False
+    cleanup_dirs: list[str] = []
+    drop_tables: list[str] = []
     if source.startswith("corpus:"):
         from drone_spark.corpus import generate_pages
         from drone_spark.extraction import edges_from_pages
@@ -91,10 +99,13 @@ def _pagerank_job(source: str, cores: int, max_supersteps: int = 0) -> dict:
         # graph.go:341-441). Timed region = edge scan + cache + degrees
         # + init + all supersteps.
         pages = generate_pages(spark, int(source.split(":")[1]), seed=42)
+        eb_dir = tempfile.mkdtemp(prefix="bench_pr_eb_")
+        cleanup_dirs.append(eb_dir)
+        drop_tables.append("bench_pr_edges")
         write_bucketed_edges(
             edges_from_pages(pages).select("src", "dst"),
             "bench_pr_edges",
-            tempfile.mkdtemp(prefix="bench_pr_eb_") + "/edges",
+            eb_dir + "/edges",
             n_buckets=cores,
         )
         edges = read_bucketed_edges(spark, "bench_pr_edges")
@@ -111,23 +122,38 @@ def _pagerank_job(source: str, cores: int, max_supersteps: int = 0) -> dict:
     # between — the per-superstep fixed cost is then one Spark job
     # (state materialization with observed metrics). Resume tests pin
     # checkpoint_every=1 separately.
+    cat_dir = tempfile.mkdtemp(prefix="bench_pr_")
+    cleanup_dirs.append(cat_dir)
     eng = SuperstepEngine(
-        spark, Catalog(tempfile.mkdtemp(prefix="bench_pr_")), num_parts=cores,
+        spark, Catalog(cat_dir), num_parts=cores,
         checkpoint_every=int(os.environ.get("SPARK_GRAFT_PR_CHECKPOINT_EVERY", "8")),
     )
     t0 = time.monotonic()
-    res = pagerank(
+    runner = pagerank_cogroup if backend == "cogroup" else pagerank
+    kwargs = {} if backend == "cogroup" else {"pre_partitioned": pre_partitioned}
+    res = runner(
         spark, eng, edges, run_id="bench_pr",
         tol=0.0 if max_supersteps else 1e-6,
         max_supersteps=max_supersteps or 200,
-        pre_partitioned=pre_partitioned,
+        **kwargs,
     )
     wall = time.monotonic() - t0
+    # metastore entries + temp data must not outlive the run (ADVICE r2)
+    for t in drop_tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.stop()
+    import shutil
+
+    for d in cleanup_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     # res.seconds = iteration time only (starts after the superstep-0
-    # init commit; edge cache is already hot) — the throughput basis for
-    # edges/sec and the scaling ratio. ``seconds`` keeps the full wall
+    # init commit; edge cache is already hot) — the single throughput
+    # basis for edges/sec and the scaling ratio (one definition; r1's
+    # full-wall basis is retired). ``seconds`` keeps the full wall
     # including graph load + init for the supersteps/hour headline.
+    # Two teps numerators, both reported (VERDICT r2 next #2):
+    # static |E|·supersteps vs the engine's real accumulated traversal
+    # counters (equal for full PR, which has no frontier).
     return {
         "seconds": wall,
         "iter_seconds": res.seconds,
@@ -135,7 +161,10 @@ def _pagerank_job(source: str, cores: int, max_supersteps: int = 0) -> dict:
         "converged": res.converged,
         "n_edges": n_edges,
         "edges_per_sec": n_edges * res.supersteps / res.seconds,
+        "edges_traversed": res.edges_traversed_total,
+        "traversed_edges_per_sec": res.edges_traversed_total / res.seconds,
         "supersteps_per_hour": res.supersteps / wall * 3600,
+        "backend": backend,
     }
 
 
@@ -191,6 +220,11 @@ def main() -> None:
     scaling_edges_dir = None
     timings["pagerank_1e6"] = round(pr.pop("seconds"), 2)
     extras["pagerank"] = {k: round(v, 2) if isinstance(v, float) else v for k, v in pr.items()}
+    # definition marker (ADVICE r2): pin what the timed region covers so
+    # cross-round JSON comparisons can't silently conflate definitions
+    extras["pagerank"]["input"] = "bucketed_table"
+    extras["pagerank"]["timed_region"] = "edge_scan+degrees+init+supersteps"
+    extras["pagerank"]["edges_per_sec_basis"] = "iter_seconds"
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
 
@@ -234,6 +268,13 @@ def main() -> None:
         r = pagerank_delta(spark, eng, corpus_edges, run_id="bench_prd", tol=1e-6)
         delta_res["supersteps"] = r.supersteps
         delta_res["converged"] = r.converged
+        # real frontier traversal (engine counters) vs the static
+        # supersteps×|E| upper bound — the frontier payoff quantified
+        n_e = corpus_edges.count()
+        delta_res["edges_traversed"] = r.edges_traversed_total
+        delta_res["traversed_vs_static"] = round(
+            r.edges_traversed_total / max(n_e * r.supersteps, 1), 3
+        )
     timed("pagerank_delta_1e6", run_delta)
     extras["pagerank_delta"] = delta_res
 
@@ -261,20 +302,27 @@ def main() -> None:
     )
 
     bdir = tempfile.mkdtemp(prefix="bench_bucketed_")
-    t0 = time.monotonic()
-    write_bucketed_edges(corpus_edges, "bench_edges_b", bdir + "/eb", n_buckets=CPUS)
-    t_write = time.monotonic() - t0
-    probes = {}
-    for name, (e, pp) in {
-        "plain_s": (corpus_edges, False),
-        "bucketed_s": (read_bucketed_edges(spark, "bench_edges_b"), True),
-    }.items():
+    try:
         t0 = time.monotonic()
-        pagerank(spark, eng, e, run_id=f"bench_bp_{name}", tol=0.0,
-                 max_supersteps=3, pre_partitioned=pp)
-        probes[name] = round(time.monotonic() - t0, 2)
-    probes["bucket_write_s"] = round(t_write, 2)
-    extras["bucketed_probe"] = probes
+        write_bucketed_edges(corpus_edges, "bench_edges_b", bdir + "/eb", n_buckets=CPUS)
+        t_write = time.monotonic() - t0
+        probes = {}
+        for name, (e, pp) in {
+            "plain_s": (corpus_edges, False),
+            "bucketed_s": (read_bucketed_edges(spark, "bench_edges_b"), True),
+        }.items():
+            t0 = time.monotonic()
+            pagerank(spark, eng, e, run_id=f"bench_bp_{name}", tol=0.0,
+                     max_supersteps=3, pre_partitioned=pp)
+            probes[name] = round(time.monotonic() - t0, 2)
+        probes["bucket_write_s"] = round(t_write, 2)
+        extras["bucketed_probe"] = probes
+    finally:
+        # don't leave metastore entries pointing at dead temp paths
+        spark.sql("DROP TABLE IF EXISTS bench_edges_b")
+        import shutil
+
+        shutil.rmtree(bdir, ignore_errors=True)
 
     # pre-materialize the scaling-probe edge table once (both
     # parallelism levels then read identical parquet — the probe times
@@ -325,45 +373,64 @@ def main() -> None:
         # being throttled hard (shared VM) so the whole bench stays bounded
         budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_S", "900"))
         probe_t0 = time.monotonic()
-        levels: dict[int, dict] = {}
         probe_env = dict(os.environ)
-        # the probe measures iteration scaling: snapshot only at the end
-        # (in-memory lineage truncation between), so per-superstep parquet
-        # commits don't flatten the parallel fraction
-        probe_env["SPARK_GRAFT_PR_CHECKPOINT_EVERY"] = str(SCALING_STEPS + 1)
+
+        def probe_run(cores: int, steps: int, backend: str) -> dict:
+            # the probe measures iteration scaling: snapshot only at the
+            # end (in-memory lineage truncation between), so per-superstep
+            # parquet commits don't flatten the parallel fraction
+            probe_env["SPARK_GRAFT_PR_CHECKPOINT_EVERY"] = str(steps + 1)
+            out = subprocess.run(
+                [sys.executable, __file__, "--pagerank-only", str(cores),
+                 scaling_src, str(steps), backend],
+                capture_output=True, text=True, timeout=3600, env=probe_env,
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        levels: dict[int, dict] = {}
         for rep in range(repeats):
             if rep > 0 and time.monotonic() - probe_t0 > budget_s:
                 break
             for c in level_set:
-                out = subprocess.run(
-                    [sys.executable, __file__, "--pagerank-only", str(c),
-                     scaling_src, str(SCALING_STEPS)],
-                    capture_output=True, text=True, timeout=3600, env=probe_env,
-                )
-                run = json.loads(out.stdout.strip().splitlines()[-1])
+                run = probe_run(c, SCALING_STEPS, "relational")
                 if c not in levels or run["iter_seconds"] < levels[c]["iter_seconds"]:
                     levels[c] = run
 
+        # cogroup-backend pair (VERDICT r2 next #7): the numpy-CSR
+        # kernel is CPU-bound, not shuffle/bandwidth-bound — the shape
+        # with the best chance of demonstrating in-VM core scaling.
+        # More fixed supersteps amortize per-superstep overhead.
+        cg_steps = int(os.environ.get("SPARK_GRAFT_SCALING_STEPS_CG", "10"))
+        cg_repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS_CG", "2"))
+        cg_levels: dict[int, dict] = {}
+        for rep in range(cg_repeats):
+            if time.monotonic() - probe_t0 > budget_s * 2:
+                break
+            for c in pair_main:
+                run = probe_run(c, cg_steps, "cogroup")
+                if c not in cg_levels or run["iter_seconds"] < cg_levels[c]["iter_seconds"]:
+                    cg_levels[c] = run
+
         bandwidth = _bandwidth_probe()
 
-        def pair_report(low: int, high: int) -> dict:
-            thr_low = levels[low]["edges_per_sec"]
-            thr_high = levels[high]["edges_per_sec"]
+        def pair_report(lv: dict[int, dict], low: int, high: int, steps: int) -> dict:
+            thr_low = lv[low]["edges_per_sec"]
+            thr_high = lv[high]["edges_per_sec"]
             return {
                 "cores_low": low,
                 "cores_high": high,
                 "n_vertices": SCALING_VERTICES,
-                "n_edges": levels[high]["n_edges"],
-                "supersteps": SCALING_STEPS,
-                "seconds_low": round(levels[low]["seconds"], 2),
-                "seconds_high": round(levels[high]["seconds"], 2),
+                "n_edges": lv[high]["n_edges"],
+                "supersteps": steps,
+                "seconds_low": round(lv[low]["seconds"], 2),
+                "seconds_high": round(lv[high]["seconds"], 2),
                 "edges_per_sec_low": round(thr_low, 0),
                 "edges_per_sec_high": round(thr_high, 0),
                 "efficiency": round(thr_high / (thr_low * (high / low)), 3),
             }
 
         extras["scaling"] = {
-            **pair_report(*pair_main),
+            **pair_report(levels, *pair_main, SCALING_STEPS),
             "host_mem_bandwidth_gbps": bandwidth,
             "note": (
                 "mandated local[8]→local[32] proxy pair (BASELINE.md). "
@@ -374,7 +441,20 @@ def main() -> None:
                 "docs/SCALE.md)"
             ),
         }
-        extras["scaling_diag"] = pair_report(*pair_diag)
+        extras["scaling_diag"] = pair_report(levels, *pair_diag, SCALING_STEPS)
+        if len(cg_levels) == len(pair_main):
+            extras["scaling_cogroup"] = {
+                **pair_report(cg_levels, *pair_main, cg_steps),
+                "backend": "cogroup",
+                "note": "numpy-CSR kernel pair at the mandated 8→32 levels",
+            }
+        import shutil
+
+        shutil.rmtree(os.path.dirname(scaling_edges_dir), ignore_errors=True)
+
+    import shutil
+
+    shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
 
     total = round(sum(timings.values()), 2)
     print(json.dumps({
@@ -392,6 +472,7 @@ if __name__ == "__main__":
         cores = int(sys.argv[2])
         source = sys.argv[3] if len(sys.argv) > 3 else f"corpus:{N_PAGES}"
         steps = int(sys.argv[4]) if len(sys.argv) > 4 else 0
-        print(json.dumps(_pagerank_job(source, cores, steps)))
+        backend = sys.argv[5] if len(sys.argv) > 5 else "relational"
+        print(json.dumps(_pagerank_job(source, cores, steps, backend)))
     else:
         main()
