@@ -111,7 +111,9 @@ def _relational_step(sym_r: DataFrame):
 # ---------------------------------------------------------------------------
 # backend: subgraph-centric local fixpoint (union-find per partition)
 # ---------------------------------------------------------------------------
-def _seeded_fixpoint_kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+def _seeded_fixpoint_kernel(
+    key, seeds: pd.DataFrame, edges: pd.DataFrame, cache_token: str | None = None
+) -> pd.DataFrame:
     """Vectorized component fixpoint over one partition's edges, seeded
     with the labels that changed last superstep.
 
@@ -125,37 +127,78 @@ def _seeded_fixpoint_kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd
     its local component. Emits (vid, label) candidates for every local
     vertex in a seeded component; unseeded components emit nothing —
     their minima were already distributed in an earlier superstep.
+
+    With ``cache_token`` the structural part — the vertex dictionary
+    and component labelling, a pure function of the partition's
+    immutable edge set — is cached in the Python worker process and
+    reused across supersteps (graph/csr.part_cache_get_or_build): after
+    the first superstep the per-superstep kernel cost drops from O(E)
+    contraction to O(V) label scatter, the same amortization a DRONE
+    worker gets from holding adjacency in RAM.
     """
     if seeds.empty:
         return pd.DataFrame({"vid": pd.Series(dtype="int64"),
                              "label": pd.Series(dtype="int64")})
     import numpy as np
 
-    from ..graph.csr import local_components
+    from ..graph.csr import local_components, part_cache_get_or_build
 
-    srcs = edges["src"].to_numpy(np.int64)
-    dsts = edges["dst"].to_numpy(np.int64)
     svid = seeds["vid"].to_numpy(np.int64)
     slab = seeds["label"].to_numpy(np.int64)
-    # hash-based global→local mapping (one factorize beats unique +
-    # 3× searchsorted ~8× at 5M edges — see LocalCSR.from_edges)
-    codes, vids = pd.factorize(np.concatenate([srcs, dsts, svid]), sort=True)
-    vids = np.asarray(vids)
-    ne = len(srcs)
-    comp = local_components(codes[:ne], codes[ne : 2 * ne], len(vids))
+
+    def build():
+        srcs = edges["src"].to_numpy(np.int64)
+        dsts = edges["dst"].to_numpy(np.int64)
+        # hash-based global→local mapping (one factorize beats unique +
+        # per-array searchsorted ~8× at 5M edges — see LocalCSR.from_edges)
+        codes, vids = pd.factorize(np.concatenate([srcs, dsts]), sort=True)
+        ne = len(srcs)
+        return np.asarray(vids), local_components(codes[:ne], codes[ne:], len(vids))
+
+    if cache_token is not None and key is not None:
+        vids, comp = part_cache_get_or_build(
+            (cache_token, tuple(key)), len(edges), build
+        )
+    else:
+        vids, comp = build()
+
+    # seeds → local indices; routed seeds are edge endpoints by
+    # construction (presence routes), but strays are tolerated and
+    # emitted back unchanged (their own singleton component)
+    if len(vids):
+        pos = np.minimum(np.searchsorted(vids, svid), len(vids) - 1)
+        known = vids[pos] == svid
+    else:
+        pos = np.zeros(len(svid), dtype=np.int64)
+        known = np.zeros(len(svid), dtype=bool)
     # min seeded label per component root, scattered back to members
     sentinel = np.iinfo(np.int64).max
     best = np.full(len(vids), sentinel, dtype=np.int64)
-    np.minimum.at(best, comp[codes[2 * ne :]], slab)
+    np.minimum.at(best, comp[pos[known]], slab[known])
     lab = best[comp]
     seeded = lab != sentinel
-    return pd.DataFrame({"vid": vids[seeded], "label": lab[seeded]})
+    out_v, out_l = vids[seeded], lab[seeded]
+    if not known.all():
+        uv, inv = np.unique(svid[~known], return_inverse=True)
+        ul = np.full(len(uv), sentinel, dtype=np.int64)
+        np.minimum.at(ul, inv, slab[~known])
+        out_v = np.concatenate([out_v, uv])
+        out_l = np.concatenate([out_l, ul])
+    return pd.DataFrame({"vid": out_v, "label": out_l})
 
 
-def _subgraph_step(spark: SparkSession, edges_p: DataFrame, routes: DataFrame):
+def _subgraph_step(
+    spark: SparkSession, edges_p: DataFrame, routes: DataFrame,
+    cache_token: str | None = None,
+):
     """edges_p: (src, dst, part) — vertex-cut partitioned, persisted.
     routes: (vid, rpart) — the partitioner's replicas table (every
-    partition holding the vertex as master or mirror, J3 of SURVEY §2.3)."""
+    partition holding the vertex as master or mirror, J3 of SURVEY §2.3).
+    ``cache_token``: enables the executor-side structural cache (see
+    kernel docstring)."""
+
+    def kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+        return _seeded_fixpoint_kernel(key, seeds, edges, cache_token)
 
     def step(state: DataFrame, _k: int) -> DataFrame:
         # master→mirror broadcast (J3) of the FRONTIER only: changed
@@ -171,7 +214,7 @@ def _subgraph_step(spark: SparkSession, edges_p: DataFrame, routes: DataFrame):
         cand = (
             seeds.groupBy("rpart")
             .cogroup(edges_p.groupBy("part"))
-            .applyInPandas(_seeded_fixpoint_kernel, schema="vid long, label long")
+            .applyInPandas(kernel, schema="vid long, label long")
             .groupBy("vid")
             .agg(F.min("label").alias("msg"))
         )
@@ -196,6 +239,7 @@ def _run_labeling(
     salt_threshold: int = 1024,
     pre_partitioned: bool = False,
     assume_symmetric: bool = False,
+    use_kernel_cache: bool = True,
 ) -> RunResult:
     """``pre_partitioned``: the input is hash-distributed on ``src``
     (bucketed catalog table, sources/bucketed.py) — skips the per-run
@@ -231,6 +275,8 @@ def _run_labeling(
         step = _relational_step(sym_r)
         cleanup.append(sym_r)
     elif backend == "subgraph":
+        import uuid
+
         pg = partition_graph(sym, n_parts, salt_threshold=salt_threshold)
         edges_p = pg.edges.repartition(n_parts, "part").persist()
         n_edges = edges_p.count()
@@ -239,7 +285,12 @@ def _run_labeling(
         # renamed so the cogroup isn't an ambiguous self-join
         routes = pg.presence_routes(edges_p).toDF("vid", "rpart").persist()
         routes.count()
-        step = _subgraph_step(spark, edges_p, routes)
+        # unique per invocation: the executor cache can only ever serve
+        # this run's (immutable, persisted) partition edge sets.
+        # use_kernel_cache=False rebuilds per superstep (off-switch for
+        # memory-constrained executors; also the A/B baseline).
+        token = f"cc:{run_id}:{uuid.uuid4().hex}" if use_kernel_cache else None
+        step = _subgraph_step(spark, edges_p, routes, cache_token=token)
         cleanup.extend([edges_p, routes])
     else:
         raise ValueError(f"unknown backend {backend!r}")

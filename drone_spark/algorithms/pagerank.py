@@ -270,6 +270,7 @@ def pagerank_cogroup(
     salt_threshold: int = 1024,
     pre_partitioned: bool = False,
     warm_start: DataFrame | None = None,
+    use_kernel_cache: bool = True,
 ) -> RunResult:
     """Subgraph-centric PageRank — the north-star execution shape.
 
@@ -348,15 +349,29 @@ def pagerank_cogroup(
             F.lit(1.0).alias("delta"),
         )
 
+    import uuid
+
+    # executor-side CSR cache: the partition's edge batch is immutable
+    # within this run (persisted), so the CSR — its only structural
+    # derivative — is built on the first superstep and reused by every
+    # later one in the same Python worker (graph/csr.py cache notes).
+    cache_token = f"prcg:{run_id}:{uuid.uuid4().hex}" if use_kernel_cache else None
+
     def kernel(key, states: pd.DataFrame, part_edges: pd.DataFrame) -> pd.DataFrame:
-        from ..graph.csr import csr_from_pandas
+        from ..graph.csr import csr_from_pandas, part_cache_get_or_build
         import numpy as np
 
         if part_edges.empty or states.empty:
             return pd.DataFrame({"dst": [], "partial": []}).astype(
                 {"dst": "int64", "partial": "float64"}
             )
-        csr = csr_from_pandas(part_edges)
+        if cache_token is not None:
+            csr = part_cache_get_or_build(
+                (cache_token, tuple(key)), len(part_edges),
+                lambda: csr_from_pandas(part_edges),
+            )
+        else:
+            csr = csr_from_pandas(part_edges)
         values = np.zeros(len(csr.vids))
         idx = csr.local_index(states["vid"].to_numpy(np.int64))
         ok = idx >= 0

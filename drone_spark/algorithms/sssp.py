@@ -43,7 +43,9 @@ from ..graph.partitioner import partition_graph
 INF = float("inf")
 
 
-def _local_dijkstra_kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+def _local_dijkstra_kernel(
+    key, seeds: pd.DataFrame, edges: pd.DataFrame, cache_token: str | None = None
+) -> pd.DataFrame:
     """Heap Dijkstra over one partition's adjacency, started from the
     frontier distances routed here — the Spark re-expression of the
     reference's per-worker incremental Dijkstra (SSSP.go:21-44, 83-106:
@@ -59,30 +61,38 @@ def _local_dijkstra_kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd.
 
     import numpy as np
 
-    from ..graph.csr import LocalCSR
+    from ..graph.csr import LocalCSR, part_cache_get_or_build
 
-    # adjacency as numpy CSR — one vectorized build (argsort + cumsum,
+    # adjacency as numpy CSR — one vectorized build (factorize + cumsum,
     # graph/csr.py), replacing the former per-edge Python dict-append
     # loop (VERDICT r2 item 1). The heap loop itself is inherent to
     # Dijkstra (the reference uses container/heap, SSSP.go:21-44); each
-    # pop relaxes its whole out-neighborhood in numpy slices.
-    srcs = edges["src"].to_numpy(np.int64)
-    dsts = edges["dst"].to_numpy(np.int64)
-    wts = (
-        edges["weight"].to_numpy(np.float64)
-        if "weight" in edges.columns
-        else np.ones(len(srcs), dtype=np.float64)
-    )
+    # pop relaxes its whole out-neighborhood in numpy slices. With
+    # ``cache_token`` the CSR (pure function of the partition's
+    # immutable edge set) is cached in the worker process and reused
+    # across supersteps — the DRONE worker's in-RAM adjacency.
+    def build() -> LocalCSR:
+        srcs = edges["src"].to_numpy(np.int64)
+        dsts = edges["dst"].to_numpy(np.int64)
+        wts = (
+            edges["weight"].to_numpy(np.float64)
+            if "weight" in edges.columns
+            else np.ones(len(srcs), dtype=np.float64)
+        )
+        return LocalCSR.from_edges(srcs, dsts, weights=wts)
+
+    if cache_token is not None and key is not None:
+        csr = part_cache_get_or_build((cache_token, tuple(key)), len(edges), build)
+    else:
+        csr = build()
     svid = seeds["vid"].to_numpy(np.int64)
     sdist = seeds["dist"].to_numpy(np.float64)
-    # seeds enter the dictionary even without local out-edges so they
-    # still emit their own (possibly improved) distance
-    csr = LocalCSR.from_edges(srcs, dsts, weights=wts, extra_vids=svid)
     indptr, nbrs, ws = csr.indptr, csr.indices, csr.weights
     dist = np.full(len(csr.vids), INF)
     heap: list[tuple[float, int]] = []
-    for i, dv in zip(csr.local_index(svid).tolist(), sdist.tolist()):
-        if dv < dist[i]:
+    sidx = csr.local_index(svid)
+    for i, dv in zip(sidx.tolist(), sdist.tolist()):
+        if i >= 0 and dv < dist[i]:
             dist[i] = dv
             heapq.heappush(heap, (dv, i))
     while heap:
@@ -101,7 +111,18 @@ def _local_dijkstra_kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd.
             for u in np.unique(bt).tolist():
                 heapq.heappush(heap, (float(dist[u]), int(u)))
     reached_mask = np.isfinite(dist)
-    return pd.DataFrame({"vid": csr.vids[reached_mask], "dist": dist[reached_mask]})
+    out_v = csr.vids[reached_mask]
+    out_d = dist[reached_mask]
+    # seeds without local presence still emit their own (routed)
+    # distance — it may be another partition's answer for that vertex
+    stray = sidx < 0
+    if stray.any():
+        uv, inv = np.unique(svid[stray], return_inverse=True)
+        ud = np.full(len(uv), INF)
+        np.minimum.at(ud, inv, sdist[stray])
+        out_v = np.concatenate([out_v, uv])
+        out_d = np.concatenate([out_d, ud])
+    return pd.DataFrame({"vid": out_v, "dist": out_d})
 
 
 def sssp(
@@ -116,6 +137,7 @@ def sssp(
     num_parts: int | None = None,
     salt_threshold: int = 1024,
     pre_partitioned: bool = False,
+    use_kernel_cache: bool = True,
 ) -> RunResult:
     """State: (vid, dist, outdeg, delta); delta>0 marks the current frontier.
 
@@ -155,12 +177,18 @@ def sssp(
 
         verts_src = edges_r
     elif backend == "subgraph":
+        import uuid
+
         pg = partition_graph(edges.select(*cols), n_parts, salt_threshold)
         edges_p = pg.edges.repartition(n_parts, "part").persist()
         n_edges = edges_p.count()
         routes = pg.presence_routes(edges_p).toDF("vid", "rpart").persist()
         routes.count()
         cleanup.extend([edges_p, routes])
+        token = f"sssp:{run_id}:{uuid.uuid4().hex}" if use_kernel_cache else None
+
+        def kernel(key, seeds: pd.DataFrame, part_edges: pd.DataFrame) -> pd.DataFrame:
+            return _local_dijkstra_kernel(key, seeds, part_edges, token)
 
         def step(state: DataFrame, _k: int) -> DataFrame:
             seeds = (
@@ -172,7 +200,7 @@ def sssp(
             msgs = (
                 seeds.groupBy("rpart")
                 .cogroup(edges_p.groupBy("part"))
-                .applyInPandas(_local_dijkstra_kernel, schema="vid long, dist double")
+                .applyInPandas(kernel, schema="vid long, dist double")
                 .groupBy("vid")
                 .agg(F.min("dist").alias("msg"))
             )

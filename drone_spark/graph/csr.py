@@ -11,8 +11,44 @@ round trips inside the kernel.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
+
+# ---------------------------------------------------------------------------
+# executor-side per-partition cache
+#
+# A DRONE worker builds its adjacency maps ONCE and iterates over them
+# in RAM every superstep (graph.go:103-122). The cogroup kernels get a
+# fresh Arrow batch per superstep, but Spark reuses Python worker
+# processes across tasks (spark.python.worker.reuse, default true), so
+# a process-global cache keyed by (run token, partition id) gives the
+# same amortization: the CSR / component labelling is built on the
+# first superstep that touches a partition and reused afterwards.
+#
+# Safety: the token is unique per algorithm invocation and the cached
+# edge set is immutable within a run (the partitioned edge table is
+# persisted), so a hit can only serve the same graph; an entry also
+# stores the batch row count as a sanity check. If a worker process
+# dies or an entry is evicted (bounded LRU), the kernel simply rebuilds
+# — correctness never depends on a hit.
+# ---------------------------------------------------------------------------
+_PART_CACHE: OrderedDict[tuple, tuple[int, object]] = OrderedDict()
+_PART_CACHE_MAX = 64
+
+
+def part_cache_get_or_build(key: tuple, n_rows: int, builder):
+    ent = _PART_CACHE.get(key)
+    if ent is not None and ent[0] == n_rows:
+        _PART_CACHE.move_to_end(key)
+        return ent[1]
+    val = builder()
+    _PART_CACHE[key] = (n_rows, val)
+    _PART_CACHE.move_to_end(key)
+    while len(_PART_CACHE) > _PART_CACHE_MAX:
+        _PART_CACHE.popitem(last=False)
+    return val
 
 
 class LocalCSR:
@@ -69,6 +105,8 @@ class LocalCSR:
 
     def local_index(self, vids: np.ndarray) -> np.ndarray:
         """Global vid -> local index (-1 when absent)."""
+        if len(self.vids) == 0:
+            return np.full(len(vids), -1, dtype=np.int64)
         pos = np.searchsorted(self.vids, vids)
         pos = np.clip(pos, 0, len(self.vids) - 1)
         ok = self.vids[pos] == vids

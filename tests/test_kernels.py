@@ -137,3 +137,47 @@ def test_local_csr_weights_align_after_reorder():
         for j in range(csr.indptr[i], csr.indptr[i + 1]):
             got.add((int(vid), int(csr.vids[csr.indices[j]]), float(csr.weights[j])))
     assert got == {(3, 1, 0.3), (1, 2, 0.1), (3, 2, 0.9), (2, 3, 0.2)}
+
+
+def test_part_cache_semantics():
+    """Executor-side structural cache: hit on same (token, part) and row
+    count; rebuild when the sanity row count differs; bounded LRU."""
+    from drone_spark.graph import csr as csr_mod
+
+    calls = {"n": 0}
+
+    def builder():
+        calls["n"] += 1
+        return object()
+
+    a = csr_mod.part_cache_get_or_build(("t1", (0,)), 100, builder)
+    b = csr_mod.part_cache_get_or_build(("t1", (0,)), 100, builder)
+    assert a is b and calls["n"] == 1  # hit
+    c = csr_mod.part_cache_get_or_build(("t1", (0,)), 101, builder)
+    assert c is not a and calls["n"] == 2  # row-count mismatch → rebuild
+    # bounded: filling beyond the cap evicts the oldest entries
+    for i in range(csr_mod._PART_CACHE_MAX + 10):
+        csr_mod.part_cache_get_or_build(("fill", (i,)), i, builder)
+    assert len(csr_mod._PART_CACHE) <= csr_mod._PART_CACHE_MAX
+
+
+def test_cc_kernel_cached_equals_fresh():
+    """The cached structural path must produce byte-identical candidate
+    output to a fresh build across repeated (superstep-like) calls with
+    changing seeds."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    edges = pd.DataFrame(
+        {"src": rng.integers(0, 300, 1000), "dst": rng.integers(0, 300, 1000)}
+    ).astype("int64")
+    verts = np.unique(np.concatenate([edges["src"], edges["dst"]]))
+    for step in range(3):  # different frontier each "superstep"
+        seeds = pd.DataFrame(
+            {"vid": verts[step::3], "label": verts[step::3] * 2 + step}
+        ).astype("int64")
+        fresh = _seeded_fixpoint_kernel(None, seeds, edges)
+        cached = _seeded_fixpoint_kernel((7,), seeds, edges, cache_token="tok-eq")
+        f = sorted(zip(fresh["vid"], fresh["label"]))
+        c = sorted(zip(cached["vid"], cached["label"]))
+        assert f == c
