@@ -208,6 +208,20 @@ def q_connected_components(spark, sf_dir):
     return res.state.select("vid", "label")
 
 
+def q_connected_components_subgraph(spark, sf_dir):
+    """Same fixpoint through the subgraph-centric backend: vertex-cut
+    partitioning + the vectorized numpy scatter-min kernel with the
+    executor-side structural cache — oracle-checked so BOTH execution
+    shapes are driver-verified, not just pytest-verified."""
+    from drone_spark.algorithms.cc import connected_components
+
+    res = connected_components(
+        spark, _engine(spark), _copurchase_edges(spark, sf_dir),
+        run_id="entry_cc_sub", backend="subgraph", salt_threshold=256,
+    )
+    return res.state.select("vid", "label")
+
+
 def q_label_propagation(spark, sf_dir):
     from drone_spark.algorithms.cc import label_propagation
 
@@ -229,6 +243,22 @@ def q_sssp(spark, sf_dir):
     res = sssp(
         spark, _engine(spark), _sym_edges(edges), source=int(source),
         run_id="entry_sssp",
+    )
+    return reached(res.state).select("vid", F.col("dist").cast("long").alias("dist"))
+
+
+def q_sssp_subgraph(spark, sf_dir):
+    """Same distances through the subgraph backend: partition-local
+    CSR-heap Dijkstra (cached across supersteps) instead of one-hop
+    relational relaxation — driver-verified against the same oracle."""
+    from drone_spark.algorithms.cc import _sym_edges
+    from drone_spark.algorithms.sssp import reached, sssp
+
+    edges = _copurchase_edges(spark, sf_dir)
+    source = edges.agg(F.min("src")).first()[0]
+    res = sssp(
+        spark, _engine(spark), _sym_edges(edges), source=int(source),
+        run_id="entry_sssp_sub", backend="subgraph", salt_threshold=256,
     )
     return reached(res.state).select("vid", F.col("dist").cast("long").alias("dist"))
 
@@ -287,6 +317,19 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """The PRODUCTION path — hot-shingle cap applied before the
+    candidate self-join (dedup.py max_doc_freq; cap 5 bites at sf0.01:
+    29 shingles with df 6-7 are dropped) — with its own DuckDB oracle
+    replaying the df filter, so the capped semantics are hash-verified
+    too, not just the exact variant."""
+    from drone_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.4, max_doc_freq=5
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_minhash_dedup(spark, sf_dir):
     """md5-keyed MinHash variant: every shingle hash and band-bucket key
     is md5-derived, so the DuckDB oracle (minhash_lsh_sql) reproduces
@@ -296,6 +339,19 @@ def q_minhash_dedup(spark, sf_dir):
 
     return minhash_lsh_pairs(
         _read(spark, sf_dir, "documents"), threshold=0.7, hash_fn="md5"
+    ).select("a", "b")
+
+
+def q_minhash_dedup_capped(spark, sf_dir):
+    """Banded LSH with the hot-bucket cap live (max_bucket_size=2 bites
+    at sf0.01: 15 band buckets hold 3 docs and are dropped before the
+    candidate join) — oracle replays the population filter, verifying
+    the capped scale path bit-for-bit alongside the exact variant."""
+    from drone_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.7, hash_fn="md5",
+        max_bucket_size=2,
     ).select("a", "b")
 
 
@@ -520,8 +576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "pagerank5": q_pagerank5,
         "connected_components": q_connected_components,
+        "connected_components_subgraph": q_connected_components_subgraph,
         "label_propagation": q_label_propagation,
         "sssp": q_sssp,
+        "sssp_subgraph": q_sssp_subgraph,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "text_stats": q_text_stats,
@@ -530,7 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_capped": q_minhash_dedup_capped,
         "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "simhash_dedup": q_simhash_dedup,
         "embedding_near_dups": q_embedding_near_dups,
@@ -547,7 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "out_degree": (
             f"WITH {SQL_BIPARTITE} "
             "SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src"
@@ -700,7 +760,53 @@ def oracle_sql() -> dict[str, str]:
         # top-k, so the brute-force SQL gates the whole IVF pipeline —
         # see q_cosine_topk_ivf docstring; pruned recall is pytest's.
         "cosine_topk_ivf": _cosine_bruteforce_oracle(),
+        "ngram_jaccard_capped": _ngram_jaccard_capped_oracle(),
+        "minhash_dedup_capped": _minhash_capped_oracle(),
     }
+    # backend twins share their relational variant's oracle verbatim:
+    # the fixpoint is backend-independent, and one shared definition
+    # means the two gates can't desynchronize
+    out["connected_components_subgraph"] = out["connected_components"]
+    out["sssp_subgraph"] = out["sssp"]
+    return out
+
+
+def _minhash_capped_oracle() -> str:
+    from drone_spark.ops.dedup import minhash_lsh_sql
+
+    return minhash_lsh_sql(threshold=0.7, doc_table="documents", max_bucket_size=2)
+
+
+def _ngram_jaccard_capped_oracle() -> str:
+    """q_ngram_jaccard_capped's twin: the df-capped production path —
+    shingles with document frequency > 5 are dropped BEFORE sizes and
+    the intersection join, exactly like dedup.ngram_jaccard_pairs with
+    max_doc_freq=5; Jaccard is then over the reduced shingle universe."""
+    from drone_spark.ops.textstats import NORM_SQL
+
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents), "
+        "toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm), "
+        "idx AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks), "
+        "grams AS (SELECT DISTINCT doc_id, shingle FROM ("
+        "  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle"
+        "  FROM idx WHERE len(t) >= 3 AND i <= len(t) - 2"
+        "  UNION ALL"
+        "  SELECT doc_id, array_to_string(t, ' ') AS shingle"
+        "  FROM toks WHERE len(t) < 3"
+        ") WHERE length(shingle) > 0), "
+        "rare AS (SELECT shingle FROM grams GROUP BY shingle "
+        "HAVING COUNT(*) <= 5), "
+        "gramsf AS (SELECT g.doc_id, g.shingle FROM grams g "
+        "JOIN rare r ON r.shingle = g.shingle), "
+        "sz AS (SELECT doc_id, COUNT(*) AS sz FROM gramsf GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i "
+        "FROM gramsf x JOIN gramsf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id "
+        "GROUP BY x.doc_id, y.doc_id) "
+        "SELECT a, b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard "
+        "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
+        "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.4"
+    )
 
 
 def _dedup_clusters_oracle() -> str:

@@ -628,8 +628,11 @@ def minhash_lsh_sql(
     bands: int = 16,
     doc_table: str = "documents",
     n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> str:
-    """DuckDB twin of minhash_lsh_pairs(hash_fn="md5") → (a, b)."""
+    """DuckDB twin of minhash_lsh_pairs(hash_fn="md5") → (a, b).
+    ``max_bucket_size`` replays the hot-bucket cap (saturated band
+    buckets dropped before the candidate self-join)."""
     rows = num_hashes // bands
     mins = ", ".join(
         "MIN(" + _sql_hash60(f"'{i}:' || shingle") + f") AS h{i}"
@@ -647,10 +650,20 @@ def minhash_lsh_sql(
     eq_terms = " + ".join(
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
     )
+    if max_bucket_size is not None:
+        band_src = (
+            "bands0 AS (" + " UNION ALL ".join(band_rows) + "), "
+            "cool AS (SELECT band, bucket FROM bands0 GROUP BY band, bucket "
+            f"HAVING COUNT(*) <= {max_bucket_size}), "
+            "bands AS (SELECT b.* FROM bands0 b JOIN cool c "
+            "ON b.band = c.band AND b.bucket = c.bucket), "
+        )
+    else:
+        band_src = "bands AS (" + " UNION ALL ".join(band_rows) + "), "
     return (
         f"WITH {_sql_shingles(doc_table, n)}, "
         f"sigs AS (SELECT doc_id, {mins} FROM grams2 GROUP BY doc_id), "
-        "bands AS (" + " UNION ALL ".join(band_rows) + "), "
+        + band_src +
         "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x "
         "JOIN bands y ON x.band = y.band AND x.bucket = y.bucket "
         "AND x.doc_id < y.doc_id) "
