@@ -323,9 +323,15 @@ def pagerank_cogroup(
     # is renamed (not just aliased) so the cogroup of routed-state with
     # edges_p isn't an ambiguous self-join — cogroup matches grouping
     # keys positionally, names need not agree.
+    # hash-partitioned on vid and persisted: the per-superstep
+    # state⋈routes join then shuffles only the small state side —
+    # the routes exchange is paid once at prep, not per superstep.
+    # Measured neutral at bench scale (0.99x, tools/ab_cogroup_fusion.py)
+    # where routes is tiny; at 100 TB routes is |V|·replication rows and
+    # re-exchanging it 50+ times per run is real money.
     routes = (
         edges_p.select(F.col("src").alias("vid"), "part").distinct()
-        .toDF("vid", "rpart").persist()
+        .toDF("vid", "rpart").repartition(n_parts, "vid").persist()
     )
     routes.count()
 
@@ -381,6 +387,13 @@ def pagerank_cogroup(
         return pd.DataFrame({"dst": csr.vids[nz], "partial": sums[nz]})
 
     def step(state: DataFrame, _k: int) -> DataFrame:
+        # groupBy(dst) pre-combine + join back to state. The relational
+        # backend's union-carrier one-shuffle fusion was A/B'd here too
+        # (tools/ab_cogroup_fusion.py) and measured 0.91x — SLOWER: the
+        # kernel already map-side-combines per partition, so the extra
+        # exchange the fusion removes is small, while widening every
+        # partial row with null carrier columns through the Arrow
+        # boundary is not. Keep the two-step shape.
         routed = (
             state.where(F.col("outdeg") > 0)
             .select("vid", (F.col("pr") / F.col("outdeg")).alias("w"))
