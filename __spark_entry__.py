@@ -558,6 +558,136 @@ def q_nation_rollup(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Event sessionization (30-min inactivity gap) — gaps-and-islands
+    over the events table; value summed in integer cents (see _cents)."""
+    from drone_spark.streaming.windows import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# DuckDB twin of drone_spark.extraction.host_col (same regex, group 1)
+HOST_EXTRACT_SQL = "regexp_extract({u}, '^[a-z]+://([^/]+)', 1)"
+
+SQL_URLIFY = (
+    "urls AS (SELECT 'http://site' || CAST(src % 199 AS VARCHAR) ||"
+    " '.example/p' || CAST(src AS VARCHAR) AS src_url,"
+    " 'http://site' || CAST(dst % 199 AS VARCHAR) ||"
+    " '.example/p' || CAST(dst AS VARCHAR) AS dst_url FROM edges)"
+)
+
+
+def _url_edges(spark, sf_dir):
+    """Deterministic page-url edge table from the bipartite graph —
+    the textual twin of SQL_URLIFY, so the host-rollup oracle parses
+    the exact same url strings DuckDB builds."""
+    mk = lambda c: F.concat(  # noqa: E731
+        F.lit("http://site"),
+        (F.col(c) % 199).cast("string"),
+        F.lit(".example/p"),
+        F.col(c).cast("string"),
+    )
+    return _bipartite_edges(spark, sf_dir).select(
+        mk("src").alias("src_url"), mk("dst").alias("dst_url")
+    )
+
+
+def q_host_graph(spark, sf_dir):
+    """Page-link edges → weighted host graph (webgraph site rollup)."""
+    from drone_spark.extraction import host_graph
+
+    return host_graph(_url_edges(spark, sf_dir))
+
+
+def q_top_hosts(spark, sf_dir):
+    """Top-20 hosts by cross-host weighted in-links (deterministic
+    tiebreak on host name)."""
+    from drone_spark.extraction import top_hosts
+
+    return top_hosts(_url_edges(spark, sf_dir), k=20)
+
+
+def q_ppr5(spark, sf_dir):
+    """5 supersteps of *fixed-point personalized* PageRank: teleport
+    mass concentrated on the seed set {id % 50 == 0, order side} —
+    the integer twin of algorithms.pagerank.personalized_pagerank
+    (which the float NumPy-oracle test covers to 1e-9)."""
+    from drone_spark.graph.builder import out_degrees, vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    eng = _engine(spark)
+
+    def init():
+        seeded = F.col("is_seed").isNotNull()
+        return (
+            vertices(edges)
+            .join(out_degrees(edges), "id", "left")
+            .withColumn(
+                "is_seed",
+                F.when(
+                    (F.col("id") % 50 == 0) & (F.col("id") < PART_OFFSET),
+                    F.lit(True),
+                ),
+            )
+            .select(
+                F.col("id").alias("vid"),
+                F.when(seeded, F.lit(PR_SCALE)).otherwise(F.lit(0)).alias("pr_fx"),
+                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+                F.when(seeded, F.lit(15 * PR_SCALE // 100))
+                .otherwise(F.lit(0))
+                .alias("base"),
+                F.lit(1.0).alias("delta"),
+            )
+        )
+
+    def step(state, _k):
+        contribs = (
+            state.where(F.col("outdeg") > 0)
+            .select("vid", F.expr("pr_fx div outdeg").alias("w"))
+            .join(edges, F.col("vid") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("acc"))
+        )
+        new_pr = F.col("base") + F.expr("(85 * coalesce(acc, 0L)) div 100")
+        return state.join(contribs, state["vid"] == contribs["dst"], "left").select(
+            "vid",
+            new_pr.alias("pr_fx"),
+            "outdeg",
+            "base",
+            F.abs(new_pr - F.col("pr_fx")).cast("double").alias("delta"),
+        )
+
+    res = eng.run("entry_ppr5", init, step, tol=0.0, max_supersteps=5)
+    return res.state.select("vid", "pr_fx")
+
+
+def _ppr5_sql() -> str:
+    """Unrolled 5-iteration personalized PageRank (see _pagerank5_sql
+    for the BIGINT-pinning rationale)."""
+    ctes = [
+        f"WITH {SQL_BIPARTITE}",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        f"seeds AS (SELECT id FROM v WHERE id % 50 = 0 AND id < {PART_OFFSET})",
+        f"pr0 AS (SELECT v.id, CAST(CASE WHEN s.id IS NOT NULL THEN {PR_SCALE}"
+        " ELSE 0 END AS BIGINT) AS pr,"
+        f" CAST(CASE WHEN s.id IS NOT NULL THEN {15 * PR_SCALE // 100}"
+        " ELSE 0 END AS BIGINT) AS base"
+        " FROM v LEFT JOIN seeds s ON v.id = s.id)",
+    ]
+    for k in range(1, 6):
+        ctes.append(
+            f"pr{k} AS (SELECT p0.id, CAST(p0.base + "
+            "(85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS pr, p0.base "
+            f"FROM pr0 p0 LEFT JOIN (SELECT e.dst AS id, "
+            f"CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS acc "
+            f"FROM pr{k-1} p JOIN deg d ON p.id = d.id "
+            f"JOIN edges e ON e.src = p.id GROUP BY e.dst) s ON p0.id = s.id)"
+        )
+    return ", ".join(ctes) + " SELECT id AS vid, CAST(pr AS BIGINT) AS pr_fx FROM pr5"
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -603,6 +733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_spenders": q_top_spenders,
         "events_hourly": q_events_hourly,
         "nation_rollup": q_nation_rollup,
+        "sessionize": q_sessionize,
+        "host_graph": q_host_graph,
+        "top_hosts": q_top_hosts,
+        "ppr5": q_ppr5,
     }
 
 
@@ -747,6 +881,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
+        # microsecond arithmetic mirrors streaming/windows.sessionize —
+        # second-level epoch fns floor in Spark but round in DuckDB
+        "sessionize": (
+            "WITH flags AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch_us(ts) - epoch_us(lag(ts) OVER w)"
+            " > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sess AS (SELECT *, SUM(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM flags) "
+            "SELECT user_id, MIN(ts) AS session_start, "
+            "COUNT(*) AS n_events, "
+            f"CAST(SUM({_sql_cents('value')}) AS BIGINT) AS sum_value_c, "
+            "CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000"
+            " AS BIGINT) AS duration_s "
+            "FROM sess GROUP BY user_id, sid"
+        ),
+        "host_graph": (
+            f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}, "
+            "hosts AS (SELECT "
+            f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+            f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls) "
+            "SELECT src_host, dst_host, COUNT(*) AS n_links FROM hosts "
+            "WHERE src_host <> dst_host GROUP BY src_host, dst_host"
+        ),
+        "top_hosts": (
+            f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}, "
+            "hosts AS (SELECT "
+            f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+            f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls) "
+            "SELECT dst_host AS host, COUNT(*) AS in_links FROM hosts "
+            "WHERE src_host <> dst_host GROUP BY dst_host "
+            "ORDER BY in_links DESC, host LIMIT 20"
+        ),
+        "ppr5": _ppr5_sql(),
         "vocab_topk": _vocab_topk_oracle(),
         "lang_id": _lang_id_oracle(),
         "embedding_near_dups_exact": _embedding_exact_oracle(),

@@ -155,6 +155,123 @@ def pagerank(
         edges_r.unpersist()
 
 
+def personalized_pagerank(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    seeds: DataFrame,
+    run_id: str = "ppr",
+    tol: float = 1e-9,
+    damping: float = DAMPING,
+    max_supersteps: int = 200,
+    pre_partitioned: bool = False,
+) -> RunResult:
+    """Personalized PageRank: teleport returns to ``seeds`` instead of
+    everywhere — the standard topic-/site-conditioned authority score
+    (Haveliwala, WWW'02) a web pipeline uses for seed-list expansion
+    and crawl prioritization. The reference's kernel is the uniform
+    special case (PageRank.go:74's constant 0.15 base term).
+
+    ``seeds``: DataFrame with a ``vid`` column. Probability convention:
+    Σ pr = 1 (pr0 = 1/|S| on seeds; per-vertex base (1-d)/|S| on seeds,
+    0 elsewhere), hence the tighter default ``tol`` — per-vertex mass
+    is O(1/N), not O(1).
+
+    Plan shape is identical to :func:`pagerank` (union-carrier
+    one-shuffle step); the only change is the per-vertex ``base``
+    column the state carries, so every at-scale property (edge table
+    shuffled once, map-side combine, frontier-free full scatter) holds
+    unchanged."""
+    from ..sources.bucketed import prepare_edges
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_r = prepare_edges(
+        edges.select("src", "dst"), n_parts, pre_partitioned=pre_partitioned
+    )
+    n_edges = edges_r.count()
+    n_seeds = seeds.select("vid").distinct().count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+
+    def init() -> DataFrame:
+        return (
+            vertices(edges_r)
+            .join(out_degrees(edges_r), "id", "left")
+            .join(
+                seeds.select("vid").distinct().withColumn("is_seed", F.lit(True)),
+                F.col("id") == F.col("vid"),
+                "left",
+            )
+            .select(
+                F.col("id").alias("vid"),
+                F.when(F.col("is_seed"), 1.0 / n_seeds)
+                .otherwise(0.0)
+                .alias("pr"),
+                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+                F.when(F.col("is_seed"), (1.0 - damping) / n_seeds)
+                .otherwise(0.0)
+                .alias("base"),
+                F.lit(1.0).alias("delta"),
+            )
+        )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        contribs = (
+            state.where((F.col("outdeg") > 0) & (F.col("pr") != 0.0))
+            .select("vid", (F.col("pr") / F.col("outdeg")).alias("w"))
+            .join(edges_r, F.col("vid") == F.col("src"))
+            .select(
+                F.col("dst").alias("vid"),
+                F.col("w"),
+                F.lit(None).cast("double").alias("pr_old"),
+                F.lit(None).cast("long").alias("outdeg"),
+                F.lit(None).cast("double").alias("base"),
+            )
+        )
+        carriers = state.select(
+            "vid",
+            F.lit(None).cast("double").alias("w"),
+            F.col("pr").alias("pr_old"),
+            "outdeg",
+            "base",
+        )
+        new_pr = F.col("base") + F.lit(damping) * F.coalesce(
+            F.col("acc"), F.lit(0.0)
+        )
+        return (
+            contribs.unionByName(carriers)
+            .groupBy("vid")
+            .agg(
+                F.sum("w").alias("acc"),
+                F.first("pr_old", ignorenulls=True).alias("pr_old"),
+                F.first("outdeg", ignorenulls=True).alias("outdeg"),
+                F.first("base", ignorenulls=True).alias("base"),
+            )
+            .select(
+                "vid",
+                new_pr.alias("pr"),
+                "outdeg",
+                "base",
+                F.abs(new_pr - F.col("pr_old")).alias("delta"),
+            )
+        )
+
+    try:
+        return engine.run(
+            run_id,
+            init,
+            step,
+            tol=tol,
+            max_supersteps=max_supersteps,
+            edges_per_step=n_edges,
+            traversed_expr=F.when(F.col("pr") != 0.0, F.col("outdeg")).otherwise(
+                F.lit(0)
+            ),
+        )
+    finally:
+        edges_r.unpersist()
+
+
 def pagerank_delta(
     spark: SparkSession,
     engine: SuperstepEngine,

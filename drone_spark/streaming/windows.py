@@ -11,7 +11,16 @@ holds only the open windows in state store.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _us(col) -> F.Column:
+    """Integer microseconds since epoch. Events timestamps are NTZ in
+    parquet; unix_micros needs TIMESTAMP, and the NTZ->LTZ cast's fixed
+    session-tz shift cancels in every difference we take."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string,"
@@ -49,6 +58,108 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     exactly-once sink)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, value_col: str = "value"
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): consecutive events of a
+    user belong to one session while the inter-event gap is ≤ ``gap``.
+
+    Returns one row per (user_id, session): session_start, n_events,
+    sum of ``value_col`` in integer cents (exact across engines), and
+    duration_s (max ts − min ts, seconds). The reference engine has no
+    session concept; this is the web-analytics op a crawl/event pipeline
+    needs downstream of ingestion.
+
+    Scale shape: the two analytic windows are PARTITION BY user_id — a
+    single hash exchange on user_id that the subsequent groupBy reuses
+    (one shuffle total, no driver involvement). Per-user data is tiny by
+    construction, so no skew lever is needed; ties on ts are broken by
+    event_id so the lag is deterministic in every engine.
+    """
+    # all gap/duration arithmetic in integer MICROseconds: second-level
+    # functions floor in Spark but round in DuckDB's epoch-cast, so a
+    # sub-second timestamp would make the two engines disagree on
+    # session boundaries — exact int64 microseconds agree everywhere
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col(value_col).alias("v"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (_us("ts") - _us(F.lag("ts").over(w)) > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    cents = (F.col("v").cast("decimal(18,2)") * 100).cast("long")
+    dur_s = (
+        (_us(F.max("ts")) - _us(F.min("ts")))
+        / F.lit(1_000_000)
+    ).cast("long")
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_value_c"),
+        dur_s.alias("duration_s"),
+    ).drop("sid")
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — Spark merges
+    events into a session while each lands within ``gap`` of the
+    window's current end; the watermark closes sessions and evicts their
+    state, so state holds only open sessions regardless of feed size.
+
+    Emits the batch :func:`sessionize` shape (window.start == min ts of
+    the session, so ``session_start``/``n_events``/``sum_value_c`` are
+    directly comparable — pinned by the batch/stream parity test;
+    ``duration_s`` is window length minus the trailing gap, clamped at
+    0 for single-event sessions).
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_value_c"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "sum_value_c",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (
+                    (
+                        _us("win.end")
+                        - _us("win.start")
+                        - F.lit(gap_us)
+                    )
+                    / F.lit(1_000_000)
+                ).cast("long"),
+            ).alias("duration_s"),
+        )
     )
 
 

@@ -93,3 +93,40 @@ def bfs_distances(edges: list[tuple[int, int]], source: int) -> dict[int, float]
                     nxt.append(v)
         frontier = nxt
     return dist
+
+
+def numpy_ppr(
+    edges: list[tuple[int, int]],
+    seeds: list[int],
+    tol=1e-9,
+    damping=0.85,
+    max_iter=5000,
+):
+    """Personalized PageRank, Σpr-=-1 convention: pr0 = 1/|S| on seeds,
+    fixpoint pr = d·Σ_in pr_u/outdeg_u + (1-d)/|S|·[v ∈ S]; dangling
+    mass leaks (no redistribution), matching the engine's uniform-PR
+    convention."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    src = np.array([idx[s] for s, _ in edges])
+    dst = np.array([idx[d] for _, d in edges])
+    sset = {s for s in seeds if s in idx}
+    base = np.zeros(n)
+    pr = np.zeros(n)
+    for s in sset:
+        base[idx[s]] = (1 - damping) / len(seeds)
+        pr[idx[s]] = 1.0 / len(seeds)
+    for _ in range(max_iter):
+        w = np.divide(pr, outdeg, out=np.zeros(n), where=outdeg > 0)
+        acc = np.zeros(n)
+        np.add.at(acc, dst, w[src])
+        new = base + damping * acc
+        done = np.max(np.abs(new - pr)) <= tol
+        pr = new
+        if done:
+            break
+    return {v: pr[idx[v]] for v in ids}

@@ -3,7 +3,7 @@
 from pyspark.sql import functions as F
 
 from drone_spark.corpus import generate_pages
-from drone_spark.extraction import extract_pages, url_to_id_py
+from drone_spark.extraction import edges_from_pages, extract_pages, url_to_id_py
 
 
 def test_text_byte_identity(spark, small_pages):
@@ -37,3 +37,39 @@ def test_skew_exists(small_edges_pd):
     # the corpus must produce hub vertices so skew paths are exercised
     indeg = small_edges_pd.groupby("dst").size()
     assert indeg.max() >= 20  # quadratic preferential attachment -> hubs
+
+
+def test_host_graph_matches_pandas(spark, small_pages):
+    """host_graph == a pandas recomputation over the same page edges."""
+    import re
+
+    from drone_spark.extraction import host_graph
+
+    edges = edges_from_pages(small_pages)
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_graph(edges).collect()
+    }
+    pat = re.compile(r"^[a-z]+://([^/]+)")
+    exp = {}
+    for r in edges.select("src_url", "dst_url").collect():
+        sh, dh = pat.match(r.src_url).group(1), pat.match(r.dst_url).group(1)
+        if sh != dh:
+            exp[(sh, dh)] = exp.get((sh, dh), 0) + 1
+    assert got == exp
+    assert all(sh != dh for sh, dh in got)  # intra-host dropped
+
+
+def test_top_hosts_ranking(spark, small_pages):
+    from drone_spark.extraction import host_graph, top_hosts
+
+    edges = edges_from_pages(small_pages)
+    hg = host_graph(edges).groupBy("dst_host").agg(
+        F.sum("n_links").alias("n")
+    )
+    exp = sorted(
+        ((r.dst_host, r.n) for r in hg.collect()),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    got = [(r.host, r.in_links) for r in top_hosts(edges, k=5).collect()]
+    assert got == exp

@@ -139,3 +139,39 @@ def test_pagerank_warm_start_same_fixpoint_fewer_supersteps(
     # count; the material claim is "never worse, same fixpoint" (the
     # observed saving here is ~10 supersteps)
     assert warm.supersteps <= cold.supersteps
+
+
+def test_personalized_pagerank_matches_numpy(
+    spark, engine, small_edges, small_edges_pd
+):
+    """PPR to 1e-9 == NumPy oracle; non-seed teleport mass is zero."""
+    from pyspark.sql import functions as F
+
+    from drone_spark.algorithms.pagerank import personalized_pagerank
+    from tests.oracles import numpy_ppr
+
+    edge_list = list(small_edges_pd.itertuples(index=False, name=None))
+    seed_vids = sorted({s for s, _ in edge_list})[::7][:20]
+    seeds = spark.createDataFrame([(v,) for v in seed_vids], "vid long")
+    res = personalized_pagerank(
+        spark, engine, small_edges, seeds, run_id="t_ppr", tol=1e-9
+    )
+    got = {r.vid: r.pr for r in res.state.collect()}
+    exp = numpy_ppr(edge_list, seed_vids, tol=1e-9)
+    assert set(got) == set(exp)
+    assert all(abs(got[v] - exp[v]) < 1e-7 for v in exp)
+    # mass conservation sanity: Σpr ≤ 1 (dangling leak), > 0.1
+    total = sum(got.values())
+    assert 0.1 < total <= 1.0 + 1e-9
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark, engine, small_edges):
+    import pytest as _pytest
+
+    from drone_spark.algorithms.pagerank import personalized_pagerank
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            spark, engine, small_edges,
+            spark.createDataFrame([], "vid long"), run_id="t_ppr_empty",
+        )

@@ -83,3 +83,59 @@ def test_edges_stream_dedups_recrawl(spark, small_pages, tmp_path):
     )
     assert got.count() == edges_from_pages(small_pages).count()
     assert got.select("src", "dst").distinct().count() == got.count()
+
+
+def _ev(spark, rows):
+    """events rows: (event_id, ts_str, user_id, value)."""
+    from drone_spark.streaming.windows import EVENTS_SCHEMA
+
+    df = spark.createDataFrame(
+        [(i, ts, u, "click", v, "{}") for (i, ts, u, v) in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert df.schema == spark.createDataFrame([], EVENTS_SCHEMA).schema
+    return df
+
+
+def test_sessionize_fixture(spark):
+    """Known session boundaries: 30-min gap splits, ≤30-min keeps."""
+    from drone_spark.streaming.windows import sessionize
+
+    rows = [
+        # user 1: two events 10 min apart -> one session
+        (1, "2024-01-01 10:00:00", 1, 1.50),
+        (2, "2024-01-01 10:10:00", 1, 2.25),
+        # 31-min gap -> new session, single event
+        (3, "2024-01-01 10:41:00", 1, 4.00),
+        # user 2: exactly 30-min gap is NOT a split (gap > threshold splits)
+        (4, "2024-01-01 09:00:00", 2, 1.00),
+        (5, "2024-01-01 09:30:00", 2, 1.00),
+    ]
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.sum_value_c, r.duration_s)
+        for r in sessionize(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00"): (2, 375, 600),
+        (1, "2024-01-01 10:41:00"): (1, 400, 0),
+        (2, "2024-01-01 09:00:00"): (2, 200, 1800),
+    }
+
+
+def test_sessionize_stream_matches_batch(spark, events_batch, events_dir):
+    """session_window streaming plan == gaps-and-islands batch plan on
+    (user, start, n, sum); stream duration ≥ batch duration only via the
+    gap-subtraction identity (equal when sessions are gap-closed)."""
+    from drone_spark.streaming.windows import sessionize, sessionize_stream
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(
+        sessionize_stream(stream, gap_minutes=30), "t_sess", mode="complete"
+    ).select("user_id", "session_start", "n_events", "sum_value_c", "duration_s")
+    exp = sessionize(events_batch, gap_minutes=30).select(
+        "user_id", "session_start", "n_events", "sum_value_c", "duration_s"
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
