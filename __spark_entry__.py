@@ -688,6 +688,107 @@ def _ppr5_sql() -> str:
     return ", ".join(ctes) + " SELECT id AS vid, CAST(pr AS BIGINT) AS pr_fx FROM pr5"
 
 
+def q_host_rank5(spark, sf_dir):
+    """5 supersteps of fixed-point *weighted* PageRank over the HOST
+    graph — the full webgraph story in one query: page edges → host
+    rollup (n_links = edge weight) → md5 host ids → weighted rank →
+    join scores back to host names. Integer twin of
+    algorithms.pagerank.pagerank_weighted (float path NumPy-tested)."""
+    from drone_spark.extraction import host_graph, url_to_id_col
+    from drone_spark.graph.builder import vertices
+
+    hg = host_graph(_url_edges(spark, sf_dir))
+    edges = hg.select(
+        url_to_id_col("src_host").alias("src"),
+        url_to_id_col("dst_host").alias("dst"),
+        F.col("n_links").alias("w"),
+    )
+    hosts = (
+        hg.select(F.col("src_host").alias("host"))
+        .union(hg.select("dst_host"))
+        .distinct()
+        .select(url_to_id_col("host").alias("hvid"), "host")
+    )
+    eng = _engine(spark)
+
+    def init():
+        outw = edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum("w").alias("outw")
+        )
+        return (
+            vertices(edges.select("src", "dst"))
+            .join(outw, "id", "left")
+            .select(
+                F.col("id").alias("vid"),
+                F.lit(PR_SCALE).alias("pr_fx"),
+                F.coalesce("outw", F.lit(0)).alias("outw"),
+                F.lit(1.0).alias("delta"),
+            )
+        )
+
+    def step(state, _k):
+        contribs = (
+            state.where(F.col("outw") > 0)
+            .select("vid", "pr_fx", "outw")
+            .join(edges, F.col("vid") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("(pr_fx * w) div outw")).alias("acc"))
+        )
+        new_pr = F.lit(15 * PR_SCALE // 100) + F.expr(
+            "(85 * coalesce(acc, 0L)) div 100"
+        )
+        return state.join(contribs, state["vid"] == contribs["dst"], "left").select(
+            "vid",
+            new_pr.alias("pr_fx"),
+            "outw",
+            F.abs(new_pr - F.col("pr_fx")).cast("double").alias("delta"),
+        )
+
+    res = eng.run("entry_hostrank5", init, step, tol=0.0, max_supersteps=5)
+    return res.state.join(hosts, res.state["vid"] == hosts["hvid"]).select(
+        "host", "pr_fx"
+    )
+
+
+# DuckDB twin of extraction.url_to_id_col (hex-literal cast — DuckDB
+# has no CONV; tested equal to Spark's conv(md5,16,10) path)
+HOST_ID_SQL = "CAST(('0x' || SUBSTRING(md5({u}), 1, 15)) AS BIGINT)"
+
+
+def _host_rank5_sql() -> str:
+    hid = HOST_ID_SQL
+    ctes = [
+        f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}",
+        "hp AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls)",
+        "hg AS (SELECT src_host, dst_host, COUNT(*) AS w FROM hp "
+        "WHERE src_host <> dst_host GROUP BY src_host, dst_host)",
+        f"e AS (SELECT {hid.format(u='src_host')} AS src, "
+        f"{hid.format(u='dst_host')} AS dst, w FROM hg)",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e"
+        " UNION ALL SELECT dst AS id FROM e))",
+        "deg AS (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS outw"
+        " FROM e GROUP BY src)",
+        f"pr0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) AS pr FROM v)",
+    ]
+    for k in range(1, 6):
+        ctes.append(
+            f"pr{k} AS (SELECT v.id, CAST({15 * PR_SCALE // 100} + "
+            "(85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS pr "
+            "FROM v LEFT JOIN (SELECT e.dst AS id, "
+            "CAST(SUM((p.pr * e.w) // d.outw) AS BIGINT) AS acc "
+            f"FROM pr{k-1} p JOIN deg d ON p.id = d.id "
+            "JOIN e ON e.src = p.id GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return ", ".join(ctes) + (
+        ", hosts AS (SELECT DISTINCT host FROM (SELECT src_host AS host"
+        " FROM hg UNION ALL SELECT dst_host FROM hg)) "
+        f"SELECT h.host, CAST(p.pr AS BIGINT) AS pr_fx FROM pr5 p "
+        f"JOIN hosts h ON p.id = {hid.format(u='h.host')}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -737,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "top_hosts": q_top_hosts,
         "ppr5": q_ppr5,
+        "host_rank5": q_host_rank5,
     }
 
 
@@ -917,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY in_links DESC, host LIMIT 20"
         ),
         "ppr5": _ppr5_sql(),
+        "host_rank5": _host_rank5_sql(),
         "vocab_topk": _vocab_topk_oracle(),
         "lang_id": _lang_id_oracle(),
         "embedding_near_dups_exact": _embedding_exact_oracle(),

@@ -348,6 +348,25 @@ def main() -> None:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     timed("cosine_topk", lambda: cosine_topk_bruteforce(emb, queries, k=10).count())
+
+    # r3 webtext ops — reported under their own key (NOT in timings) so
+    # the cross-round headline_suite_seconds stays definition-stable
+    from drone_spark.extraction import host_graph
+    from drone_spark.streaming.windows import sessionize
+
+    url_edges = edges_from_pages(pages).select("src_url", "dst_url").persist()
+    url_edges.count()  # extraction untimed — measured by extract_edges
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    webtext = {}
+    for name, fn in {
+        "host_graph_s": lambda: host_graph(url_edges).count(),
+        "sessionize_s": lambda: sessionize(ev).count(),
+    }.items():
+        t0 = time.monotonic()
+        fn()
+        webtext[name] = round(time.monotonic() - t0, 2)
+    url_edges.unpersist()
+    extras["webtext_ops"] = webtext
     spark.stop()
 
     # -- scaling probe: same PageRank job at several core counts

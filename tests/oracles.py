@@ -130,3 +130,33 @@ def numpy_ppr(
         if done:
             break
     return {v: pr[idx[v]] for v in ids}
+
+
+def numpy_weighted_pagerank(
+    edges: list[tuple[int, int, float]],
+    tol=1e-6,
+    damping=0.85,
+    max_iter=2000,
+):
+    """Weighted PageRank: scatter pr·w_e/W_u (W_u = Σ out-weights);
+    fixpoint pr = d·Σ_in pr_u·w_e/W_u + (1-d), init 1.0."""
+    ids = sorted({v for s, d, _ in edges for v in (s, d)})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    outw = np.zeros(n)
+    for s, _, w in edges:
+        outw[idx[s]] += w
+    src = np.array([idx[s] for s, _, _ in edges])
+    dst = np.array([idx[d] for _, d, _ in edges])
+    ws = np.array([w for _, _, w in edges], dtype=float)
+    pr = np.ones(n)
+    for _ in range(max_iter):
+        r = np.divide(pr, outw, out=np.zeros(n), where=outw > 0)
+        acc = np.zeros(n)
+        np.add.at(acc, dst, r[src] * ws)
+        new = (1 - damping) + damping * acc
+        done = np.max(np.abs(new - pr)) <= tol
+        pr = new
+        if done:
+            break
+    return {v: pr[idx[v]] for v in ids}

@@ -175,3 +175,31 @@ def test_personalized_pagerank_empty_seeds_raises(spark, engine, small_edges):
             spark, engine, small_edges,
             spark.createDataFrame([], "vid long"), run_id="t_ppr_empty",
         )
+
+
+def test_weighted_pagerank_matches_numpy(spark, engine):
+    """Weighted PR == NumPy oracle on a graph with strong weight skew;
+    all-ones weights reduce to the uniform kernel."""
+    import random
+
+    from drone_spark.algorithms.pagerank import pagerank, pagerank_weighted
+    from tests.oracles import numpy_pagerank, numpy_weighted_pagerank
+
+    rng = random.Random(7)
+    wedges = sorted(
+        {(rng.randrange(60), rng.randrange(60)) for _ in range(400)}
+    )
+    wedges = [(s, d, float(rng.choice([1, 1, 2, 10, 100]))) for s, d in wedges
+              if s != d]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    res = pagerank_weighted(spark, engine, df, run_id="t_wpr", tol=1e-8)
+    got = {r.vid: r.pr for r in res.state.collect()}
+    exp = numpy_weighted_pagerank(wedges, tol=1e-8)
+    assert set(got) == set(exp)
+    assert all(abs(got[v] - exp[v]) < 1e-6 for v in exp)
+
+    ones = df.withColumn("weight", df.weight * 0 + 1.0)
+    res1 = pagerank_weighted(spark, engine, ones, run_id="t_wpr1", tol=1e-8)
+    got1 = {r.vid: r.pr for r in res1.state.collect()}
+    exp1 = numpy_pagerank([(s, d) for s, d, _ in wedges], tol=1e-8)
+    assert all(abs(got1[v] - exp1[v]) < 1e-6 for v in exp1)

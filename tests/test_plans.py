@@ -144,3 +144,26 @@ def test_minhash_signatures_partial_aggregation(spark):
     plan = _plan(minhash_signatures(docs, num_hashes=8))
     assert "collect_list" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_sessionize_single_exchange_no_python(spark):
+    """sessionize: both analytic windows and the final groupBy share ONE
+    hash exchange on user_id — and the whole plan is JVM-side."""
+    from drone_spark.streaming.windows import sessionize
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(sessionize(ev))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_host_graph_partial_aggregation_no_python(spark, small_pages):
+    """host rollup: partial_count before the exchange (map-side combine
+    absorbs the high->low cardinality agg), zero Python."""
+    from drone_spark.extraction import edges_from_pages, host_graph
+
+    plan = _plan(host_graph(edges_from_pages(small_pages)))
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan
