@@ -789,6 +789,116 @@ def _host_rank5_sql() -> str:
     )
 
 
+KCORE_K = 80
+KCORE_ROUNDS = 8
+
+
+def q_kcore(spark, sf_dir):
+    """8 pinned parallel-peeling rounds toward the 5-core of the
+    co-purchase graph (algorithms.kcore.k_core; the unpinned operator
+    runs to the true fixpoint and is pytest-oracled). Early convergence
+    is safe: peeling is idempotent at the fixpoint, so 'exactly 8
+    rounds' and 'converged in ≤8' yield the same set — mirrored by the
+    8-round unrolled SQL. Output: (vid, core_deg) within the surviving
+    induced subgraph."""
+    from drone_spark.algorithms.kcore import k_core, symmetrize
+
+    edges = _copurchase_edges(spark, sf_dir)
+    res = k_core(
+        spark, _engine(spark), edges, k=KCORE_K,
+        run_id="entry_kcore", max_supersteps=KCORE_ROUNDS,
+    )
+    act = res.state.where("active").select("vid")
+    sym = symmetrize(edges)
+    return (
+        sym.join(act.withColumnRenamed("vid", "src"), "src")
+        .join(act.withColumnRenamed("vid", "dst"), "dst")
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        f"WITH {SQL_COPURCHASE}, {SQL_SYM}",
+        "s0 AS (SELECT id FROM v)",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.src AS id FROM sym e "
+            f"JOIN s{i-1} a ON e.src = a.id "
+            f"JOIN s{i-1} b ON e.dst = b.id "
+            f"GROUP BY e.src HAVING COUNT(*) >= {KCORE_K})"
+        )
+    return ", ".join(ctes) + (
+        f" SELECT e.src AS vid, COUNT(*) AS core_deg FROM sym e "
+        f"JOIN s{KCORE_ROUNDS} a ON e.src = a.id "
+        f"JOIN s{KCORE_ROUNDS} b ON e.dst = b.id GROUP BY e.src"
+    )
+
+
+def q_hits3(spark, sf_dir):
+    """3 rounds of *unnormalized integer* HITS (auth from old hub, hub
+    from NEW auth — Kleinberg's ordering) on the bipartite graph; pure
+    BIGINT sums, so bit-identical across engines with no fixed-point
+    scale at all. The normalized float operator (algorithms.hits.hits)
+    is NumPy-oracled in tests/test_kcore_hits.py."""
+    from drone_spark.graph.builder import vertices
+
+    edges = _bipartite_edges(spark, sf_dir).persist()
+    v = vertices(edges).select(F.col("id").alias("vid"))
+    state = v.select("vid", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(3):
+        auth = (
+            state.select(F.col("vid").alias("src"), "hub")
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = v.join(auth, "vid", "left").select(
+            "vid", F.coalesce("auth", F.lit(0)).alias("auth")
+        )
+        hub = (
+            auth.select(F.col("vid").alias("dst"), "auth")
+            .join(edges, "dst")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        state = v.join(hub, "vid", "left").select(
+            "vid", F.coalesce("hub", F.lit(0)).alias("hub")
+        )
+    return auth.join(state, "vid").select(
+        "vid", F.col("auth").alias("auth_fx"), F.col("hub").alias("hub_fx")
+    )
+
+
+def _hits3_sql() -> str:
+    ctes = [
+        f"WITH {SQL_BIPARTITE}",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        "h0 AS (SELECT id, CAST(1 AS BIGINT) AS hub FROM v)",
+    ]
+    for k in range(1, 4):
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT v.id, CAST(COALESCE(s.x, 0) AS BIGINT) AS auth "
+            "FROM v LEFT JOIN (SELECT e.dst AS id, CAST(SUM(h.hub) AS BIGINT)"
+            f" AS x FROM h{k-1} h JOIN edges e ON e.src = h.id GROUP BY e.dst)"
+            " s ON v.id = s.id)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT v.id, CAST(COALESCE(s.x, 0) AS BIGINT) AS hub "
+            "FROM v LEFT JOIN (SELECT e.src AS id, CAST(SUM(a.auth) AS BIGINT)"
+            f" AS x FROM a{k} a JOIN edges e ON e.dst = a.id GROUP BY e.src)"
+            " s ON v.id = s.id)"
+        )
+    return ", ".join(ctes) + (
+        " SELECT a3.id AS vid, CAST(a3.auth AS BIGINT) AS auth_fx,"
+        " CAST(h3.hub AS BIGINT) AS hub_fx FROM a3 JOIN h3 ON a3.id = h3.id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -839,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hosts": q_top_hosts,
         "ppr5": q_ppr5,
         "host_rank5": q_host_rank5,
+        "kcore": q_kcore,
+        "hits3": q_hits3,
     }
 
 
@@ -1020,6 +1132,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ppr5": _ppr5_sql(),
         "host_rank5": _host_rank5_sql(),
+        "kcore": _kcore_sql(),
+        "hits3": _hits3_sql(),
         "vocab_topk": _vocab_topk_oracle(),
         "lang_id": _lang_id_oracle(),
         "embedding_near_dups_exact": _embedding_exact_oracle(),

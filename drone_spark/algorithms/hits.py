@@ -1,0 +1,109 @@
+"""HITS (hubs & authorities) — Kleinberg's webgraph eigenvector pair.
+
+The second classic link-analysis score next to PageRank (Kleinberg,
+JACM 1999): per round ``auth(v) = Σ_{u→v} hub(u)`` then
+``hub(u) = Σ_{u→v} auth(v)``, each L2-normalized; converges to the
+principal singular vectors of the adjacency matrix. Absent from the
+reference (its kernels are PR/CC/SSSP/Sim) but inseparable from the
+link_graph tier's domain.
+
+Plan shape per superstep: two scatter joins against the once-cached
+src-partitioned edge table (auth pass joins on src, hub pass on dst)
+with map-side partial sums, plus two 1-row L2-norm aggregates that
+broadcast back via a literal-free cross join — Spark's equivalent of a
+global reduce+broadcast, costing one ≤1-row exchange each. State is
+(vid, auth, hub); only it shuffles per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.superstep import RunResult, SuperstepEngine
+from ..graph.builder import vertices
+
+
+def _l2_normalized(df: DataFrame, col: str) -> DataFrame:
+    norm = df.agg(
+        F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
+    )
+    return (
+        df.crossJoin(F.broadcast(norm))
+        .withColumn(col, F.col(col) / F.when(F.col("_n") > 0, F.col("_n")).otherwise(1.0))
+        .drop("_n")
+    )
+
+
+def hits(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    run_id: str = "hits",
+    tol: float = 1e-8,
+    max_supersteps: int = 100,
+) -> RunResult:
+    """Run HITS to convergence (L∞ delta over both scores ≤ tol).
+
+    Result state: (vid, auth, hub, delta), each score vector
+    L2-normalized. Vertices with no in-edges get auth 0; no out-edges →
+    hub 0 (after the first round)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_r = (
+        edges.select("src", "dst").repartition(n_parts, "src").persist()
+    )
+    n_edges = edges_r.count()
+
+    def init() -> DataFrame:
+        return vertices(edges_r).select(
+            F.col("id").alias("vid"),
+            F.lit(1.0).alias("auth"),
+            F.lit(1.0).alias("hub"),
+            F.lit(1.0).alias("delta"),
+        )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        auth_raw = (
+            state.select(F.col("vid").alias("src"), "hub")
+            .join(edges_r, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("hub").alias("auth_new"))
+        )
+        auth = _l2_normalized(
+            state.select("vid", "auth", "hub")
+            .join(auth_raw, "vid", "left")
+            .withColumn("auth_new", F.coalesce("auth_new", F.lit(0.0))),
+            "auth_new",
+        )
+        hub_raw = (
+            auth.select(F.col("vid").alias("dst"), "auth_new")
+            .join(edges_r, "dst")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.sum("auth_new").alias("hub_new"))
+        )
+        out = _l2_normalized(
+            auth.join(hub_raw, "vid", "left")
+            .withColumn("hub_new", F.coalesce("hub_new", F.lit(0.0))),
+            "hub_new",
+        )
+        return out.select(
+            "vid",
+            F.col("auth_new").alias("auth"),
+            F.col("hub_new").alias("hub"),
+            F.greatest(
+                F.abs(F.col("auth_new") - F.col("auth")),
+                F.abs(F.col("hub_new") - F.col("hub")),
+            ).alias("delta"),
+        )
+
+    try:
+        # both passes touch every edge once each per round
+        return engine.run(
+            run_id,
+            init,
+            step,
+            tol=tol,
+            max_supersteps=max_supersteps,
+            edges_per_step=2 * n_edges,
+        )
+    finally:
+        edges_r.unpersist()

@@ -160,3 +160,49 @@ def numpy_weighted_pagerank(
         if done:
             break
     return {v: pr[idx[v]] for v in ids}
+
+
+def py_kcore(edges: list[tuple[int, int]], k: int):
+    """Parallel peeling to fixpoint; returns {vid: core_degree} of the
+    k-core (undirected, simple, self-loops dropped)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    active = set(adj)
+    while True:
+        drop = {v for v in active if sum(1 for n in adj[v] if n in active) < k}
+        if not drop:
+            break
+        active -= drop
+    return {v: sum(1 for n in adj[v] if n in active) for v in active}
+
+
+def numpy_hits(edges: list[tuple[int, int]], tol=1e-8, max_iter=1000):
+    """HITS with per-round L2 normalization: auth from old hub, hub from
+    NEW auth (Kleinberg's ordering). Returns {vid: (auth, hub)}."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    src = np.array([idx[s] for s, _ in edges])
+    dst = np.array([idx[d] for _, d in edges])
+    auth = np.ones(n)
+    hub = np.ones(n)
+    for _ in range(max_iter):
+        auth_new = np.zeros(n)
+        np.add.at(auth_new, dst, hub[src])
+        na = np.linalg.norm(auth_new)
+        auth_new /= na if na > 0 else 1.0
+        hub_new = np.zeros(n)
+        np.add.at(hub_new, src, auth_new[dst])
+        nh = np.linalg.norm(hub_new)
+        hub_new /= nh if nh > 0 else 1.0
+        done = max(
+            np.max(np.abs(auth_new - auth)), np.max(np.abs(hub_new - hub))
+        ) <= tol
+        auth, hub = auth_new, hub_new
+        if done:
+            break
+    return {v: (auth[idx[v]], hub[idx[v]]) for v in ids}

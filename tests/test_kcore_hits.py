@@ -1,0 +1,38 @@
+"""k-core peeling and HITS vs Python/NumPy oracles."""
+
+from pyspark.sql import functions as F
+
+from drone_spark.algorithms.hits import hits
+from drone_spark.algorithms.kcore import core_members, k_core
+from tests.oracles import numpy_hits, py_kcore
+
+
+def test_kcore_matches_python_peel(spark, engine, small_edges, small_edges_pd):
+    edge_list = list(small_edges_pd.itertuples(index=False, name=None))
+    for k in (2, 3):
+        res = k_core(spark, engine, small_edges, k=k, run_id=f"t_kcore{k}")
+        got = {r.vid: r.deg for r in core_members(res).collect()}
+        exp = py_kcore(edge_list, k)
+        assert got == exp
+        assert res.converged
+
+
+def test_kcore_peels_chain_entirely(spark, engine):
+    # a path graph has empty 2-core; a triangle survives
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    res = k_core(spark, engine, df, k=2, run_id="t_kcore_chain")
+    got = {r.vid: r.deg for r in core_members(res).collect()}
+    assert got == {10: 2, 11: 2, 12: 2}
+
+
+def test_hits_matches_numpy(spark, engine, small_edges, small_edges_pd):
+    edge_list = list(small_edges_pd.itertuples(index=False, name=None))
+    res = hits(spark, engine, small_edges, run_id="t_hits", tol=1e-7,
+               max_supersteps=80)
+    got = {r.vid: (r.auth, r.hub) for r in res.state.collect()}
+    exp = numpy_hits(edge_list, tol=1e-7)
+    assert set(got) == set(exp)
+    for v, (a, h) in exp.items():
+        assert abs(got[v][0] - a) < 1e-5, v
+        assert abs(got[v][1] - h) < 1e-5, v
