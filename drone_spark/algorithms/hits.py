@@ -7,12 +7,16 @@ principal singular vectors of the adjacency matrix. Absent from the
 reference (its kernels are PR/CC/SSSP/Sim) but inseparable from the
 link_graph tier's domain.
 
-Plan shape per superstep: two scatter joins against the once-cached
-src-partitioned edge table (auth pass joins on src, hub pass on dst)
-with map-side partial sums, plus two 1-row L2-norm aggregates that
-broadcast back via a literal-free cross join — Spark's equivalent of a
-global reduce+broadcast, costing one ≤1-row exchange each. State is
-(vid, auth, hub); only it shuffles per round.
+Plan shape per superstep: two scatter joins with map-side partial
+sums, plus two 1-row L2-norm aggregates that broadcast back via a
+cross join — Spark's equivalent of a global reduce+broadcast, costing
+one ≤1-row exchange each. HITS needs the adjacency in BOTH
+orientations (auth pass joins on src, hub pass on dst), so the edge
+table is cached twice — once hash-partitioned on src, once on dst —
+paying 2× edge memory so that neither pass re-shuffles edges per
+round; only the (vid, auth, hub) state moves. The single-copy
+alternative re-shuffles the full edge table on dst every superstep — a
+scale killer at 100 TB.
 """
 
 from __future__ import annotations
@@ -48,13 +52,17 @@ def hits(
     L2-normalized. Vertices with no in-edges get auth 0; no out-edges →
     hub 0 (after the first round)."""
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_r = (
+    edges_s = (
         edges.select("src", "dst").repartition(n_parts, "src").persist()
     )
-    n_edges = edges_r.count()
+    edges_d = (
+        edges.select("src", "dst").repartition(n_parts, "dst").persist()
+    )
+    n_edges = edges_s.count()
+    edges_d.count()
 
     def init() -> DataFrame:
-        return vertices(edges_r).select(
+        return vertices(edges_s).select(
             F.col("id").alias("vid"),
             F.lit(1.0).alias("auth"),
             F.lit(1.0).alias("hub"),
@@ -64,7 +72,7 @@ def hits(
     def step(state: DataFrame, _k: int) -> DataFrame:
         auth_raw = (
             state.select(F.col("vid").alias("src"), "hub")
-            .join(edges_r, "src")
+            .join(edges_s, "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum("hub").alias("auth_new"))
         )
@@ -76,7 +84,7 @@ def hits(
         )
         hub_raw = (
             auth.select(F.col("vid").alias("dst"), "auth_new")
-            .join(edges_r, "dst")
+            .join(edges_d, "dst")
             .groupBy(F.col("src").alias("vid"))
             .agg(F.sum("auth_new").alias("hub_new"))
         )
@@ -106,4 +114,5 @@ def hits(
             edges_per_step=2 * n_edges,
         )
     finally:
-        edges_r.unpersist()
+        edges_s.unpersist()
+        edges_d.unpersist()

@@ -8,14 +8,17 @@ algorithm: every round simultaneously drop all vertices whose degree
 within the surviving subgraph is < k; the fixpoint is exactly the
 k-core (Matula & Beck 1983 — greatest-fixpoint characterization).
 
-Superstep shape (engine-run, so checkpoints/resume/metrics come free):
-the symmetrized edge table is deduped, hash-partitioned on ``src`` and
-cached ONCE; each round joins it against the current active-vertex set
-twice (both endpoints must survive) and recounts degrees — two
-broadcast-or-shuffle hash joins plus one partial-agg count, all
-codegen. Only the shrinking (vid, active) state shuffles per round; at
-100 TB the edge table never moves after placement, the same discipline
-as every other kernel here (see pagerank.py module docstring).
+Superstep shape (engine-run, so checkpoints/resume/metrics come free)
+— **frontier decrements**, not per-round degree recounts: a round's
+work is proportional to the vertices dropped in it, not to |E|. Each
+round the newly-dropped set joins the once-cached src-partitioned
+symmetric edge table (reusing its partitioning — the edge table never
+re-shuffles) and scatters a −1 to every neighbor; a partial-agg sum on
+dst folds the decrements into the surviving vertices' degrees. A naive
+recount formulation (join sym against the active set on BOTH
+endpoints) would re-shuffle the full edge table on ``dst`` every round
+— a scale killer this module deliberately avoids, mirroring the
+frontier discipline of delta-PR/CC/SSSP.
 """
 
 from __future__ import annotations
@@ -44,10 +47,10 @@ def k_core(
 ) -> RunResult:
     """Peel to the k-core fixpoint. Result state: every vertex that ever
     carried an edge, with ``active`` = membership in the k-core after
-    the final round and ``deg`` = its degree among the vertices that
-    were active at the start of that round (== its k-core degree once
-    converged). ``tol=0`` termination: the run stops the first round in
-    which no vertex is dropped."""
+    the final round and ``deg`` = original degree minus every edge into
+    the dropped set (== its degree within the survivors, the k-core
+    degree once converged). ``tol=0`` termination: the run stops the
+    first round in which no vertex is dropped."""
     if k < 1:
         raise ValueError(f"k_core requires k >= 1, got {k}")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -62,24 +65,33 @@ def k_core(
             "vid",
             F.lit(True).alias("active"),
             "deg",
+            # original degree: a dropping vertex's scatter joins ALL its
+            # sym rows, so the traversal counter needs the undecremented
+            # count
+            F.col("deg").alias("odeg"),
             F.lit(1.0).alias("delta"),  # force ≥1 peeling round
         )
 
     def step(state: DataFrame, _k: int) -> DataFrame:
-        act_src = state.where("active").select(F.col("vid").alias("src"))
-        act_dst = state.where("active").select(F.col("vid").alias("dst"))
-        deg_in = (
-            sym.join(act_src, "src")
-            .join(act_dst, "dst")
-            .groupBy(F.col("src").alias("vid"))
-            .agg(F.count(F.lit(1)).alias("deg2"))
+        # frontier = vertices dropping THIS round; only they touch edges
+        dropping = state.where(F.col("active") & (F.col("deg") < k)).select(
+            F.col("vid").alias("src")
         )
-        joined = state.join(deg_in, "vid", "left")
-        new_active = F.col("active") & (F.coalesce("deg2", F.lit(0)) >= k)
+        decs = (
+            sym.join(dropping, "src")  # reuses sym's cached src hash
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        joined = state.join(decs, "vid", "left")
+        new_active = F.col("active") & (F.col("deg") >= k)
+        # a dropped vertex's deg no longer matters; survivors lose one
+        # per edge into this round's frontier (frontier-internal edges
+        # decrement already-dead vertices, harmlessly)
         return joined.select(
             "vid",
             new_active.alias("active"),
-            F.coalesce("deg2", F.lit(0)).alias("deg"),
+            (F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg"),
+            "odeg",
             F.when(F.col("active") != new_active, 1.0)
             .otherwise(0.0)
             .alias("delta"),
@@ -93,10 +105,11 @@ def k_core(
             tol=0.0,
             max_supersteps=max_supersteps,
             edges_per_step=n_edges,
-            # each round re-touches every edge of the surviving subgraph
-            traversed_expr=F.when(F.col("active"), F.col("deg")).otherwise(
-                F.lit(0)
-            ),
+            # next superstep's scatter = this round's frontier: rows
+            # about to drop join all their sym edges
+            traversed_expr=F.when(
+                F.col("active") & (F.col("deg") < k), F.col("odeg")
+            ).otherwise(F.lit(0)),
         )
     finally:
         sym.unpersist()

@@ -167,3 +167,74 @@ def test_host_graph_partial_aggregation_no_python(spark, small_pages):
     plan = _plan(host_graph(edges_from_pages(small_pages)))
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kcore_step_never_reshuffles_edges(spark, small_edges):
+    """Frontier-decrement peeling: the round plan joins the cached sym
+    table only on its cached src hash — no Exchange re-partitions the
+    edge side (the naive both-endpoint recount would exchange sym on
+    dst every round)."""
+    import re
+
+    from drone_spark.algorithms.kcore import symmetrize
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = symmetrize(small_edges).repartition(n, "src").persist()
+    sym.count()
+    state = (
+        sym.groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("vid", F.lit(True).alias("active"), "deg")
+        .localCheckpoint(eager=True)
+    )
+    dropping = state.where(F.col("active") & (F.col("deg") < 3)).select(
+        F.col("vid").alias("src")
+    )
+    decs = (
+        sym.join(dropping, "src")
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("dec"))
+    )
+    live = _plan(state.join(decs, "vid", "left")).split("InMemoryRelation")[0]
+    for match in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", live):
+        assert match.group(1) != "src", live
+    sym.unpersist()
+
+
+def test_hits_passes_reuse_both_edge_caches(spark, small_edges):
+    """Each HITS pass joins the orientation-matching cached copy: the
+    auth pass never exchanges on src, the hub pass never on dst."""
+    import re
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    es = small_edges.repartition(n, "src").persist()
+    ed = small_edges.repartition(n, "dst").persist()
+    es.count(), ed.count()
+    state = (
+        es.select(F.col("src").alias("vid")).distinct()
+        .select("vid", F.lit(1.0).alias("hub"))
+        .localCheckpoint(eager=True)
+    )
+    auth_pass = (
+        state.select(F.col("vid").alias("src"), "hub")
+        .join(es, "src")
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.sum("hub").alias("auth"))
+    )
+    # each pass audited standalone (checkpointed input), else the
+    # upstream pass's own legitimate combine exchange leaks into the plan
+    auth = auth_pass.localCheckpoint(eager=True)
+    hub_pass = (
+        auth.select(F.col("vid").alias("dst"), "auth")
+        .join(ed, "dst")
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("auth").alias("hub"))
+    )
+    live_a = _plan(auth_pass).split("InMemoryRelation")[0]
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", live_a):
+        assert m.group(1) != "src", live_a  # edges never re-hashed on src
+    live_h = _plan(hub_pass).split("InMemoryRelation")[0]
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", live_h):
+        assert m.group(1) != "dst", live_h  # edges never re-hashed on dst
+    es.unpersist()
+    ed.unpersist()
