@@ -36,3 +36,45 @@ def test_hits_matches_numpy(spark, engine, small_edges, small_edges_pd):
     for v, (a, h) in exp.items():
         assert abs(got[v][0] - a) < 1e-5, v
         assert abs(got[v][1] - h) < 1e-5, v
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_kcore_random_graphs(spark, engine, seed):
+    """Randomized graphs (power-law-ish via preferential ids) against
+    the Python peel oracle across several k."""
+    import random
+
+    rng = random.Random(seed)
+    edges = sorted(
+        {
+            (rng.randrange(40), rng.randrange(rng.choice([10, 40])))
+            for _ in range(150)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 4):
+        res = k_core(spark, engine, df, k=k, run_id=f"t_kc_r{seed}_{k}")
+        got = {r.vid: r.deg for r in core_members(res).collect()}
+        assert got == py_kcore(edges, k), (seed, k)
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_hits_random_graphs(spark, engine, seed):
+    import random
+
+    rng = random.Random(seed)
+    edges = sorted(
+        {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = hits(spark, engine, df, run_id=f"t_hits_r{seed}", tol=1e-7,
+               max_supersteps=80)
+    got = {r.vid: (r.auth, r.hub) for r in res.state.collect()}
+    exp = numpy_hits(edges, tol=1e-7)
+    for v, (a, h) in exp.items():
+        assert abs(got[v][0] - a) < 1e-5 and abs(got[v][1] - h) < 1e-5, (seed, v)

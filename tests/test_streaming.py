@@ -139,3 +139,65 @@ def test_sessionize_stream_matches_batch(spark, events_batch, events_dir):
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_sessionize_stateful_matches_batch_closed_sessions(
+    spark, events_batch, events_dir
+):
+    """applyInPandasWithState sessionization == batch gaps-and-islands
+    for every session the final watermark closed; nothing extra, and
+    every emitted row is exactly a batch row."""
+    from drone_spark.streaming.stateful import closed_by, sessionize_stateful
+    from drone_spark.streaming.windows import sessionize
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(
+        sessionize_stateful(stream, gap_minutes=30), "t_sess_stateful",
+        mode="append",
+    ).cache()
+    batch = sessionize(events_batch, gap_minutes=30).cache()
+
+    # every emitted session is a batch session (exact values)
+    assert got.exceptAll(batch).count() == 0
+
+    # and everything provably closed by the final watermark was emitted
+    max_us = events_batch.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    final_wm_us = max_us - 2 * 3600 * 1_000_000
+    must_have = closed_by(batch, final_wm_us, gap_minutes=30)
+    missing = must_have.exceptAll(got).count()
+    assert missing == 0, f"{missing} watermark-closed sessions not emitted"
+    got.unpersist()
+    batch.unpersist()
+
+
+def test_sessionize_stateful_fixture_withholds_open_session(spark, tmp_path):
+    """Deterministic emission check: closed sessions emit exactly the
+    batch values; the session the watermark hasn't passed stays in
+    state (a far-future event drives the watermark past the others)."""
+    from drone_spark.streaming.stateful import sessionize_stateful
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, 1.50),
+        (2, "2024-01-01 10:10:00", 1, 2.25),
+        (3, "2024-01-01 10:41:00", 1, 4.00),
+        (4, "2024-01-01 09:00:00", 2, 1.00),
+        (5, "2024-01-01 09:30:00", 2, 1.00),
+        (6, "2024-01-02 23:00:00", 3, 9.99),  # watermark driver
+    ]
+    d = str(tmp_path / "ev")
+    _ev(spark, rows).write.parquet(d)
+    got = run_available_now(
+        sessionize_stateful(read_events_stream(spark, d)), "t_sf_fix",
+        mode="append",
+    )
+    out = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.sum_value_c, r.duration_s)
+        for r in got.collect()
+    }
+    assert out == {
+        (1, "2024-01-01 10:00:00"): (2, 375, 600),
+        (1, "2024-01-01 10:41:00"): (1, 400, 0),
+        (2, "2024-01-01 09:00:00"): (2, 200, 1800),
+    }
