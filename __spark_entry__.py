@@ -899,6 +899,77 @@ def _hits3_sql() -> str:
     )
 
 
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization as dedup: per order id, a deliberately
+    messy variant (upper-cased scheme/host, default port, trailing
+    slash, fragment — each keyed off id moduli) and its clean twin must
+    collapse to ONE canonical url with n_variants = 2. Exercises
+    extraction.canonicalize_url end-to-end against the same string
+    pipeline unrolled in DuckDB."""
+    from drone_spark.extraction import canonicalize_url
+
+    src = _bipartite_edges(spark, sf_dir).select("src").distinct()
+    base = F.concat(
+        F.lit("site"), (F.col("src") % 199).cast("string"), F.lit(".example")
+    )
+    scheme_messy = F.when(F.col("src") % 2 == 0, "HTTP").otherwise("https")
+    host_messy = F.when(F.col("src") % 3 == 0, F.upper(base)).otherwise(base)
+    port = F.when(
+        F.col("src") % 5 == 0,
+        F.when(F.col("src") % 2 == 0, ":80").otherwise(":443"),
+    ).otherwise("")
+    path = F.concat(
+        F.lit("/p"),
+        F.col("src").cast("string"),
+        F.when(F.col("src") % 7 == 0, "/").otherwise(""),
+    )
+    frag = F.when(F.col("src") % 11 == 0, "#top").otherwise("")
+    messy = src.select(
+        F.concat(
+            scheme_messy, F.lit("://"), host_messy, port, path, frag
+        ).alias("url")
+    )
+    clean = src.select(
+        F.concat(
+            F.when(F.col("src") % 2 == 0, "http").otherwise("https"),
+            F.lit("://"),
+            base,
+            F.lit("/p"),
+            F.col("src").cast("string"),
+        ).alias("url")
+    )
+    return (
+        messy.union(clean)
+        .select(canonicalize_url("url").alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
+def _canonical_urls_sql() -> str:
+    from drone_spark.extraction import CANON_URL_SQL
+
+    return (
+        f"WITH {SQL_BIPARTITE}, s AS (SELECT DISTINCT src FROM edges), "
+        "raw AS ("
+        "SELECT (CASE WHEN src % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'"
+        " || (CASE WHEN src % 3 = 0 THEN upper('site' ||"
+        " CAST(src % 199 AS VARCHAR) || '.example') ELSE 'site' ||"
+        " CAST(src % 199 AS VARCHAR) || '.example' END)"
+        " || (CASE WHEN src % 5 = 0 THEN"
+        " (CASE WHEN src % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END)"
+        " || '/p' || CAST(src AS VARCHAR)"
+        " || (CASE WHEN src % 7 = 0 THEN '/' ELSE '' END)"
+        " || (CASE WHEN src % 11 = 0 THEN '#top' ELSE '' END) AS url FROM s"
+        " UNION ALL "
+        "SELECT (CASE WHEN src % 2 = 0 THEN 'http' ELSE 'https' END) || '://'"
+        " || 'site' || CAST(src % 199 AS VARCHAR) || '.example'"
+        " || '/p' || CAST(src AS VARCHAR) AS url FROM s) "
+        f"SELECT {CANON_URL_SQL.format(u='url')} AS url,"
+        " COUNT(*) AS n_variants FROM raw GROUP BY 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -951,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank5": q_host_rank5,
         "kcore": q_kcore,
         "hits3": q_hits3,
+        "canonical_urls": q_canonical_urls,
     }
 
 
@@ -1134,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "host_rank5": _host_rank5_sql(),
         "kcore": _kcore_sql(),
         "hits3": _hits3_sql(),
+        "canonical_urls": _canonical_urls_sql(),
         "vocab_topk": _vocab_topk_oracle(),
         "lang_id": _lang_id_oracle(),
         "embedding_near_dups_exact": _embedding_exact_oracle(),

@@ -160,3 +160,32 @@ def top_hosts(edges: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("in_links"), "host")
         .limit(k)
     )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of a crawl URL, entirely in codegen'd string ops
+    (no UDF): strip the fragment, lowercase scheme://host (path case
+    preserved), drop explicit default ports (:80 for http, :443 for
+    https), drop a single trailing slash on a non-root path. The
+    normalization every URL-level dedup / crawl frontier needs before
+    hashing — distinct variants of one page must map to one id
+    (compose with :func:`url_to_id_col`)."""
+    col = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(col, "#.*$", "")  # fragment
+    pre = F.lower(F.regexp_extract(c, "^([A-Za-z]+://[^/]*)", 1))
+    pre = F.regexp_replace(pre, "^(http://[^:]+):80$", "$1")
+    pre = F.regexp_replace(pre, "^(https://[^:]+):443$", "$1")
+    rest = F.regexp_replace(c, "^[A-Za-z]+://[^/]*", "")
+    rest = F.regexp_replace(rest, "(.)/$", "$1")  # '/a/'→'/a', '/' stays
+    return F.concat(pre, rest)
+
+
+# DuckDB textual twin of canonicalize_url (RE2 \\1 backrefs vs Java $1)
+CANON_URL_SQL = (
+    "concat("
+    "regexp_replace(regexp_replace(lower(regexp_extract("
+    "regexp_replace({u}, '#.*$', ''), '^([A-Za-z]+://[^/]*)', 1)), "
+    "'^(http://[^:]+):80$', '\\1'), '^(https://[^:]+):443$', '\\1'), "
+    "regexp_replace(regexp_replace(regexp_replace({u}, '#.*$', ''), "
+    "'^[A-Za-z]+://[^/]*', ''), '(.)/$', '\\1'))"
+)

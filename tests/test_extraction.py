@@ -73,3 +73,40 @@ def test_top_hosts_ranking(spark, small_pages):
     )[:5]
     got = [(r.host, r.in_links) for r in top_hosts(edges, k=5).collect()]
     assert got == exp
+
+
+def test_canonicalize_url_cases(spark):
+    """Fragment/case/default-port/trailing-slash normalization; DuckDB
+    textual twin produces identical strings (oracle precondition)."""
+    import duckdb
+
+    from drone_spark.extraction import CANON_URL_SQL, canonicalize_url
+
+    cases = {
+        "HTTP://Site5.Example:80/Path/To/P1#frag": "http://site5.example/Path/To/P1",
+        "https://a.example:443/x/": "https://a.example/x",
+        "http://b.example/": "http://b.example/",   # root slash kept
+        "http://c.example:8080/y#z": "http://c.example:8080/y",  # non-default port kept
+        "https://D.example/Q/": "https://d.example/Q",
+        "http://e.example": "http://e.example",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == list(cases.values())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in cases])
+    duck = [r[0] for r in con.execute(
+        f"SELECT {CANON_URL_SQL.format(u='url')} FROM u").fetchall()]
+    assert duck == list(cases.values())
+
+
+def test_canonical_urls_query_collapses_every_variant_pair(spark):
+    """Driver query invariant: every messy/clean pair maps to ONE
+    canonical url (n_variants == 2 for all rows) — proves the
+    canonicalizer collapses, independent of the SQL oracle."""
+    import __spark_entry__ as E
+
+    out = E.q_canonical_urls(spark, "/root/testdata/sf0.001")
+    assert out.where("n_variants != 2").count() == 0
+    assert out.count() > 0
