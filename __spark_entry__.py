@@ -970,6 +970,37 @@ def _canonical_urls_sql() -> str:
     )
 
 
+def q_doc_length_quantiles(spark, sf_dir):
+    """Exact (interpolating) quantiles of document length per language —
+    Spark `percentile` and DuckDB `quantile_cont` share the same
+    definition, so even interpolated doubles are bit-identical."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("med_chars"),
+            F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """Multi-dimensional aggregation (GROUPING SETS family): event
+    counts + cent sums by (type, day), (type), and grand total via
+    ROLLUP — identical null-marker semantics in both engines."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents("value")).alias("sum_value_c"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1023,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "hits3": q_hits3,
         "canonical_urls": q_canonical_urls,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -1207,6 +1240,18 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(),
         "hits3": _hits3_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "doc_length_quantiles": (
+            "SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, "
+            "quantile_cont(n_chars, 0.5) AS med_chars, "
+            "quantile_cont(n_chars, 0.9) AS p90_chars, "
+            "MAX(n_chars) AS max_chars FROM documents GROUP BY lang"
+        ),
+        "events_rollup": (
+            "SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "COUNT(*) AS n_events, "
+            f"CAST(SUM({_sql_cents('value')}) AS BIGINT) AS sum_value_c "
+            "FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))"
+        ),
         "vocab_topk": _vocab_topk_oracle(),
         "lang_id": _lang_id_oracle(),
         "embedding_near_dups_exact": _embedding_exact_oracle(),
