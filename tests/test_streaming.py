@@ -201,3 +201,54 @@ def test_sessionize_stateful_fixture_withholds_open_session(spark, tmp_path):
         (1, "2024-01-01 10:41:00"): (1, 400, 0),
         (2, "2024-01-01 09:00:00"): (2, 200, 1800),
     }
+
+
+def test_sessionize_random_events_vs_python_oracle(spark):
+    """2,000 random-gap events over 50 users (one Spark job ≈ hundreds
+    of independent session cases) vs a pure-Python gaps-and-islands
+    fold, exact on every column."""
+    import random
+
+    from drone_spark.streaming.windows import sessionize
+
+    rng = random.Random(99)
+    base = 1_700_000_000  # epoch seconds
+    rows = []
+    t = {u: base + rng.randrange(3600) for u in range(50)}
+    for i in range(2000):
+        u = rng.randrange(50)
+        # gaps cluster around the 30-min boundary to stress the edge
+        t[u] += rng.choice([5, 60, 600, 1799, 1800, 1801, 3600, 7200])
+        rows.append((i, t[u], u, round(rng.uniform(0, 99.99), 2)))
+    df = spark.createDataFrame(
+        [(i, ts, u, "e", v, "{}") for (i, ts, u, v) in rows],
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.timestamp_seconds("ts").cast("timestamp_ntz"))
+    got = {
+        (r.user_id, r.session_start.timestamp() if hasattr(r.session_start, "timestamp") else r.session_start):
+        (r.n_events, r.sum_value_c, r.duration_s)
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    # python oracle
+    per_user: dict[int, list[tuple[int, float]]] = {}
+    for i, ts, u, v in rows:
+        per_user.setdefault(u, []).append((ts, v))
+    exp = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        start, last, n, cents = None, None, 0, 0
+        for ts, v in evs:
+            if start is None or ts - last > 1800:
+                if start is not None:
+                    exp[(u, float(start))] = (n, cents, last - start)
+                start, n, cents = ts, 0, 0
+            n += 1
+            cents += round(v * 100)
+            last = ts
+        exp[(u, float(start))] = (n, cents, last - start)
+    # keys: spark session_start tz handling — compare via sorted tuples
+    assert len(got) == len(exp)
+    def norm(d):
+        return sorted((u, s, *vals) for (u, s), vals in d.items())
+    assert norm(got) == norm(exp)
