@@ -1001,6 +1001,50 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_walks4(spark, sf_dir):
+    """4-step deterministic random walks (md5-stepped — the DeepWalk/
+    node2vec corpus generator made oracle-exact) from every 25th vertex
+    of the symmetrized co-purchase graph; no sinks after symmetrization
+    so every walk completes."""
+    from drone_spark.algorithms.kcore import symmetrize
+    from drone_spark.algorithms.walks import deterministic_walks
+
+    sym = symmetrize(_copurchase_edges(spark, sf_dir))
+    seeds = (
+        sym.select(F.col("src").alias("vid")).distinct()
+        .where(F.col("vid") % 25 == 0)
+    )
+    return deterministic_walks(sym, seeds, steps=4)
+
+
+def _walks4_sql() -> str:
+    def h(cur_expr, k):
+        return (
+            f"CAST(('0x' || SUBSTRING(md5(CAST({cur_expr} AS VARCHAR)"
+            f" || ':{k}'), 1, 15)) AS BIGINT)"
+        )
+
+    ctes = [
+        f"WITH {SQL_COPURCHASE}, {SQL_SYM}",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "COUNT(*) OVER (PARTITION BY src) AS od FROM sym)",
+        "w0 AS (SELECT id AS start, id AS cur FROM v WHERE id % 25 = 0)",
+    ]
+    carry = "w.start"
+    for k in range(1, 5):
+        prev_vs = ", ".join(f"w.v{i}" for i in range(1, k))
+        sel = carry + (", " + prev_vs if prev_vs else "")
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT {sel}, a.dst AS v{k}, a.dst AS cur "
+            f"FROM w{k-1} w JOIN adj a ON a.src = w.cur "
+            f"AND a.idx = {h('w.cur', k)} % a.od)"
+        )
+    return ", ".join(ctes) + (
+        " SELECT start, v1, v2, v3, v4 FROM w4"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1056,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "doc_length_quantiles": q_doc_length_quantiles,
         "events_rollup": q_events_rollup,
+        "walks4": q_walks4,
     }
 
 
@@ -1240,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(),
         "hits3": _hits3_sql(),
         "canonical_urls": _canonical_urls_sql(),
+        "walks4": _walks4_sql(),
         "doc_length_quantiles": (
             "SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, "
             "quantile_cont(n_chars, 0.5) AS med_chars, "

@@ -1,0 +1,89 @@
+"""Deterministic random-walk sampling over the link graph.
+
+Walk corpora are the training input for graph embeddings
+(DeepWalk/node2vec — Perozzi et al. KDD'14, Grover & Leskovec KDD'16);
+at 100 TB the walk generator is a first-class pipeline op. This one is
+**deterministic**: step k out of vertex v follows the out-edge whose
+rank (by dst) equals ``md5(v ":" k) mod outdeg(v)``. Same corpus →
+bit-identical walks on any cluster layout, any engine — the same
+md5-instead-of-RNG trick the dedup oracles use, and statistically a
+uniform neighbor choice (md5 is uniform over ranks, independent across
+(v, k) pairs).
+
+Plan shape: the ranked adjacency (src, dst, idx, outdeg) is computed
+ONCE — one window over the src-partitioned edge table — and cached;
+each step is then a single equi-join of the (start, cur) walk state
+against it on ``(src, idx)``, where idx is a codegen'd md5 expression
+of the current vertex. Only walk state (one row per walk) shuffles per
+step; the adjacency never moves. Steps are unrolled columns, so a
+whole k-step walk corpus is one k-join DAG Catalyst pipelines freely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _step_hash(cur: Column, k: int) -> Column:
+    """Uniform 60-bit integer from (vertex, step) — md5-based so Spark,
+    DuckDB and Python derive the identical value (extraction.py's id
+    scheme, applied to walk randomness)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(cur.cast("string"), F.lit(f":{k}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def ranked_adjacency(edges: DataFrame) -> DataFrame:
+    """(src, dst, idx, outdeg): out-edges ranked 0..outdeg-1 by dst.
+    One window pass; partition-friendly (both functions share the
+    PARTITION BY src exchange)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src")
+    return edges.select(
+        "src",
+        "dst",
+        (F.row_number().over(w.orderBy("dst")) - 1).alias("idx"),
+        F.count(F.lit(1)).over(w).alias("outdeg"),
+    )
+
+
+def deterministic_walks(
+    edges: DataFrame, seeds: DataFrame, steps: int = 4
+) -> DataFrame:
+    """One walk per seed: (start, v1, …, v{steps}). A walk stops early
+    at a sink vertex (no out-edges) — the remaining columns are null;
+    on a symmetrized graph every step is taken."""
+    if steps < 1:
+        raise ValueError("steps >= 1")
+    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    adj = ranked_adjacency(edges).repartition(n_parts, "src").persist()
+    adj.count()
+    try:
+        walk = seeds.select(F.col("vid").alias("start"), F.col("vid").alias("cur"))
+        cols = ["start"]
+        for k in range(1, steps + 1):
+            pick = adj.select(
+                F.col("src").alias("cur"),
+                F.col("dst").alias(f"v{k}"),
+                "idx",
+                "outdeg",
+            )
+            walk = (
+                walk.join(
+                    pick,
+                    (walk["cur"] == pick["cur"])
+                    & (pick["idx"] == _step_hash(walk["cur"], k) % pick["outdeg"]),
+                    "left",
+                )
+                .select(*cols, f"v{k}")
+                .withColumn("cur", F.col(f"v{k}"))
+            )
+            cols.append(f"v{k}")
+        return walk.select(*cols)
+    finally:
+        adj.unpersist()

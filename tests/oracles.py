@@ -206,3 +206,32 @@ def numpy_hits(edges: list[tuple[int, int]], tol=1e-8, max_iter=1000):
         if done:
             break
     return {v: (auth[idx[v]], hub[idx[v]]) for v in ids}
+
+
+def py_walks(edges: list[tuple[int, int]], seeds: list[int], steps: int):
+    """Deterministic md5-stepped walks (algorithms/walks.py semantics):
+    step k from v follows out-neighbor ranked (by dst) at
+    md5(f"{v}:{k}")[:15] as int mod outdeg; None-padded at sinks."""
+    import hashlib
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    for v in adj:
+        adj[v].sort()
+    out = {}
+    for s in seeds:
+        path, cur = [], s
+        for k in range(1, steps + 1):
+            nbrs = adj.get(cur) if cur is not None else None
+            if not nbrs:
+                path.append(None)
+                cur = None
+                continue
+            h = int(
+                hashlib.md5(f"{cur}:{k}".encode()).hexdigest()[:15], 16
+            )
+            cur = nbrs[h % len(nbrs)]
+            path.append(cur)
+        out[s] = tuple(path)
+    return out
