@@ -1017,7 +1017,7 @@ def q_walks4(spark, sf_dir):
     return deterministic_walks(sym, seeds, steps=4)
 
 
-def _walks4_sql() -> str:
+def _walks4_ctes() -> str:
     def h(cur_expr, k):
         return (
             f"CAST(('0x' || SUBSTRING(md5(CAST({cur_expr} AS VARCHAR)"
@@ -1040,8 +1040,34 @@ def _walks4_sql() -> str:
             f"FROM w{k-1} w JOIN adj a ON a.src = w.cur "
             f"AND a.idx = {h('w.cur', k)} % a.od)"
         )
-    return ", ".join(ctes) + (
-        " SELECT start, v1, v2, v3, v4 FROM w4"
+    return ", ".join(ctes)
+
+
+def _walks4_sql() -> str:
+    return _walks4_ctes() + " SELECT start, v1, v2, v3, v4 FROM w4"
+
+
+def q_walk_skipgrams(spark, sf_dir):
+    """word2vec-style (center, context, n_pairs) co-occurrences (window
+    2) over the walks4 corpus — the full embeddings-training input
+    chain (graph → walks → skip-gram pairs) behind one oracle."""
+    from drone_spark.algorithms.walks import skipgram_pairs
+
+    return skipgram_pairs(
+        q_walks4(spark, sf_dir), steps=4, window=2, walk_id_col="start"
+    )
+
+
+def _walk_skipgrams_sql() -> str:
+    toks = " UNION ALL ".join(
+        f"SELECT start AS wid, {p} AS pos, {c} AS vid FROM w4"
+        for p, c in enumerate(["start", "v1", "v2", "v3", "v4"])
+    )
+    return _walks4_ctes() + (
+        f", toks AS MATERIALIZED ({toks}) "
+        "SELECT a.vid AS center, b.vid AS context, COUNT(*) AS n_pairs "
+        "FROM toks a JOIN toks b ON a.wid = b.wid AND a.pos <> b.pos "
+        "AND abs(a.pos - b.pos) <= 2 GROUP BY a.vid, b.vid"
     )
 
 
@@ -1101,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "events_rollup": q_events_rollup,
         "walks4": q_walks4,
+        "walk_skipgrams": q_walk_skipgrams,
     }
 
 
@@ -1286,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "hits3": _hits3_sql(),
         "canonical_urls": _canonical_urls_sql(),
         "walks4": _walks4_sql(),
+        "walk_skipgrams": _walk_skipgrams_sql(),
         "doc_length_quantiles": (
             "SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, "
             "quantile_cont(n_chars, 0.5) AS med_chars, "

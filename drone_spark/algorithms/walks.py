@@ -87,3 +87,53 @@ def deterministic_walks(
         return walk.select(*cols)
     finally:
         adj.unpersist()
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    steps: int,
+    window: int = 2,
+    walk_id_col: str | None = None,
+) -> DataFrame:
+    """(center, context, n_pairs) training pairs from a walk corpus —
+    the DeepWalk/word2vec co-occurrence step. Each walk row
+    (start, v1..v{steps}) is a token sequence; every ordered pair
+    within ``window`` positions co-occurs once; pairs are counted
+    corpus-wide (n_pairs = multiplicity, the word2vec sample weight).
+
+    Pure codegen: posexplode of an array literal of the step columns,
+    then a self-equi-join on the walk row id bounded by |Δpos| ≤
+    window — Catalyst turns the position bound into a range predicate
+    on a same-key join, so the shuffle key is the walk id and no pair
+    ever crosses walks. Null steps (sink-terminated walks) drop out of
+    the explode.
+
+    ``walk_id_col``: an existing column uniquely identifying each walk
+    (e.g. ``start`` when every seed spawns one walk). Default derives a
+    monotonic id — fine for corpus generation, but pass an explicit key
+    when the result must be exactly reproducible (oracle twins): the
+    monotonic id is layout-dependent.
+    """
+    if walk_id_col is not None:
+        w = walks.withColumn("walk_id", F.col(walk_id_col))
+    else:
+        w = walks.withColumn("walk_id", F.monotonically_increasing_id())
+    toks = w.select(
+        "walk_id",
+        F.posexplode(
+            F.array(F.col("start"), *[F.col(f"v{k}") for k in range(1, steps + 1)])
+        ).alias("pos", "vid"),
+    ).where(F.col("vid").isNotNull())
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("a.pos") != F.col("b.pos"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= window),
+        )
+        .groupBy(
+            F.col("a.vid").alias("center"), F.col("b.vid").alias("context")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

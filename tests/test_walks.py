@@ -30,3 +30,29 @@ def test_walks_deterministic_across_partitioning(spark, small_edges):
     a = deterministic_walks(small_edges, seeds, steps=3).collect()
     b = deterministic_walks(small_edges.repartition(13), seeds, steps=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_skipgram_pairs_fixture(spark):
+    """Hand-checked pair multiset for one 3-token walk, window 1:
+    tokens [s=1, v1=2, v2=3] -> (1,2),(2,1),(2,3),(3,2)."""
+    from drone_spark.algorithms.walks import skipgram_pairs
+
+    walks = spark.createDataFrame([(1, 2, 3)], "start long, v1 long, v2 long")
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(walks, steps=2, window=1).collect()
+    }
+    assert got == {(1, 2): 1, (2, 1): 1, (2, 3): 1, (3, 2): 1}
+
+
+def test_skipgram_pairs_null_steps_dropped(spark):
+    from drone_spark.algorithms.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(1, 2, None)], "start long, v1 long, v2 long"
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(walks, steps=2, window=2).collect()
+    }
+    assert got == {(1, 2): 1, (2, 1): 1}
