@@ -1071,6 +1071,18 @@ def _walk_skipgrams_sql() -> str:
     )
 
 
+BM25_TERMS = ["join", "hash", "stream"]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-20 for a 3-term query over the documents table — the IR
+    retrieval primitive (ops/textstats.bm25_topk) with its DuckDB twin
+    sharing normalizer, idf form, 6-decimal rounding and id tiebreak."""
+    from drone_spark.ops.textstats import bm25_topk
+
+    return bm25_topk(_read(spark, sf_dir, "documents"), BM25_TERMS, k=20)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1128,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "walks4": q_walks4,
         "walk_skipgrams": q_walk_skipgrams,
+        "bm25": q_bm25,
     }
 
 
@@ -1314,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _canonical_urls_sql(),
         "walks4": _walks4_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),
+        "bm25": __import__("drone_spark.ops.textstats", fromlist=["bm25_topk_sql"]).bm25_topk_sql(BM25_TERMS, k=20),
         "doc_length_quantiles": (
             "SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, "
             "quantile_cont(n_chars, 0.5) AS med_chars, "

@@ -196,3 +196,97 @@ def vocab_topk_sql(k: int = 100, doc_table: str = "documents") -> str:
         "(ORDER BY n DESC, token) AS rank FROM counts) "
         f"SELECT token, n, rank FROM ranked WHERE rank <= {k}"
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents for a bag-of-terms query
+    (Robertson & Zaragoza 2009, the idf form with +1 so scores stay
+    positive). The IR primitive a corpus-curation stack uses for
+    seed-query mining and relevance filtering.
+
+    Plan: one explode over the shared normalizer → per-doc term
+    frequencies and doc lengths (both partial-agg map-side combined);
+    the query side is a ≤|q|-term broadcast; scoring is pure codegen
+    arithmetic; ranking is TakeOrderedAndProject. Two corpus scalars
+    (N, avgdl) come from one tiny aggregate job. Scores are rounded to
+    6 decimals so the ≤|q|-term per-doc sums are stable across
+    summation orders/engines; ties rank by doc id.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+    )
+    tf = toks.groupBy("did", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+
+    spark = docs.sparkSession
+    qt = spark.createDataFrame([(t,) for t in query_terms], "token string")
+    dfreq = (
+        tf.join(F.broadcast(qt), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_len = F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+    term_score = idf * (
+        F.col("tf") * (k1 + 1.0) / (F.col("tf") + F.lit(k1) * norm_len)
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "did")
+        .groupBy("did")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .select(F.col("did").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` (same normalizer, same idf
+    form, same 6-decimal score rounding and id tiebreak)."""
+    lst = ", ".join(f"'{t}'" for t in query_terms)
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, UNNEST(string_split(nt, ' ')) AS token"
+        " FROM norm), "
+        "toks2 AS (SELECT * FROM toks WHERE length(token) > 0), "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks2"
+        " GROUP BY doc_id, token), "
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT COUNT(*) FROM"
+        f" {doc_table}) AS n, AVG(dl) AS avgdl FROM dl), "
+        f"q AS (SELECT UNNEST(ARRAY[{lst}]) AS token), "
+        "dfreq AS (SELECT tf.token, COUNT(*) AS df FROM tf JOIN q USING"
+        " (token) GROUP BY tf.token) "
+        "SELECT tf.doc_id, ROUND(SUM("
+        "ln(1.0 + (CAST(s.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+        f" * (tf.tf * ({k1} + 1.0) / (tf.tf + {k1} * (1.0 - {b} + {b} *"
+        " dl.dl / s.avgdl)))), 6) AS score "
+        "FROM tf JOIN dfreq ON tf.token = dfreq.token "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s "
+        "GROUP BY tf.doc_id "
+        f"ORDER BY score DESC, tf.doc_id LIMIT {k}"
+    )

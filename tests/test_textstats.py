@@ -86,3 +86,46 @@ def test_vocab_topk_matches_python_and_plan(spark, docs):
     assert [(r["token"], r["n"]) for r in sorted(got, key=lambda r: r["rank"])] == exp
     plan = vocab_topk(docs, k=20)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_ranking_properties(spark):
+    """Rare-term idf outweighs common; matching more query terms wins;
+    scores match a hand-rolled python computation exactly."""
+    import math
+
+    from drone_spark.ops.textstats import bm25_topk
+
+    corpus = [
+        (1, "spark shuffle join"),          # rare 'shuffle' + 'join'
+        (2, "join join join table"),        # only common 'join', high tf
+        (3, "table scan filter"),           # no query terms
+        (4, "spark shuffle shuffle"),       # rare term, high tf
+        (5, "join table"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(docs, ["shuffle", "join"], k=5).collect()
+    ]
+    # python oracle
+    toks = {d: t.split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {
+        q: sum(1 for v in toks.values() if q in v) for q in ("shuffle", "join")
+    }
+    exp = {}
+    for d, v in toks.items():
+        s = 0.0
+        for q in ("shuffle", "join"):
+            tf = v.count(q)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(v) / avgdl))
+        if s:
+            exp[d] = round(s, 6)
+    assert dict(got) == exp
+    ranked = [d for d, _ in got]
+    assert ranked[0] == 1  # both terms beats either alone
+    assert exp[4] > exp[2]  # rare-term doc beats common-term-only doc
