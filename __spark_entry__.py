@@ -1071,6 +1071,15 @@ def _walk_skipgrams_sql() -> str:
     )
 
 
+def q_postings(spark, sf_dir):
+    """Full inverted-index postings (token, doc_id, tf, positions) over
+    the documents table — ops/textstats.build_postings vs its
+    UNNEST-WITH-ORDINALITY DuckDB twin (array values hash-compared)."""
+    from drone_spark.ops.textstats import build_postings
+
+    return build_postings(_read(spark, sf_dir, "documents"))
+
+
 BM25_TERMS = ["join", "hash", "stream"]
 
 
@@ -1141,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks4": q_walks4,
         "walk_skipgrams": q_walk_skipgrams,
         "bm25": q_bm25,
+        "postings": q_postings,
     }
 
 
@@ -1328,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         "walks4": _walks4_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),
         "bm25": __import__("drone_spark.ops.textstats", fromlist=["bm25_topk_sql"]).bm25_topk_sql(BM25_TERMS, k=20),
+        "postings": __import__("drone_spark.ops.textstats", fromlist=["build_postings_sql"]).build_postings_sql(),
         "doc_length_quantiles": (
             "SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, "
             "quantile_cont(n_chars, 0.5) AS med_chars, "

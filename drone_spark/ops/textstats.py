@@ -290,3 +290,46 @@ def bm25_topk_sql(
         "GROUP BY tf.doc_id "
         f"ORDER BY score DESC, tf.doc_id LIMIT {k}"
     )
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted-index postings: (token, doc_id, tf, positions) with
+    0-based token positions sorted ascending — the indexing twin of
+    :func:`bm25_topk` (which recomputes tf on the fly; a real
+    deployment materializes THIS table once, bucketed by token, and
+    serves both retrieval and phrase queries from it).
+
+    Pure codegen: posexplode carries positions for free; collect_list
+    + sort_array restores deterministic position order after the
+    shuffle. Partial aggregation combines map-side, so the exchange
+    carries one row per (token, doc) per map partition."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(norm_text(text_col), " ")).alias("pos", "token"),
+    ).where(F.length("token") > 0)
+    return toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def build_postings_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`build_postings`. Positions come from an
+    indexed ``list_transform`` lambda (1-based) minus 1 — this DuckDB
+    lacks WITH ORDINALITY. The split keeps empty tokens' indices,
+    matching Spark's posexplode numbering only because the normalizer
+    collapses whitespace runs to single spaces first — both engines
+    then see identical token sequences."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, "
+        "UNNEST(list_transform(string_split(nt, ' '), "
+        "(x, i) -> {'token': x, 'pos': i}), recursive := true) FROM norm), "
+        "toks2 AS (SELECT doc_id, token, CAST(pos - 1 AS INTEGER) AS pos"
+        " FROM toks WHERE length(token) > 0) "
+        "SELECT token, doc_id, COUNT(*) AS tf, "
+        "list_sort(list(pos)) AS positions "
+        "FROM toks2 GROUP BY token, doc_id"
+    )

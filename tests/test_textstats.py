@@ -129,3 +129,24 @@ def test_bm25_ranking_properties(spark):
     ranked = [d for d, _ in got]
     assert ranked[0] == 1  # both terms beats either alone
     assert exp[4] > exp[2]  # rare-term doc beats common-term-only doc
+
+
+def test_build_postings_positions(spark):
+    """Hand-checked tf and 0-based position lists (phrase-query
+    primitive): repeated tokens accumulate sorted positions."""
+    from drone_spark.ops.textstats import build_postings
+
+    docs = spark.createDataFrame(
+        [(1, "a b a  c a"), (2, "c b")], "doc_id long, text string"
+    )
+    got = {
+        (r.token, r.doc_id): (r.tf, list(r.positions))
+        for r in build_postings(docs).collect()
+    }
+    assert got == {
+        ("a", 1): (3, [0, 2, 4]),
+        ("b", 1): (1, [1]),
+        ("c", 1): (1, [3]),
+        ("c", 2): (1, [0]),
+        ("b", 2): (1, [1]),
+    }

@@ -82,7 +82,8 @@ def pandas_kind_mismatches(sdf, con, sql):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check-entry", cores=8, shuffle_partitions=8)
+    spark = get_spark("check-entry", cores=8, shuffle_partitions=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
