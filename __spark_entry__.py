@@ -1080,6 +1080,17 @@ def q_postings(spark, sf_dir):
     return build_postings(_read(spark, sf_dir, "documents"))
 
 
+PHRASE = ["hash", "join"]
+
+
+def q_phrase_docs(spark, sf_dir):
+    """Positional phrase search ('hash join' as consecutive tokens)
+    over the postings index - ops/textstats.phrase_docs."""
+    from drone_spark.ops.textstats import phrase_docs
+
+    return phrase_docs(_read(spark, sf_dir, "documents"), PHRASE)
+
+
 BM25_TERMS = ["join", "hash", "stream"]
 
 
@@ -1151,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": q_walk_skipgrams,
         "bm25": q_bm25,
         "postings": q_postings,
+        "phrase_docs": q_phrase_docs,
     }
 
 
@@ -1339,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "walk_skipgrams": _walk_skipgrams_sql(),
         "bm25": __import__("drone_spark.ops.textstats", fromlist=["bm25_topk_sql"]).bm25_topk_sql(BM25_TERMS, k=20),
         "postings": __import__("drone_spark.ops.textstats", fromlist=["build_postings_sql"]).build_postings_sql(),
+        "phrase_docs": __import__("drone_spark.ops.textstats", fromlist=["phrase_docs_sql"]).phrase_docs_sql(PHRASE),
         "doc_length_quantiles": (
             "SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, "
             "quantile_cont(n_chars, 0.5) AS med_chars, "

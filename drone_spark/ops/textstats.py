@@ -333,3 +333,64 @@ def build_postings_sql(doc_table: str = "documents") -> str:
         "list_sort(list(pos)) AS positions "
         "FROM toks2 GROUP BY token, doc_id"
     )
+
+
+def phrase_docs(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents containing ``phrase`` as consecutive tokens, with the
+    occurrence count — the positional-index query :func:`build_postings`
+    exists to serve. Fold over the phrase: keep the start positions
+    whose k-th successor position carries the k-th term; one postings
+    row per (term, doc) means the whole phrase join touches at most
+    |phrase| rows per candidate document.
+
+    Pure codegen: higher-order ``filter``/``array_contains`` on the
+    position arrays — no explode of positions, no Python."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    post = build_postings(docs, text_col=text_col, id_col=id_col)
+    acc = (
+        post.where(F.col("token") == phrase[0])
+        .select("doc_id", F.col("positions").alias("starts"))
+    )
+    def _succ(col_name: str, step: int):
+        return lambda x: F.array_contains(F.col(col_name), x + step)
+
+    for k, term in enumerate(phrase[1:], start=1):
+        nxt = post.where(F.col("token") == term).select(
+            "doc_id", F.col("positions").alias(f"p{k}")
+        )
+        acc = acc.join(nxt, "doc_id").select(
+            "doc_id",
+            F.filter("starts", _succ(f"p{k}", k)).alias("starts"),
+        ).where(F.size("starts") > 0)
+    return acc.select(
+        F.col("doc_id").alias(id_col),
+        F.size("starts").alias("n_occurrences"),
+    )
+
+
+def phrase_docs_sql(phrase: list[str], doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`phrase_docs` over the same postings CTE."""
+    post = build_postings_sql(doc_table)
+    # wrap the postings query as a CTE and fold the phrase in SQL
+    joins = []
+    filt = "a0.positions"
+    for k in range(1, len(phrase)):
+        joins.append(
+            f"JOIN post a{k} ON a{k}.doc_id = a0.doc_id"
+            f" AND a{k}.token = '{phrase[k]}'"
+        )
+        filt = (
+            f"list_filter({filt}, x -> list_contains(a{k}.positions, x + {k}))"
+        )
+    return (
+        f"WITH post AS MATERIALIZED ({post}) "
+        f"SELECT a0.doc_id, len({filt}) AS n_occurrences "
+        f"FROM post a0 {' '.join(joins)} "
+        f"WHERE a0.token = '{phrase[0]}' AND len({filt}) > 0"
+    )

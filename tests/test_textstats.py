@@ -150,3 +150,23 @@ def test_build_postings_positions(spark):
         ("c", 2): (1, [0]),
         ("b", 2): (1, [1]),
     }
+
+
+def test_phrase_docs_fixture(spark):
+    """Consecutive-position semantics: doc 1 has 'a b' twice and
+    'a b c' once; doc 2 has both tokens but never adjacent."""
+    from drone_spark.ops.textstats import phrase_docs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c x a b"), (2, "a x b a")], "doc_id long, text string"
+    )
+    two = {
+        (r.doc_id): r.n_occurrences
+        for r in phrase_docs(docs, ["a", "b"]).collect()
+    }
+    assert two == {1: 2}
+    three = {
+        (r.doc_id): r.n_occurrences
+        for r in phrase_docs(docs, ["a", "b", "c"]).collect()
+    }
+    assert three == {1: 1}
