@@ -18,7 +18,10 @@ dst folds the decrements into the surviving vertices' degrees. A naive
 recount formulation (join sym against the active set on BOTH
 endpoints) would re-shuffle the full edge table on ``dst`` every round
 — a scale killer this module deliberately avoids, mirroring the
-frontier discipline of delta-PR/CC/SSSP.
+frontier discipline of delta-PR/CC/SSSP. Measured (interleaved
+min-of-2, 13.4M-edge scaling graph, k=8, 22 rounds to the same
+812,988-vertex core): decrement 24.9 s vs recount 273.9 s — **11×**
+(tools/ab_kcore_formulation.py).
 """
 
 from __future__ import annotations
