@@ -1073,11 +1073,18 @@ def _walk_skipgrams_sql() -> str:
 
 def q_postings(spark, sf_dir):
     """Full inverted-index postings (token, doc_id, tf, positions) over
-    the documents table — ops/textstats.build_postings vs its
-    UNNEST-WITH-ORDINALITY DuckDB twin (array values hash-compared)."""
+    the documents table — ops/textstats.build_postings vs its DuckDB
+    twin. Positions are serialized to a canonical comma-joined string
+    HERE (library API keeps array<int>): the driver's pandas
+    canonicalizer sorts over all columns and cannot hash list cells
+    (the single red row of round 3)."""
     from drone_spark.ops.textstats import build_postings
 
-    return build_postings(_read(spark, sf_dir, "documents"))
+    post = build_postings(_read(spark, sf_dir, "documents"))
+    return post.withColumn(
+        "positions",
+        F.array_join(F.col("positions").cast("array<string>"), ","),
+    )
 
 
 PHRASE = ["hash", "join"]
@@ -1350,7 +1357,17 @@ def oracle_sql() -> dict[str, str]:
         "walks4": _walks4_sql(),
         "walk_skipgrams": _walk_skipgrams_sql(),
         "bm25": __import__("drone_spark.ops.textstats", fromlist=["bm25_topk_sql"]).bm25_topk_sql(BM25_TERMS, k=20),
-        "postings": __import__("drone_spark.ops.textstats", fromlist=["build_postings_sql"]).build_postings_sql(),
+        "postings": (
+            # positions serialized to a canonical string to match
+            # q_postings (driver canonicalizer can't sort list cells)
+            "SELECT token, doc_id, tf, "
+            "array_to_string(positions, ',') AS positions FROM ("
+            + __import__(
+                "drone_spark.ops.textstats",
+                fromlist=["build_postings_sql"],
+            ).build_postings_sql()
+            + ")"
+        ),
         "phrase_docs": __import__("drone_spark.ops.textstats", fromlist=["phrase_docs_sql"]).phrase_docs_sql(PHRASE),
         "doc_length_quantiles": (
             "SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, "

@@ -63,6 +63,23 @@ def type_mismatches(srows, scols, drows, dcols):
     return out
 
 
+def driver_canon_error(sdf, con, sql):
+    """Emulate the driver's canonicalizer: pandas ``sort_values`` over
+    ALL columns of both result frames. Multi-column lexsort factorizes
+    each column through a hash table, so any unhashable cell (list /
+    dict / ndarray) raises — exactly the r3 ``postings`` failure
+    (TypeError: unhashable type: 'list') the hash-on-str gate below
+    missed. Returns an error string, or None if both frames sort."""
+    try:
+        spdf = sdf.toPandas()
+        spdf.sort_values(by=list(spdf.columns), ignore_index=True)
+        ddf = con.execute(sql).df()
+        ddf.sort_values(by=list(ddf.columns), ignore_index=True)
+    except Exception as e:  # noqa: BLE001 — any crash = driver red row
+        return f"{type(e).__name__}: {str(e)[:140]}"
+    return None
+
+
 def pandas_kind_mismatches(sdf, con, sql):
     """Emulate a pandas-based harness: Spark .toPandas() vs DuckDB
     .df() — compare per-column dtype *kinds* (int/float/object/M...).
@@ -136,9 +153,15 @@ def main():
         ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
         tmis = type_mismatches(srows, scols, drows, dcols)
         kmis = pandas_kind_mismatches(sdf, con, "SELECT * FROM _oracle")
+        cerr = driver_canon_error(sdf, con, "SELECT * FROM _oracle")
         sdf.unpersist()
         ok_types = not tmis and not kmis
-        status = "OK" if (ok_cols and ok_count and ok_hash and ok_types) else "MISMATCH"
+        ok_canon = cerr is None
+        status = (
+            "OK"
+            if (ok_cols and ok_count and ok_hash and ok_types and ok_canon)
+            else "MISMATCH"
+        )
         print(
             f"{name:24s} {status}  rows {len(srows)}/{len(drows)} "
             f"cols={'OK' if ok_cols else f'{scols} vs {dcols}'} "
@@ -149,6 +172,8 @@ def main():
             print(f"   TYPE  {c}: spark={st} duck={dt}")
         for c, sd, dd in kmis:
             print(f"   DTYPE {c}: spark_pandas={sd} duck_pandas={dd}")
+        if cerr:
+            print(f"   CANON driver-canonicalizer crash: {cerr}")
         if status != "OK":
             failures.append(name)
             if not ok_hash and ok_count and ok_cols:
