@@ -241,10 +241,14 @@ def _run_labeling(
     assume_symmetric: bool = False,
     use_kernel_cache: bool = True,
 ) -> RunResult:
-    """``pre_partitioned``: the input is hash-distributed on ``src``
-    (bucketed catalog table, sources/bucketed.py) — skips the per-run
-    full-table shuffle. Because CC/LP flood labels along *undirected*
-    edges, a pre-partitioned input must ALSO already be symmetric
+    """``pre_partitioned``: skips the per-run full-table shuffle — for
+    the relational backend the input must be hash-distributed on
+    ``src`` (bucketed catalog table, sources/bucketed.py); for the
+    subgraph backend it must carry the vertex-cut ``part`` column and
+    be distributed on it (write_vertexcut_edges), which also skips the
+    one-time partitioner job. Because CC/LP flood labels along
+    *undirected* edges, a pre-partitioned input must ALSO already be
+    symmetric
     (both (a,b) and (b,a) rows): the symmetrize union would destroy
     the distribution the flag promises. That is a semantic
     precondition, not a layout detail — a directed table silently
@@ -252,13 +256,6 @@ def _run_labeling(
     ``assume_symmetric=True``; ``pre_partitioned`` alone raises."""
     from ..sources.bucketed import prepare_edges
 
-    if pre_partitioned and backend != "relational":
-        raise ValueError(
-            "pre_partitioned applies to the relational backend only: "
-            "the subgraph backend re-partitions edges by vertex-cut "
-            "part regardless, so the flag's zero-edge-shuffle promise "
-            "cannot hold there — pass backend='relational'"
-        )
     if pre_partitioned and not assume_symmetric:
         raise ValueError(
             "pre_partitioned CC/LP input must already be symmetric "
@@ -277,13 +274,33 @@ def _run_labeling(
     elif backend == "subgraph":
         import uuid
 
-        pg = partition_graph(sym, n_parts, salt_threshold=salt_threshold)
-        edges_p = pg.edges.repartition(n_parts, "part").persist()
+        if pre_partitioned:
+            # vertex-cut contract, same as pagerank_cogroup: the table
+            # already carries 'part' and is distributed on it
+            # (sources/bucketed.write_vertexcut_edges over a symmetric
+            # edge set — assume_symmetric asserted above)
+            if "part" not in sym.columns:
+                raise ValueError(
+                    "subgraph pre_partitioned input needs a vertex-cut "
+                    "'part' column (write it with "
+                    "sources/bucketed.write_vertexcut_edges); a "
+                    "src-bucketed table is NOT part-distributed"
+                )
+            edges_p = sym.select("src", "dst", "part").persist()
+        else:
+            pg = partition_graph(sym, n_parts, salt_threshold=salt_threshold)
+            edges_p = pg.edges.repartition(n_parts, "part").persist()
         n_edges = edges_p.count()
-        # partitioner routing table, derived from the cached edge
+        # presence routing table, derived from the cached edge
         # partitioning (presence = the replicas table's mirror rows);
         # renamed so the cogroup isn't an ambiguous self-join
-        routes = pg.presence_routes(edges_p).toDF("vid", "rpart").persist()
+        routes = (
+            edges_p.select(F.col("src").alias("vid"), "part")
+            .unionAll(edges_p.select(F.col("dst").alias("vid"), "part"))
+            .distinct()
+            .toDF("vid", "rpart")
+            .persist()
+        )
         routes.count()
         # unique per invocation: the executor cache can only ever serve
         # this run's (immutable, persisted) partition edge sets.

@@ -52,18 +52,42 @@ def hits(
     run_id: str = "hits",
     tol: float = 1e-8,
     max_supersteps: int = 100,
+    num_parts: int | None = None,
+    pre_partitioned: bool = False,
+    edges_dst: DataFrame | None = None,
+    resume: bool = False,
 ) -> RunResult:
     """Run HITS to convergence (L∞ delta over both scores ≤ tol).
 
     Result state: (vid, auth, hub, delta), each score vector
     L2-normalized. Vertices with no in-edges get auth 0; no out-edges →
-    hub 0 (after the first round)."""
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_s = (
-        edges.select("src", "dst").repartition(n_parts, "src").persist()
+    hub 0 (after the first round).
+
+    ``pre_partitioned``: HITS joins the adjacency in BOTH orientations,
+    so the zero-edge-shuffle path needs TWO stored copies of the edge
+    set — ``edges`` bucketed on ``src`` and ``edges_dst`` bucketed on
+    ``dst`` (write each once with sources/bucketed.write_bucketed_edges;
+    the 2× storage mirrors the 2× cache this module already pays). Both
+    scans are persisted as-is, skipping the per-run dual shuffle.
+
+    ``resume``: continue from the last engine checkpoint — HITS state
+    is plain (vid, auth, hub, delta) rows, the generic resume applies."""
+    from ..sources.bucketed import prepare_edges
+
+    if pre_partitioned and edges_dst is None:
+        raise ValueError(
+            "hits(pre_partitioned=True) needs BOTH stored orientations: "
+            "pass edges (bucketed on src) AND edges_dst (the same edge "
+            "set bucketed on dst)"
+        )
+    n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_s = prepare_edges(
+        edges.select("src", "dst"), n_parts, key="src",
+        pre_partitioned=pre_partitioned,
     )
-    edges_d = (
-        edges.select("src", "dst").repartition(n_parts, "dst").persist()
+    edges_d = prepare_edges(
+        (edges_dst if pre_partitioned else edges).select("src", "dst"),
+        n_parts, key="dst", pre_partitioned=pre_partitioned,
     )
     n_edges = edges_s.count()
     edges_d.count()
@@ -118,6 +142,7 @@ def hits(
             step,
             tol=tol,
             max_supersteps=max_supersteps,
+            resume=resume,
             edges_per_step=2 * n_edges,
         )
     finally:

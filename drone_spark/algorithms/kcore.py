@@ -47,17 +47,46 @@ def k_core(
     k: int,
     run_id: str = "kcore",
     max_supersteps: int = 100,
+    num_parts: int | None = None,
+    pre_partitioned: bool = False,
+    assume_symmetric: bool = False,
+    resume: bool = False,
 ) -> RunResult:
     """Peel to the k-core fixpoint. Result state: every vertex that ever
     carried an edge, with ``active`` = membership in the k-core after
     the final round and ``deg`` = original degree minus every edge into
     the dropped set (== its degree within the survivors, the k-core
     degree once converged). ``tol=0`` termination: the run stops the
-    first round in which no vertex is dropped."""
+    first round in which no vertex is dropped.
+
+    ``pre_partitioned``: the input is already hash-distributed on
+    ``src`` (a bucketed catalog table) — skips the per-run full-table
+    shuffle, the dominant one-off cost at 100 TB. Peeling floods along
+    *undirected* edges, so a pre-partitioned input must also already be
+    symmetric (store ``write_bucketed_edges(symmetrize(e), ...)`` once);
+    that semantic precondition is attested separately via
+    ``assume_symmetric=True`` — same contract as CC/LP.
+
+    ``resume``: continue a killed run from its last engine checkpoint
+    (per-superstep lineage, engine/superstep.py) — peeling state is
+    plain (vid, active, deg, odeg, delta) rows, so the generic resume
+    path applies unchanged."""
+    from ..sources.bucketed import prepare_edges
+
     if k < 1:
         raise ValueError(f"k_core requires k >= 1, got {k}")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = symmetrize(edges).repartition(n_parts, "src").persist()
+    if pre_partitioned and not assume_symmetric:
+        raise ValueError(
+            "pre_partitioned k-core input must already be symmetric "
+            "(re-symmetrizing would re-shuffle it); pass "
+            "assume_symmetric=True to attest both (a,b) and (b,a) rows "
+            "exist, or drop pre_partitioned"
+        )
+    n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym_in = (
+        edges.select("src", "dst") if assume_symmetric else symmetrize(edges)
+    )
+    sym = prepare_edges(sym_in, n_parts, pre_partitioned=pre_partitioned)
     n_edges = sym.count()
 
     def init() -> DataFrame:
@@ -107,6 +136,7 @@ def k_core(
             step,
             tol=0.0,
             max_supersteps=max_supersteps,
+            resume=resume,
             edges_per_step=n_edges,
             # next superstep's scatter = this round's frontier: rows
             # about to drop join all their sym edges

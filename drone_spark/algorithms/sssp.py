@@ -141,17 +141,16 @@ def sssp(
 ) -> RunResult:
     """State: (vid, dist, outdeg, delta); delta>0 marks the current frontier.
 
-    ``pre_partitioned``: input already hash-distributed on ``src``
-    (bucketed catalog table, sources/bucketed.py) — skips the per-run
-    edge shuffle. Relational backend only: the subgraph backend
-    re-partitions by vertex-cut part regardless."""
+    ``pre_partitioned``: skips the per-run edge shuffle — the dominant
+    one-off cost at 100 TB. For the relational backend the input must
+    be hash-distributed on ``src`` (bucketed catalog table,
+    sources/bucketed.write_bucketed_edges); for the subgraph backend it
+    must carry the vertex-cut ``part`` column and be distributed on it
+    (sources/bucketed.write_vertexcut_edges), which also skips the
+    one-time partitioner job — same contract as
+    ``pagerank_cogroup(pre_partitioned=True)``."""
     from ..sources.bucketed import prepare_edges
 
-    if pre_partitioned and backend != "relational":
-        raise ValueError(
-            "pre_partitioned applies to the relational backend only: "
-            "the subgraph backend re-partitions edges by vertex-cut part"
-        )
     n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
     weighted = "weight" in edges.columns
     cols = ["src", "dst"] + (["weight"] if weighted else [])
@@ -179,10 +178,30 @@ def sssp(
     elif backend == "subgraph":
         import uuid
 
-        pg = partition_graph(edges.select(*cols), n_parts, salt_threshold)
-        edges_p = pg.edges.repartition(n_parts, "part").persist()
+        if pre_partitioned:
+            if "part" not in edges.columns:
+                raise ValueError(
+                    "sssp(backend='subgraph', pre_partitioned=True) needs "
+                    "edges with a vertex-cut 'part' column (write them "
+                    "with sources/bucketed.write_vertexcut_edges); a "
+                    "src-bucketed table is NOT part-distributed — pass "
+                    "the partitioned table or drop the flag"
+                )
+            edges_p = edges.select(*cols, "part").persist()
+        else:
+            pg = partition_graph(edges.select(*cols), n_parts, salt_threshold)
+            edges_p = pg.edges.repartition(n_parts, "part").persist()
         n_edges = edges_p.count()
-        routes = pg.presence_routes(edges_p).toDF("vid", "rpart").persist()
+        # presence routes derived from the persisted table directly
+        # (PartitionedGraph.presence_routes is the same expression) so
+        # both input paths share one lineage off the cache
+        routes = (
+            edges_p.select(F.col("src").alias("vid"), "part")
+            .unionAll(edges_p.select(F.col("dst").alias("vid"), "part"))
+            .distinct()
+            .toDF("vid", "rpart")
+            .persist()
+        )
         routes.count()
         cleanup.extend([edges_p, routes])
         token = f"sssp:{run_id}:{uuid.uuid4().hex}" if use_kernel_cache else None

@@ -78,7 +78,12 @@ def write_vertexcut_edges(
     sorted by ``src`` for scan locality."""
     from ..graph.partitioner import partition_graph
 
-    pg = partition_graph(edges.select("src", "dst"), n_parts, salt_threshold)
+    # the placement join preserves extra columns; carry weight so the
+    # weighted SSSP subgraph backend can serve from this table too
+    cols = ["src", "dst"] + (
+        ["weight"] if "weight" in edges.columns else []
+    )
+    pg = partition_graph(edges.select(*cols), n_parts, salt_threshold)
     (
         pg.edges.repartition(n_parts, "part")
         .write.bucketBy(n_parts, "part")
