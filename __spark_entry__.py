@@ -1110,6 +1110,30 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(_read(spark, sf_dir, "documents"), BM25_TERMS, k=20)
 
 
+def q_bm25_indexed(spark, sf_dir):
+    """The SAME BM25 query served from the materialized postings index
+    (ops/textstats.bm25_from_postings over build_postings) — proving
+    the index-serving path hash-matches the direct path: the oracle is
+    the identical SQL as `bm25`. Doc lengths are recovered from the
+    index (Σ tf per doc), so the query never touches the corpus."""
+    from drone_spark.ops.textstats import bm25_from_postings, build_postings
+
+    post = build_postings(_read(spark, sf_dir, "documents"))
+    return bm25_from_postings(post, BM25_TERMS, k=20)
+
+
+def q_phrase_indexed(spark, sf_dir):
+    """Phrase search served from the materialized postings index
+    (ops/textstats.phrase_docs_from_postings) — same oracle as
+    `phrase_docs`, proving index-served ≡ direct by hash."""
+    from drone_spark.ops.textstats import (
+        build_postings, phrase_docs_from_postings,
+    )
+
+    post = build_postings(_read(spark, sf_dir, "documents"))
+    return phrase_docs_from_postings(post, PHRASE)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1170,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "postings": q_postings,
         "phrase_docs": q_phrase_docs,
+        "bm25_indexed": q_bm25_indexed,
+        "phrase_indexed": q_phrase_indexed,
     }
 
 
@@ -1369,6 +1395,10 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "phrase_docs": __import__("drone_spark.ops.textstats", fromlist=["phrase_docs_sql"]).phrase_docs_sql(PHRASE),
+        # index-served paths must hash-match the direct paths: the
+        # oracles are literally the same SQL
+        "bm25_indexed": __import__("drone_spark.ops.textstats", fromlist=["bm25_topk_sql"]).bm25_topk_sql(BM25_TERMS, k=20),
+        "phrase_indexed": __import__("drone_spark.ops.textstats", fromlist=["phrase_docs_sql"]).phrase_docs_sql(PHRASE),
         "doc_length_quantiles": (
             "SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, "
             "quantile_cont(n_chars, 0.5) AS med_chars, "

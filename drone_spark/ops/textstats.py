@@ -230,9 +230,36 @@ def bm25_topk(
     tf = toks.groupBy("did", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
     n_docs = docs.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    return _bm25_rank(tf, dl, query_terms, n_docs, k, k1, b, id_col)
 
-    spark = docs.sparkSession
+
+def _bm25_rank(
+    tf: DataFrame,
+    dl: DataFrame,
+    query_terms: list[str],
+    n_docs: int,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring over (did, token, tf) + (did, dl) — the
+    direct path (:func:`bm25_topk`) and the index-serving path
+    (:func:`bm25_from_postings`) both rank through this single
+    expression tree, so their results are identical by construction."""
+    if n_docs == 0:
+        raise ValueError(
+            "bm25 ranking over an empty corpus: n_docs == 0 — the idf "
+            "and avgdl terms are undefined (same guard style as "
+            "similarity.infer_dim)"
+        )
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    if avgdl in (None, 0):
+        raise ValueError(
+            "bm25 ranking over a corpus with no tokens: avgdl is "
+            f"{avgdl!r} — every document normalized to empty text"
+        )
+    spark = tf.sparkSession
     qt = spark.createDataFrame([(t,) for t in query_terms], "token string")
     dfreq = (
         tf.join(F.broadcast(qt), "token")
@@ -256,6 +283,38 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bm25_from_postings(
+    postings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """BM25 top-k served from the materialized postings index — the
+    deployment path :func:`build_postings`'s docstring promises: index
+    once, answer every query without re-tokenizing the corpus.
+
+    Doc lengths are recovered from the index itself (``Σ tf`` per doc
+    — exact, since postings carry every token), so a query touches
+    ONLY the postings table. With a token-bucketed postings table the
+    query-term filter prunes to |q| buckets before any shuffle.
+
+    ``n_docs`` defaults to the index's distinct doc count; documents
+    whose text normalizes to zero tokens are invisible to the index,
+    so pass the true corpus cardinality when such docs exist and exact
+    :func:`bm25_topk` parity matters (they differ only in the idf N).
+    """
+    tf = postings.select(
+        F.col(id_col).alias("did"), "token", "tf"
+    )
+    dl = tf.groupBy("did").agg(F.sum("tf").alias("dl"))
+    if n_docs is None:
+        n_docs = dl.count()
+    return _bm25_rank(tf, dl, query_terms, n_docs, k, k1, b, id_col)
 
 
 def bm25_topk_sql(
@@ -350,9 +409,22 @@ def phrase_docs(
 
     Pure codegen: higher-order ``filter``/``array_contains`` on the
     position arrays — no explode of positions, no Python."""
+    post = build_postings(docs, text_col=text_col, id_col=id_col)
+    return phrase_docs_from_postings(post, phrase, id_col=id_col)
+
+
+def phrase_docs_from_postings(
+    post: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase search served from the materialized postings index (the
+    same fold as :func:`phrase_docs`, which builds a throwaway index
+    first — a deployment calls THIS over the stored, token-bucketed
+    table: each phrase term prunes to one bucket, |phrase| rows per
+    candidate doc total)."""
     if len(phrase) < 2:
         raise ValueError("phrase needs >= 2 terms")
-    post = build_postings(docs, text_col=text_col, id_col=id_col)
     acc = (
         post.where(F.col("token") == phrase[0])
         .select("doc_id", F.col("positions").alias("starts"))

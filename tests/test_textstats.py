@@ -170,3 +170,69 @@ def test_phrase_docs_fixture(spark):
         for r in phrase_docs(docs, ["a", "b", "c"]).collect()
     }
     assert three == {1: 1}
+
+
+def test_bm25_from_postings_matches_direct(spark):
+    """Index-served BM25 ≡ direct BM25 on a corpus with repeated and
+    query-absent tokens (VERDICT r3 item 3: serve retrieval from the
+    materialized index)."""
+    from drone_spark.ops.textstats import (
+        bm25_from_postings, bm25_topk, build_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash build probe"),
+            (2, "sort merge join stream"),
+            (3, "hash hash hash aggregate"),
+            (4, "filter project scan"),
+        ],
+        "doc_id long, text string",
+    )
+    direct = [tuple(r) for r in bm25_topk(docs, ["hash", "join"], k=4).collect()]
+    served = [
+        tuple(r)
+        for r in bm25_from_postings(
+            build_postings(docs), ["hash", "join"], k=4
+        ).collect()
+    ]
+    assert direct == served
+    assert direct[0][0] in (1, 3)  # hash-heavy docs rank first
+
+
+def test_phrase_from_postings_matches_direct(spark):
+    from drone_spark.ops.textstats import (
+        build_postings, phrase_docs, phrase_docs_from_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c x a b"), (2, "a x b a")], "doc_id long, text string"
+    )
+    direct = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_docs(docs, ["a", "b"]).collect()
+    }
+    served = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_docs_from_postings(
+            build_postings(docs), ["a", "b"]
+        ).collect()
+    }
+    assert direct == served == {1: 2}
+
+
+def test_bm25_empty_corpus_raises(spark):
+    """ADVICE r3: empty / all-empty-text corpora must fail loudly, not
+    with a bare TypeError from F.lit(None)."""
+    import pytest
+
+    from drone_spark.ops.textstats import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_docs == 0"):
+        bm25_topk(empty, ["a"])
+    blank = spark.createDataFrame(
+        [(1, "   "), (2, "")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="avgdl"):
+        bm25_topk(blank, ["a"])
