@@ -794,12 +794,13 @@ KCORE_ROUNDS = 8
 
 
 def q_kcore(spark, sf_dir):
-    """8 pinned parallel-peeling rounds toward the 5-core of the
+    """KCORE_ROUNDS pinned parallel-peeling rounds toward the
+    KCORE_K-core of the
     co-purchase graph (algorithms.kcore.k_core; the unpinned operator
     runs to the true fixpoint and is pytest-oracled). Early convergence
-    is safe: peeling is idempotent at the fixpoint, so 'exactly 8
-    rounds' and 'converged in ≤8' yield the same set — mirrored by the
-    8-round unrolled SQL. Output: (vid, core_deg) within the surviving
+    is safe: peeling is idempotent at the fixpoint, so 'exactly N
+    rounds' and 'converged in ≤N' yield the same set — mirrored by the
+    N-round unrolled SQL. Output: (vid, core_deg) within the surviving
     induced subgraph."""
     from drone_spark.algorithms.kcore import k_core, symmetrize
 
@@ -842,7 +843,11 @@ def q_hits3(spark, sf_dir):
     from NEW auth — Kleinberg's ordering) on the bipartite graph; pure
     BIGINT sums, so bit-identical across engines with no fixed-point
     scale at all. The normalized float operator (algorithms.hits.hits)
-    is NumPy-oracled in tests/test_kcore_hits.py."""
+    is NumPy-oracled in tests/test_kcore_hits.py.
+
+    The |V|-row result is eagerly localCheckpoint'ed so the edge cache
+    can be released before returning (ADVICE r3: the old version
+    leaked the persist for the rest of the driver run)."""
     from drone_spark.graph.builder import vertices
 
     edges = _bipartite_edges(spark, sf_dir).persist()
@@ -868,9 +873,11 @@ def q_hits3(spark, sf_dir):
         state = v.join(hub, "vid", "left").select(
             "vid", F.coalesce("hub", F.lit(0)).alias("hub")
         )
-    return auth.join(state, "vid").select(
+    out = auth.join(state, "vid").select(
         "vid", F.col("auth").alias("auth_fx"), F.col("hub").alias("hub_fx")
-    )
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 def _hits3_sql() -> str:

@@ -173,9 +173,12 @@ def personalized_pagerank(
     special case (PageRank.go:74's constant 0.15 base term).
 
     ``seeds``: DataFrame with a ``vid`` column. Probability convention:
-    Σ pr = 1 (pr0 = 1/|S| on seeds; per-vertex base (1-d)/|S| on seeds,
-    0 elsewhere), hence the tighter default ``tol`` — per-vertex mass
-    is O(1/N), not O(1).
+    Σ pr ≤ 1 (pr0 = 1/|S| on seeds; per-vertex base (1-d)/|S| on seeds,
+    0 elsewhere) — dangling-vertex mass leaks rather than being
+    redistributed to the seeds, matching the uniform kernel's (and the
+    reference's, PageRank.go:74) dangling convention, so the converged
+    sum is strictly below 1 on graphs with sinks. The tighter default
+    ``tol`` stands because per-vertex mass is O(1/N), not O(1).
 
     Plan shape is identical to :func:`pagerank` (union-carrier
     one-shuffle step); the only change is the per-vertex ``base``

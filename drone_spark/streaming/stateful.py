@@ -62,12 +62,8 @@ def sessionize_stateful(
                 ts_us = (
                     pdf["ts"].values.astype("datetime64[us]").astype("int64")
                 )
-                # integer cents, exactly like the batch op
-                c = (
-                    (pdf[value_col] * 100).round().astype("int64")
-                )
                 uss.extend(int(t) for t in ts_us)
-                cents.extend(int(x) for x in c)
+                cents.extend(int(x) for x in pdf["_value_c"])
         # watermark in event-time microseconds (0 on the first batch)
         wm_us = state.getCurrentWatermarkMs() * 1000
 
@@ -129,8 +125,17 @@ def sessionize_stateful(
             }
         )
 
+    # integer cents computed JVM-side BEFORE the state boundary, through
+    # the same decimal(18,2) HALF_UP cast as batch sessionize
+    # (windows.py) — a float multiply + pandas .round() in the kernel
+    # banker-rounds binary floats (1.115 → 111, batch says 112) and
+    # breaks the 'matches batch exactly' contract (ADVICE r3 #1)
+    with_cents = events.withColumn(
+        "_value_c",
+        (F.col(value_col).cast("decimal(18,2)") * 100).cast("long"),
+    )
     return (
-        events.withWatermark("ts", watermark)
+        with_cents.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

@@ -9,7 +9,7 @@ import heapq
 
 import numpy as np
 import pandas as pd
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from drone_spark.algorithms.cc import _seeded_fixpoint_kernel
 from drone_spark.algorithms.sssp import _local_dijkstra_kernel
@@ -43,6 +43,10 @@ def test_local_components_always_matches_union_find(edges):
         min_size=1, max_size=10,
     ),
 )
+@example(
+    edges=[],
+    seeds=[(0, 0), (0, 1)],
+).via('discovered failure')
 def test_cc_kernel_emits_min_seed_label_per_seeded_component(edges, seeds):
     epd = pd.DataFrame(
         {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}

@@ -252,3 +252,39 @@ def test_sessionize_random_events_vs_python_oracle(spark):
     def norm(d):
         return sorted((u, s, *vals) for (u, s), vals in d.items())
     assert norm(got) == norm(exp)
+
+
+def test_sessionize_stateful_half_cent_parity(spark, tmp_path):
+    """ADVICE r3 #1: values like 1.115 round differently under float
+    multiply + banker's rounding (111) than under the batch path's
+    decimal(18,2) HALF_UP cast (112). Cents are now computed JVM-side
+    before the state boundary, so both paths agree on the boundary
+    cases the old fixtures never exercised."""
+    from drone_spark.streaming.stateful import sessionize_stateful
+    from drone_spark.streaming.windows import sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, 1.115),
+        (2, "2024-01-01 10:05:00", 1, 2.675),
+        (3, "2024-01-01 10:10:00", 1, 0.005),
+        (4, "2024-01-02 23:00:00", 9, 1.00),  # watermark driver
+    ]
+    d = str(tmp_path / "ev")
+    _ev(spark, rows).write.parquet(d)
+    ev = spark.read.parquet(d)
+
+    batch = {
+        (r.user_id, str(r.session_start)): r.sum_value_c
+        for r in sessionize(ev).collect()
+    }
+    got = {
+        (r.user_id, str(r.session_start)): r.sum_value_c
+        for r in run_available_now(
+            sessionize_stateful(read_events_stream(spark, d)),
+            "t_sf_halfcent", mode="append",
+        ).collect()
+    }
+    key = (1, "2024-01-01 10:00:00")
+    assert got[key] == batch[key]
+    # the decimal HALF_UP values, not the float-banker ones (380)
+    assert batch[key] == 112 + 268 + 1
