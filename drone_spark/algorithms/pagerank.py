@@ -165,6 +165,8 @@ def personalized_pagerank(
     damping: float = DAMPING,
     max_supersteps: int = 200,
     pre_partitioned: bool = False,
+    resume: bool = False,
+    warm_start: DataFrame | None = None,
 ) -> RunResult:
     """Personalized PageRank: teleport returns to ``seeds`` instead of
     everywhere — the standard topic-/site-conditioned authority score
@@ -184,7 +186,14 @@ def personalized_pagerank(
     one-shuffle step); the only change is the per-vertex ``base``
     column the state carries, so every at-scale property (edge table
     shuffled once, map-side combine, frontier-free full scatter) holds
-    unchanged."""
+    unchanged.
+
+    ``resume``/``warm_start``: same contracts as :func:`pagerank` —
+    resume continues a killed run from the engine's last checkpoint;
+    warm_start seeds ``pr`` from a previous run's result state over an
+    earlier graph version (vertices absent from it start at the cold
+    seed-mass init). The PPR fixpoint is init-independent for a fixed
+    seed set, so a warm start converges to the same scores."""
     from ..sources.bucketed import prepare_edges
 
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -197,7 +206,7 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank: empty seed set")
 
     def init() -> DataFrame:
-        return (
+        base = (
             vertices(edges_r)
             .join(out_degrees(edges_r), "id", "left")
             .join(
@@ -205,11 +214,21 @@ def personalized_pagerank(
                 F.col("id") == F.col("vid"),
                 "left",
             )
-            .select(
+        )
+        cold_pr = F.when(F.col("is_seed"), 1.0 / n_seeds).otherwise(0.0)
+        if warm_start is not None:
+            base = base.join(
+                warm_start.select(F.col("vid").alias("wid"), F.col("pr").alias("pr0")),
+                F.col("id") == F.col("wid"),
+                "left",
+            )
+            pr_init = F.coalesce("pr0", cold_pr)
+        else:
+            pr_init = cold_pr
+        return (
+            base.select(
                 F.col("id").alias("vid"),
-                F.when(F.col("is_seed"), 1.0 / n_seeds)
-                .otherwise(0.0)
-                .alias("pr"),
+                pr_init.alias("pr"),
                 F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
                 F.when(F.col("is_seed"), (1.0 - damping) / n_seeds)
                 .otherwise(0.0)
@@ -266,6 +285,7 @@ def personalized_pagerank(
             step,
             tol=tol,
             max_supersteps=max_supersteps,
+            resume=resume,
             edges_per_step=n_edges,
             traversed_expr=F.when(F.col("pr") != 0.0, F.col("outdeg")).otherwise(
                 F.lit(0)
@@ -284,6 +304,9 @@ def pagerank_weighted(
     tol: float = 1e-6,
     damping: float = DAMPING,
     max_supersteps: int = 200,
+    pre_partitioned: bool = False,
+    resume: bool = False,
+    warm_start: DataFrame | None = None,
 ) -> RunResult:
     """PageRank over a *weighted* graph: a vertex scatters
     ``pr · w_e / W_u`` along each out-edge (W_u = Σ out-weights), the
@@ -295,12 +318,20 @@ def pagerank_weighted(
     hash-partitioned on src once and cached; each superstep shuffles
     only (vid, rank); the union-carrier apply keeps one exchange +
     barrier per superstep; map-side partial sums combine the weighted
-    contributions exactly like the unweighted ones."""
+    contributions exactly like the unweighted ones.
+
+    ``pre_partitioned``/``resume``/``warm_start``: same contracts as
+    :func:`pagerank` — a src-bucketed stored table (carrying the weight
+    column) skips the per-run edge shuffle; resume continues from the
+    engine checkpoint; warm_start seeds ``pr`` from a prior run's
+    result over an earlier graph version."""
+    from ..sources.bucketed import prepare_edges
+
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_r = (
-        edges.select("src", "dst", F.col(weight_col).cast("double").alias("w_e"))
-        .repartition(n_parts, "src")
-        .persist()
+    edges_r = prepare_edges(
+        edges.select("src", "dst", F.col(weight_col).cast("double").alias("w_e")),
+        n_parts,
+        pre_partitioned=pre_partitioned,
     )
     n_edges = edges_r.count()
 
@@ -309,16 +340,22 @@ def pagerank_weighted(
             F.sum("w_e").alias("outw"),
             F.count(F.lit(1)).alias("outd"),  # for the traversal counter
         )
-        return (
-            vertices(edges_r.select("src", "dst"))
-            .join(out_w, "id", "left")
-            .select(
-                F.col("id").alias("vid"),
-                F.lit(1.0).alias("pr"),
-                F.coalesce("outw", F.lit(0.0)).alias("outw"),
-                F.coalesce("outd", F.lit(0)).alias("outd"),
-                F.lit(1.0).alias("delta"),
+        base = vertices(edges_r.select("src", "dst")).join(out_w, "id", "left")
+        if warm_start is not None:
+            base = base.join(
+                warm_start.select(F.col("vid").alias("wid"), F.col("pr").alias("pr0")),
+                F.col("id") == F.col("wid"),
+                "left",
             )
+            pr_init = F.coalesce("pr0", F.lit(1.0))
+        else:
+            pr_init = F.lit(1.0)
+        return base.select(
+            F.col("id").alias("vid"),
+            pr_init.alias("pr"),
+            F.coalesce("outw", F.lit(0.0)).alias("outw"),
+            F.coalesce("outd", F.lit(0)).alias("outd"),
+            F.lit(1.0).alias("delta"),
         )
 
     def step(state: DataFrame, _k: int) -> DataFrame:
@@ -369,6 +406,7 @@ def pagerank_weighted(
             step,
             tol=tol,
             max_supersteps=max_supersteps,
+            resume=resume,
             edges_per_step=n_edges,
             traversed_expr=F.col("outd"),
         )

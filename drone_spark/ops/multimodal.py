@@ -2,10 +2,14 @@
 
 The Spark-side contract is fully real and tested: typed schemas,
 Arrow-batched ``mapInPandas`` kernels with bounded batch shapes,
-partition sizing by payload bytes. Only the codec innards are stubbed
-(`NotImplementedError` or a deterministic fake) because this container
-ships no image/audio libraries — swap ``_decode_image_real`` for a
-Pillow/torchvision call on a real cluster and nothing else changes.
+partition sizing by payload bytes. Two real codecs that need no
+external libraries ARE wired end-to-end — uncompressed 24-bit BMP
+(pure struct/numpy) and PCM WAV (stdlib ``wave``) — demonstrating the
+"swap the codec, nothing else changes" seam inside this sandbox;
+compressed formats (JPEG/PNG/MP3/...) still raise
+`NotImplementedError` (or use the deterministic fake) because the
+container ships no image/audio libraries — swap in Pillow/torchaudio
+on a real cluster and nothing else changes.
 
 Schema convention for a multimodal corpus table::
 
@@ -33,10 +37,48 @@ FRAME_SAMPLE_SCHEMA = "doc_id long, frame_index int, frame binary"
 
 
 def _decode_image_real(payload: bytes) -> "np.ndarray":
-    raise NotImplementedError(
-        "real image decode requires Pillow/libjpeg — not installed in this "
-        "container; deterministic fake used instead (see decode_image)"
-    )
+    """Real image decode for formats that need no external codec:
+    uncompressed 24-bit BMP (BITMAPINFOHEADER), parsed with struct +
+    numpy. Returns float32 grayscale (Rec.601 luma) in [0, 1], rows
+    top-down. Every other format raises — swap in Pillow here on a
+    real cluster and the whole pipeline above is unchanged."""
+    import struct
+
+    if len(payload) < 2 or payload[:2] != b"BM":
+        raise NotImplementedError(
+            "real image decode beyond uncompressed BMP requires "
+            "Pillow/libjpeg — not installed in this container; "
+            "deterministic fake used instead (see image_features)"
+        )
+    if len(payload) < 54:
+        raise ValueError("truncated BMP: missing BITMAPINFOHEADER")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP variant not supported without Pillow: header={hdr_size} "
+            f"bpp={bpp} compression={compression} (only 24-bit "
+            "uncompressed BITMAPINFOHEADER is decoded natively)"
+        )
+    bottom_up = height > 0
+    h, w = abs(height), width
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = data_off + row_bytes * h
+    if w <= 0 or h == 0 or len(payload) < need:
+        raise ValueError(
+            f"truncated BMP: {len(payload)} bytes, need {need} for {w}x{h}"
+        )
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                        offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    bgr = rows.astype(np.float32)
+    luma = 0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1] + 0.299 * bgr[:, :, 2]
+    return (luma / 255.0).astype(np.float32)
 
 
 def _decode_image_fake(payload: bytes) -> np.ndarray:
@@ -45,6 +87,49 @@ def _decode_image_fake(payload: bytes) -> np.ndarray:
         __import__("hashlib").sha256(payload).digest(), dtype=np.uint8
     )
     return np.tile(h, 2)[:64].reshape(8, 8).astype(np.float32) / 255.0
+
+
+def _pool16(img: np.ndarray) -> np.ndarray:
+    """Mean-pool an HxW grayscale image onto a 4x4 grid (16-dim
+    descriptor) for arbitrary H, W >= 4 — equals the old fixed
+    ``reshape(4,2,4,2).mean(axis=(1,3))`` when H == W == 8."""
+    h, w = img.shape
+    if h < 4 or w < 4:
+        raise ValueError(f"image too small to pool to 4x4: {h}x{w}")
+    rb = np.linspace(0, h, 5).astype(np.int64)
+    cb = np.linspace(0, w, 5).astype(np.int64)
+    out = np.empty((4, 4), np.float32)
+    for i in range(4):
+        for j in range(4):
+            out[i, j] = img[rb[i]: rb[i + 1], cb[j]: cb[j + 1]].mean()
+    return out.ravel()
+
+
+def _decode_wav_real(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real PCM WAV decode with the stdlib ``wave`` module: returns
+    (mono float32 samples scaled to int8 range, sample_rate). Channels
+    mix by mean; 16/32-bit samples scale down to the same [-128, 127]
+    amplitude range the fake int8 path uses, so RMS features are
+    comparable across codecs."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    if sw == 1:  # unsigned 8-bit PCM, offset-binary
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0
+    elif sw == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 256.0
+    elif sw == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 16777216.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} not supported")
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x.astype(np.float32), rate
 
 
 def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
@@ -62,7 +147,7 @@ def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
                 batch["doc_id"], batch["payload"], batch["meta"]
             ):
                 img = decode(bytes(payload))
-                pooled = img.reshape(4, 2, 4, 2).mean(axis=(1, 3)).ravel()
+                pooled = _pool16(img)
                 rows.append(
                     (
                         doc_id,
@@ -82,9 +167,12 @@ def image_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     )
 
 
-def audio_features(media: DataFrame) -> DataFrame:
-    """Windowed RMS energy over a fake PCM decode (payload bytes as
-    int8 samples) — real codec swaps in the same way as images."""
+def audio_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Windowed RMS energy. Default codec treats payload bytes as raw
+    int8 PCM (the deterministic fake); ``use_real_codec=True`` parses
+    PCM WAV containers with the stdlib ``wave`` module (sample_rate
+    then comes from the file header, overriding meta) — the same
+    swap-the-codec seam as images, exercised for real in-sandbox."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -92,16 +180,20 @@ def audio_features(media: DataFrame) -> DataFrame:
             for doc_id, payload, meta in zip(
                 batch["doc_id"], batch["payload"], batch["meta"]
             ):
-                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float32)
+                if use_real_codec:
+                    pcm, rate = _decode_wav_real(bytes(payload))
+                else:
+                    pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(
+                        np.float32
+                    )
+                    rate = int(meta["sample_rate"] or 0)
                 win = 256
                 n = len(pcm) // win
                 if n == 0:
-                    rows.append((doc_id, int(meta["sample_rate"] or 0), 0, []))
+                    rows.append((doc_id, rate, 0, []))
                     continue
                 rms = np.sqrt((pcm[: n * win].reshape(n, win) ** 2).mean(axis=1))
-                rows.append(
-                    (doc_id, int(meta["sample_rate"] or 0), n, rms.tolist())
-                )
+                rows.append((doc_id, rate, n, rms.tolist()))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "sample_rate", "n_windows", "features"]
             )
