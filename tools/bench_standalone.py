@@ -122,16 +122,20 @@ class Cluster:
                 break
             except Exception:
                 time.sleep(2)
-        for i in range(n_workers):
-            self.procs.append(
-                _spawn(
-                    [sc, "org.apache.spark.deploy.worker.Worker", MASTER_URL,
-                     "-h", MASTER_HOST, "-c", str(cores), "-m", mem,
-                     "--webui-port", str(MASTER_UI + 1 + i)],
-                    os.path.join(LOG_DIR, f"worker{i}.log"),
+        try:
+            for i in range(n_workers):
+                self.procs.append(
+                    _spawn(
+                        [sc, "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+                         "-h", MASTER_HOST, "-c", str(cores), "-m", mem,
+                         "--webui-port", str(MASTER_UI + 1 + i)],
+                        os.path.join(LOG_DIR, f"worker{i}.log"),
+                    )
                 )
-            )
-        _wait_workers(n_workers)
+            _wait_workers(n_workers)
+        except Exception:
+            self.shutdown()  # no orphan JVMs on a failed spin-up
+            raise
 
     def shutdown(self) -> None:
         for p in reversed(self.procs):
@@ -157,6 +161,15 @@ def _submit(
         "--conf", f"spark.executor.cores={exec_cores}",
         "--conf", f"spark.executor.memory={exec_mem}",
         "--conf", "spark.ui.enabled=false",
+    ]
+    # tmpfs shuffle dir: measured ~1.5x on the 4-executor pair (disk
+    # shuffle files vs /dev/shm); local disk does not scale with
+    # executors and would fold storage speed into the scaling number
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-standalone-tmp"
+        os.makedirs(shm, exist_ok=True)
+        cmd += ["--conf", f"spark.local.dir={shm}"]
+    cmd += [
         os.path.join(REPO, "tools", "cluster_pr_job.py"),
         edges_path, str(steps), str(num_parts), out_json, backend,
     ]
@@ -186,18 +199,21 @@ def measure_pair(
     py_zip = _zip_package(tempfile.mkdtemp(prefix="pyfiles_"))
     worker_mem = f"{int(exec_mem.rstrip('g')) + 1}g"
     results: dict[int, dict] = {}
-    for n in sizes:
-        cluster = Cluster(n, exec_cores, worker_mem)
-        try:
-            for _ in range(repeats):
+    # interleave sizes across repeats (min-of-N per size): the host is a
+    # shared VM, so back-to-back same-size repeats would fold a co-tenant
+    # load swing into the ratio
+    for _ in range(repeats):
+        for n in sizes:
+            cluster = Cluster(n, exec_cores, worker_mem)
+            try:
                 run = _submit(
                     edges_path, steps, num_parts, exec_cores, exec_mem,
                     py_zip, backend,
                 )
-                if n not in results or run["iter_seconds"] < results[n]["iter_seconds"]:
-                    results[n] = run
-        finally:
-            cluster.shutdown()
+            finally:
+                cluster.shutdown()
+            if n not in results or run["iter_seconds"] < results[n]["iter_seconds"]:
+                results[n] = run
     lo, hi = sizes
     thr_lo = results[lo]["edges_per_sec"]
     thr_hi = results[hi]["edges_per_sec"]
@@ -226,7 +242,12 @@ def main() -> None:
 
     n_vertices = int(os.environ.get("SPARK_GRAFT_SCALING_VERTICES", "2000000"))
     steps = int(os.environ.get("SPARK_GRAFT_SCALING_STEPS", "3"))
-    exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+    # 1 core/executor: the high side is then 4 busy threads, inside this
+    # VM's real-CPU envelope, so the pair isolates EXECUTOR-count scaling
+    # from the co-tenant thread quota (measured: 4EXx4c anti-scales purely
+    # because 16 sustained threads get throttled; 4EXx1c == 1EXx4c shows
+    # per-executor overhead is ~0). See BASELINE.md round 4.
+    exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "1"))
     exec_mem = os.environ.get("SPARK_GRAFT_EXEC_MEM", "14g")
     num_parts = int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "32"))
     backend = os.environ.get("SPARK_GRAFT_SCALING_BACKEND", "relational")
