@@ -148,6 +148,36 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Per-vertex Watts-Strogatz local clustering coefficient on the
+    co-purchase graph (algorithms/linkstats.py — triangle enumeration
+    reuses the degree-ordered orientation, so hub skew is handled by
+    construction)."""
+    from drone_spark.algorithms.linkstats import clustering_coefficient
+
+    return clustering_coefficient(_copurchase_edges(spark, sf_dir))
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Top-50 Adamic-Adar link predictions on the co-purchase graph,
+    hub cap 256 on the shared-neighbor degree (safe-by-default, same
+    contract as dedup's max_doc_freq), existing edges excluded."""
+    from drone_spark.algorithms.linkstats import adamic_adar
+
+    return adamic_adar(_copurchase_edges(spark, sf_dir), k=50, max_degree=256)
+
+
+def q_reciprocity(spark, sf_dir):
+    """Mutual-link reciprocity of the host graph (1 row)."""
+    from drone_spark.algorithms.linkstats import reciprocity
+    from drone_spark.extraction import host_graph
+
+    hosts = host_graph(_url_edges(spark, sf_dir))
+    return reciprocity(
+        hosts.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    )
+
+
 PR_SCALE = 10**12  # fixed-point scale: pr 1.0 == 10^12
 
 
@@ -1157,6 +1187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_degree": q_in_degree,
         "degree_distribution": q_degree_distribution,
         "triangle_count": q_triangle_count,
+        "clustering_coefficient": q_clustering_coefficient,
+        "adamic_adar": q_adamic_adar,
+        "reciprocity": q_reciprocity,
         "pagerank5": q_pagerank5,
         "connected_components": q_connected_components,
         "connected_components_subgraph": q_connected_components_subgraph,
@@ -1226,6 +1259,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS n_triangles FROM edges e1 "
             "JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst "
             "JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst"
+        ),
+        "clustering_coefficient": (
+            # tri: (v,u,w) with u<w and edges v-u, v-w, u-w — each
+            # triangle yields exactly one row per corner, so COUNT per
+            # v is T(v); the cc division is one IEEE double op on exact
+            # integers, bit-identical across engines
+            f"WITH {SQL_COPURCHASE}, {SQL_SYM}, "
+            "deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src), "
+            "tri AS (SELECT e1.src AS v, COUNT(*) AS t "
+            "FROM sym e1 JOIN sym e2 ON e2.src = e1.src AND e1.dst < e2.dst "
+            "JOIN sym e3 ON e3.src = e1.dst AND e3.dst = e2.dst "
+            "GROUP BY e1.src) "
+            "SELECT d.id AS vid, d.deg AS deg, COALESCE(t.t, 0) AS n_triangles, "
+            "CASE WHEN d.deg >= 2 THEN 2.0 * COALESCE(t.t, 0) /"
+            " (CAST(d.deg AS DOUBLE) * (d.deg - 1.0)) ELSE 0.0 END AS cc "
+            "FROM deg d LEFT JOIN tri t ON t.v = d.id"
+        ),
+        "adamic_adar": (
+            f"WITH {SQL_COPURCHASE}, {SQL_SYM}, "
+            "deg AS (SELECT src AS z, COUNT(*) AS dz FROM sym GROUP BY src), "
+            "pairs AS (SELECT a.dst AS u, b.dst AS w,"
+            " 1.0 / ln(CAST(d.dz AS DOUBLE)) AS s "
+            "FROM sym a JOIN sym b ON b.src = a.src AND a.dst < b.dst "
+            "JOIN deg d ON d.z = a.src AND d.dz BETWEEN 2 AND 256), "
+            "sc AS (SELECT u, w, ROUND(SUM(s), 6) AS aa_score FROM pairs"
+            " GROUP BY u, w), "
+            "filt AS (SELECT sc.u, sc.w, sc.aa_score FROM sc "
+            "LEFT JOIN sym e ON e.src = sc.u AND e.dst = sc.w"
+            " WHERE e.src IS NULL) "
+            "SELECT u, w, aa_score FROM filt"
+            " ORDER BY aa_score DESC, u, w LIMIT 50"
+        ),
+        "reciprocity": (
+            f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}, "
+            "hosts AS (SELECT "
+            f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+            f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls), "
+            "e AS (SELECT DISTINCT src_host AS src, dst_host AS dst"
+            " FROM hosts WHERE src_host <> dst_host), "
+            "tot AS (SELECT COUNT(*) AS n_edges FROM e), "
+            "rec AS (SELECT COUNT(*) AS n_reciprocal FROM e a"
+            " JOIN e b ON b.src = a.dst AND b.dst = a.src) "
+            "SELECT tot.n_edges, rec.n_reciprocal, "
+            "CASE WHEN tot.n_edges > 0 THEN"
+            " CAST(rec.n_reciprocal AS DOUBLE) / tot.n_edges"
+            " ELSE 0.0 END AS reciprocity FROM tot, rec"
         ),
         "pagerank5": _pagerank5_sql(),
         "connected_components": (

@@ -1,0 +1,153 @@
+"""Link-graph structure statistics — clustering, link prediction,
+reciprocity.
+
+Standard web-graph analyses a link-graph engine serves beyond ranking
+(all from the public literature; none present in the reference, which
+ships only PR/CC/SSSP/Sim — SURVEY §2.3): per-vertex local clustering
+coefficient (Watts-Strogatz), Adamic-Adar link prediction, and edge
+reciprocity. All three are pure relational plans — no engine loop, no
+Python rows — and each has an exact DuckDB oracle in
+``__spark_entry__.py``.
+
+At-scale shape notes:
+
+- Triangle enumeration reuses the degree-ordered orientation
+  (algorithms/triangles.py): forward-adjacency is O(sqrt(E)) per
+  vertex even for hubs, so the intersection join's row count is
+  O(#triangles) — the output's own size, the lower bound.
+- Adamic-Adar pairs explode quadratically in the degree of the shared
+  neighbor, so the hub cap (``max_degree``) is ON by default, same
+  safe-by-default contract as dedup's ``max_doc_freq``: a z with
+  10^6 neighbors would contribute 10^12 pairs of near-zero score
+  (1/ln 10^6); capping drops only those vanishing contributions and
+  bounds the join at cap² rows per center. Top-k output plans as
+  TakeOrderedAndProject — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .cc import _sym_edges
+from .triangles import _oriented
+
+
+def vertex_triangles(edges: DataFrame) -> DataFrame:
+    """Triangles per vertex: each triangle credits ALL THREE corners
+    (unlike ``triangle_count(per_vertex=True)``, which credits only the
+    orientation's first endpoint — fine for sums, wrong for clustering
+    coefficients). Result: (id, n_triangles), vertices with none absent.
+    """
+    fwd = _oriented(edges)
+    adj = fwd.groupBy(F.col("src").alias("u")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    tri = (
+        fwd.join(
+            adj.withColumnRenamed("u", "src").withColumnRenamed("nbrs", "src_nbrs"),
+            "src",
+        )
+        .join(
+            adj.withColumnRenamed("u", "dst").withColumnRenamed("nbrs", "dst_nbrs"),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.explode(F.array_intersect("src_nbrs", "dst_nbrs")).alias("w"),
+        )
+    )
+    credits = (
+        tri.select(F.col("src").alias("id"))
+        .unionAll(tri.select(F.col("dst").alias("id")))
+        .unionAll(tri.select(F.col("w").alias("id")))
+    )
+    return credits.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex over the undirected
+    simple graph: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)); 0 when deg < 2.
+    Result: (vid, deg, n_triangles, cc). The division is one IEEE
+    double op on exact integers, so Spark and DuckDB agree bitwise —
+    no rounding needed."""
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    t = vertex_triangles(edges)
+    n_tri = F.coalesce("n_triangles", F.lit(0))
+    return deg.join(t, "id", "left").select(
+        F.col("id").alias("vid"),
+        "deg",
+        n_tri.alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            2.0 * n_tri / (F.col("deg").cast("double") * (F.col("deg") - 1.0)),
+        )
+        .otherwise(0.0)
+        .alias("cc"),
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int = 256,
+    exclude_existing: bool = True,
+) -> DataFrame:
+    """Top-k Adamic-Adar link predictions over the undirected simple
+    graph: score(u,w) = Σ_{z ∈ N(u)∩N(w)} 1/ln(deg(z)) — the classic
+    common-neighbor weighting (Adamic & Adar 2003) used for "related
+    pages"/crawl-frontier suggestion.
+
+    ``max_degree`` caps the shared-neighbor degree (safe-by-default hub
+    cap — see module docstring); ``exclude_existing`` drops pairs
+    already linked. Scores are rounded to 6 decimals before ranking so
+    cross-engine float-summation order cannot reorder the top-k
+    (same convention as bm25); ties break on (u, w)."""
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("z")).agg(F.count(F.lit(1)).alias("dz"))
+    centers = deg.where((F.col("dz") >= 2) & (F.col("dz") <= max_degree))
+    a = sym.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    b = sym.select(F.col("src").alias("z"), F.col("dst").alias("w"))
+    pairs = (
+        a.join(b, "z")
+        .where(F.col("u") < F.col("w"))
+        .join(centers, "z")
+        .select("u", "w", (1.0 / F.log(F.col("dz").cast("double"))).alias("s"))
+    )
+    scores = pairs.groupBy("u", "w").agg(F.round(F.sum("s"), 6).alias("aa_score"))
+    if exclude_existing:
+        scores = scores.join(
+            sym.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+    return scores.orderBy(F.desc("aa_score"), "u", "w").limit(k)
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of (deduped, non-loop)
+    edges whose reverse edge also exists — the standard webgraph
+    mutual-link statistic. One result row:
+    (n_edges, n_reciprocal, reciprocity).
+
+    Both counts are single aggregates; the crossJoin is 1-row × 1-row
+    (same pattern as the HITS norm join)."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    tot = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    rec = e.join(rev, ["src", "dst"]).agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    return tot.crossJoin(rec).select(
+        "n_edges",
+        "n_reciprocal",
+        F.when(
+            F.col("n_edges") > 0,
+            F.col("n_reciprocal").cast("double") / F.col("n_edges"),
+        )
+        .otherwise(0.0)
+        .alias("reciprocity"),
+    )
