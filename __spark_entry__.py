@@ -178,6 +178,65 @@ def q_reciprocity(spark, sf_dir):
     )
 
 
+SAMPLE_RATES = {"en": 0.5, "zh": 0.2, "de": 0.1}  # per-language corpus quotas
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Layout-independent per-language corpus rebalancing: keep 50% of
+    en, 20% of zh, 10% of de, 1% of everything else, decided by a
+    content hash of doc_id alone (ops/sampling.py — df.sample() would
+    be partitioning-dependent and unreproducible)."""
+    from drone_spark.ops.sampling import stratified_sample
+
+    return stratified_sample(
+        _read(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        "lang",
+        "doc_id",
+        SAMPLE_RATES,
+        default_rate=0.01,
+    )
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over documents with deterministically injected
+    emails/phones/IPs (the synthetic corpus contains none, so both
+    engines splice identical fake PII in, then redact+count — the
+    oracle exercises the full pattern set)."""
+    from drone_spark.ops.textstats import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" call +1 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(aug)
+
+
 PR_SCALE = 10**12  # fixed-point scale: pr 1.0 == 10^12
 
 
@@ -1190,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "adamic_adar": q_adamic_adar,
         "reciprocity": q_reciprocity,
+        "stratified_sample": q_stratified_sample,
+        "redact_pii": q_redact_pii,
         "pagerank5": q_pagerank5,
         "connected_components": q_connected_components,
         "connected_components_subgraph": q_connected_components_subgraph,
@@ -1290,6 +1351,32 @@ def oracle_sql() -> dict[str, str]:
             " WHERE e.src IS NULL) "
             "SELECT u, w, aa_score FROM filt"
             " ORDER BY aa_score DESC, u, w LIMIT 50"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE CAST(('0x' || SUBSTRING(md5('s0:' ||"
+            " CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < "
+            "CASE "
+            + " ".join(
+                f"WHEN lang = '{s}' THEN {int(round(r * 1_000_000))}"
+                for s, r in sorted(SAMPLE_RATES.items())
+            )
+            + " ELSE 10000 END"
+        ),
+        "redact_pii": (
+            "WITH aug AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||"
+            " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || "
+            "CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-' ||"
+            " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || "
+            "CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' ||"
+            " CAST(doc_id % 256 AS VARCHAR) || '.' ||"
+            " CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS text "
+            "FROM documents) "
+            + __import__(
+                "drone_spark.ops.textstats", fromlist=["redact_pii_sql"]
+            ).redact_pii_sql("text")
+            + " FROM aug"
         ),
         "reciprocity": (
             f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}, "

@@ -466,3 +466,52 @@ def phrase_docs_sql(phrase: list[str], doc_table: str = "documents") -> str:
         f"FROM post a0 {' '.join(joins)} "
         f"WHERE a0.token = '{phrase[0]}' AND len({filt}) > 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — corpus scrubbing before training
+# ---------------------------------------------------------------------------
+# Patterns restricted to the syntax Java regex (Spark) and RE2 (DuckDB)
+# agree on: character classes, bounded repetition, non-capturing groups —
+# no backrefs, no lookaround. The structural scrubbing pass every
+# training-data pipeline runs; swap/extend patterns per policy.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}", "[PHONE]"),
+    "ip": (r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "[IP]"),
+}
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and redact emails / phone numbers / IPv4 addresses:
+    returns (id, n_emails, n_phones, n_ips, redacted). Pure codegen
+    (regexp_count + chained regexp_replace) — no Python, no shuffle; at
+    100 TB this is a map-only pass that pipelines with the scan.
+    Replacement order is email → phone → ip (the patterns are mutually
+    non-overlapping on their match sets, so order only matters for the
+    reader)."""
+    red = F.col(text_col)
+    counts = []
+    for name, (pat, rep) in PII_PATTERNS.items():
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}s"))
+        red = F.regexp_replace(red, pat, rep.replace("$", "\\$"))
+    return docs.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+def redact_pii_sql(text_expr: str, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`redact_pii` over ``text_expr`` (RE2 'g'
+    flag = replace-all, matching Spark's always-global replace;
+    len(regexp_extract_all) = regexp_count)."""
+    counts = []
+    red = text_expr
+    for name, (pat, rep) in PII_PATTERNS.items():
+        sql_pat = pat.replace("'", "''")
+        counts.append(
+            f"len(regexp_extract_all({text_expr}, '{sql_pat}')) AS n_{name}s"
+        )
+        red = f"regexp_replace({red}, '{sql_pat}', '{rep}', 'g')"
+    return (
+        f"SELECT {id_expr}, " + ", ".join(counts) + f", {red} AS redacted"
+    )
