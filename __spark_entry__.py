@@ -1230,6 +1230,73 @@ def q_phrase_indexed(spark, sf_dir):
     return phrase_docs_from_postings(post, PHRASE)
 
 
+# -- directed graph with cycles (SCC/bowtie input) --------------------------
+# src = order bucket, dst = part×supplier bucket over a shared modulus: a
+# deterministic, data-derived digraph whose structure at sf0.01 is exactly
+# the Broder bowtie shape (one giant SCC ≈ 680 vertices + tendril mass).
+SCC_MOD = 2000
+
+SQL_DIRECTED = (
+    f"edges AS (SELECT DISTINCT l_orderkey % {SCC_MOD} AS src, "
+    f"(l_partkey * 31 + l_suppkey) % {SCC_MOD} AS dst FROM lineitem "
+    "WHERE l_linenumber = 1 AND l_orderkey % 2 = 0 "
+    f"AND l_orderkey % {SCC_MOD} <> (l_partkey * 31 + l_suppkey) % {SCC_MOD})"
+)
+
+# SCC via transitive closure — tractable for the oracle at sf0.01 (~1.4M
+# closure pairs); the Spark side never materializes a closure, of course.
+SQL_SCC = (
+    "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges), "
+    "reach(a, b) AS (SELECT src, dst FROM edges UNION "
+    "SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.b), "
+    "mutual AS (SELECT r1.a AS v, r1.b AS w FROM reach r1 "
+    "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a), "
+    "scc AS (SELECT v.id AS vid, "
+    "LEAST(v.id, COALESCE(MIN(m.w), v.id)) AS scc_id "
+    "FROM verts v LEFT JOIN mutual m ON m.v = v.id GROUP BY v.id)"
+)
+
+
+def _directed_edges(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 2 == 0))
+        .select(
+            (F.col("l_orderkey") % SCC_MOD).alias("src"),
+            ((F.col("l_partkey") * 31 + F.col("l_suppkey")) % SCC_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components of the directed link graph
+    (algorithms/scc.py: trim + forward coloring + backward reach, every
+    phase an engine run). scc_id = min vertex id in the component —
+    deterministic, layout-independent. The oracle computes the same
+    labels from the DuckDB transitive closure (mutual reachability)."""
+    from drone_spark.algorithms.scc import strongly_connected_components
+
+    return strongly_connected_components(
+        spark, _engine(spark), _directed_edges(spark, sf_dir),
+        run_id="scc_entry",
+    )
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder bowtie decomposition (WWW 2000) relative to the largest
+    SCC: CORE / IN / OUT / OTHER per vertex — the canonical whole-web
+    structure analysis, served by two reachability floods from the core
+    (algorithms/scc.bowtie)."""
+    from drone_spark.algorithms.scc import bowtie
+
+    return bowtie(
+        spark, _engine(spark), _directed_edges(spark, sf_dir),
+        run_id="bowtie_entry",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1297,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_docs": q_phrase_docs,
         "bm25_indexed": q_bm25_indexed,
         "phrase_indexed": q_phrase_indexed,
+        "scc": q_scc,
+        "bowtie": q_bowtie,
     }
 
 
@@ -1599,6 +1668,28 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_ivf": _cosine_bruteforce_oracle(),
         "ngram_jaccard_capped": _ngram_jaccard_capped_oracle(),
         "minhash_dedup_capped": _minhash_capped_oracle(),
+        "scc": (
+            f"WITH RECURSIVE {SQL_DIRECTED}, {SQL_SCC} "
+            "SELECT vid, scc_id FROM scc"
+        ),
+        "bowtie": (
+            f"WITH RECURSIVE {SQL_DIRECTED}, {SQL_SCC}, "
+            "core AS (SELECT scc_id FROM scc GROUP BY scc_id "
+            "ORDER BY COUNT(*) DESC, scc_id ASC LIMIT 1), "
+            "corev AS (SELECT vid FROM scc "
+            "WHERE scc_id = (SELECT scc_id FROM core)), "
+            "fromcore AS (SELECT DISTINCT r.b AS vid FROM reach r "
+            "JOIN corev c ON r.a = c.vid), "
+            "tocore AS (SELECT DISTINCT r.a AS vid FROM reach r "
+            "JOIN corev c ON r.b = c.vid) "
+            "SELECT s.vid, CASE "
+            "WHEN s.scc_id = (SELECT scc_id FROM core) THEN 'CORE' "
+            "WHEN t.vid IS NOT NULL THEN 'IN' "
+            "WHEN f.vid IS NOT NULL THEN 'OUT' "
+            "ELSE 'OTHER' END AS cls "
+            "FROM scc s LEFT JOIN tocore t ON t.vid = s.vid "
+            "LEFT JOIN fromcore f ON f.vid = s.vid"
+        ),
     }
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition
