@@ -1270,6 +1270,60 @@ def _directed_edges(spark, sf_dir):
     )
 
 
+def q_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate fraction (C4-style): word 4-grams
+    occurring in ≥3 distinct docs are boilerplate; per-doc basis-point
+    coverage. Shingles dedup inside the array domain pre-explode; df is
+    one partial-agg count — never a doc×doc join
+    (ops/textstats.boilerplate_stats)."""
+    from drone_spark.ops.textstats import boilerplate_stats
+
+    return boilerplate_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_closeness(spark, sf_dir):
+    """Landmark closeness centrality: one engine-run multi-source BFS
+    from the 8 md5-smallest vertices, distance-bounded at 64 hops
+    (= max_supersteps); integral (n_reached, sum_dist) per vertex so
+    the recursive-CTE oracle hash-matches exactly
+    (algorithms/centrality.py)."""
+    from drone_spark.algorithms.centrality import closeness_centrality
+
+    return closeness_centrality(
+        spark, _engine(spark), _directed_edges(spark, sf_dir),
+        n_landmarks=8, max_dist=64, run_id="closeness_entry",
+    )
+
+
+def q_degree_correlation(spark, sf_dir):
+    """Exact integer moments of the out→in degree-degree correlation
+    (Newman assortativity numerators) over the directed graph — one
+    BIGINT row, hash-exact (algorithms/linkstats.degree_correlation)."""
+    from drone_spark.algorithms.linkstats import degree_correlation
+
+    return degree_correlation(_directed_edges(spark, sf_dir))
+
+
+def q_joint_degree_histogram(spark, sf_dir):
+    """Power-of-two-bucketed joint (out-degree, in-degree) distribution
+    over directed edges; buckets via length(bin(deg))−1 so both engines
+    share pure integer semantics (linkstats.joint_degree_histogram)."""
+    from drone_spark.algorithms.linkstats import joint_degree_histogram
+
+    return joint_degree_histogram(_directed_edges(spark, sf_dir))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (duplicate n-gram fraction +
+    most-common-token fraction in exact basis points) — the dup
+    fractions are computed wholly inside the array domain
+    (size − size(array_distinct)), a zero-shuffle map-only pass
+    (ops/textstats.repetition_stats)."""
+    from drone_spark.ops.textstats import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_scc(spark, sf_dir):
     """Strongly connected components of the directed link graph
     (algorithms/scc.py: trim + forward coloring + backward reach, every
@@ -1366,6 +1420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_indexed": q_phrase_indexed,
         "scc": q_scc,
         "bowtie": q_bowtie,
+        "repetition_stats": q_repetition_stats,
+        "degree_correlation": q_degree_correlation,
+        "joint_degree_histogram": q_joint_degree_histogram,
+        "closeness": q_closeness,
+        "boilerplate": q_boilerplate,
     }
 
 
@@ -1690,6 +1749,56 @@ def oracle_sql() -> dict[str, str]:
             "FROM scc s LEFT JOIN tocore t ON t.vid = s.vid "
             "LEFT JOIN fromcore f ON f.vid = s.vid"
         ),
+        "repetition_stats": __import__(
+            "drone_spark.ops.textstats", fromlist=["repetition_stats_sql"]
+        ).repetition_stats_sql(),
+        "degree_correlation": (
+            f"WITH {SQL_DIRECTED}, "
+            "outd AS (SELECT src, COUNT(*) AS x FROM edges GROUP BY src), "
+            "ind AS (SELECT dst, COUNT(*) AS y FROM edges GROUP BY dst) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_edges, "
+            "CAST(SUM(x) AS BIGINT) AS sum_x, "
+            "CAST(SUM(y) AS BIGINT) AS sum_y, "
+            "CAST(SUM(x * y) AS BIGINT) AS sum_xy, "
+            "CAST(SUM(x * x) AS BIGINT) AS sum_x2, "
+            "CAST(SUM(y * y) AS BIGINT) AS sum_y2 "
+            "FROM edges e JOIN outd o ON e.src = o.src "
+            "JOIN ind i ON e.dst = i.dst"
+        ),
+        "joint_degree_histogram": (
+            f"WITH {SQL_DIRECTED}, "
+            "outd AS (SELECT src, COUNT(*) AS x FROM edges GROUP BY src), "
+            "ind AS (SELECT dst, COUNT(*) AS y FROM edges GROUP BY dst) "
+            "SELECT CAST(length(bin(x)) - 1 AS BIGINT) AS x_bucket, "
+            "CAST(length(bin(y)) - 1 AS BIGINT) AS y_bucket, "
+            "COUNT(*) AS n_edges "
+            "FROM edges e JOIN outd o ON e.src = o.src "
+            "JOIN ind i ON e.dst = i.dst "
+            "GROUP BY 1, 2"
+        ),
+        "closeness": (
+            # verts dedups via explicit DISTINCT, not UNION: DuckDB
+            # 1.0.0 drops the UNION dedup of non-self-referencing CTEs
+            # under WITH RECURSIVE (bag semantics leak through), so a
+            # UNION-built verts feeds duplicate rows to the LIMIT 8
+            # landmark pick and seeds < 8 distinct landmarks
+            f"WITH RECURSIVE {SQL_DIRECTED}, "
+            "verts AS (SELECT DISTINCT id FROM "
+            "(SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)), "
+            "lm AS (SELECT id FROM verts "
+            "ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8), "
+            "walk(lm, vid, d) AS ("
+            "SELECT id, id, 0 FROM lm "
+            "UNION "
+            "SELECT w.lm, e.dst, w.d + 1 FROM walk w "
+            "JOIN edges e ON e.src = w.vid WHERE w.d < 64), "
+            "dist AS (SELECT lm, vid, MIN(d) AS d FROM walk GROUP BY lm, vid) "
+            "SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_reached, "
+            "CAST(SUM(d) AS BIGINT) AS sum_dist FROM dist GROUP BY vid"
+        ),
+        "boilerplate": __import__(
+            "drone_spark.ops.textstats", fromlist=["boilerplate_stats_sql"]
+        ).boilerplate_stats_sql(),
     }
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition

@@ -1,0 +1,117 @@
+"""Landmark closeness centrality — multi-source bounded BFS.
+
+Exact closeness/harmonic centrality needs all-pairs distances (O(V·E)
+— hopeless at web scale); the standard scalable estimator is distances
+from a small deterministic landmark set (Indyk 1999; Potamias et al.
+CIKM 2009; HyperBall is the sketch-based cousin). This module runs ONE
+multi-source BFS carrying (vertex, landmark, dist) rows under the
+superstep engine: landmarks are the ``n_landmarks`` vertices with the
+smallest ``md5(vid)`` (hash-uniform and deterministic — the IVF-init
+convention, similarity.py), and the flood is frontier-only: a
+(vid, lm) pair enters the state exactly once, at its BFS level, so a
+superstep's work is O(edges incident to the frontier), never O(V·L).
+
+Distance bounding: BFS level k IS distance k, so ``max_dist`` doubles
+as the engine's ``max_supersteps`` — a bounded-radius sweep, the form
+landmark methods use in production (and what keeps a stray
+pathological diameter from running away at 100 TB).
+
+Result rows stay integral (n_reached, sum_dist per vertex) so the
+DuckDB oracle hash-matches exactly; closeness = n/sum is the caller's
+one float division, deliberately outside the distributed job
+(degree_correlation's convention, linkstats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.superstep import RunResult, SuperstepEngine
+
+
+def landmark_distances(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_dist: int = 64,
+    run_id: str = "landmarks",
+    num_parts: int | None = None,
+) -> RunResult:
+    """BFS distances from ``n_landmarks`` md5-chosen landmark vertices
+    along edge direction. Final state: (vid, lm, dist, delta) — one row
+    per (reachable vertex, landmark) pair with the exact shortest
+    hop-count ≤ ``max_dist``."""
+    n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(n_parts, "src")
+        .persist()
+    )
+    n_edges = e.count()
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    landmarks = verts.orderBy(F.md5(F.col("vid").cast("string"))).limit(
+        n_landmarks
+    )
+
+    def init() -> DataFrame:
+        return landmarks.select(
+            "vid",
+            F.col("vid").alias("lm"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1.0).alias("delta"),
+        )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        # BFS invariant: the frontier is exactly last level's new rows,
+        # and any (vid, lm) they reach that isn't in the state yet gets
+        # its true shortest distance now — no relaxation ever needed
+        frontier = state.where(F.col("delta") > 0).select(
+            F.col("vid").alias("src"), "lm", "dist"
+        )
+        cand = (
+            frontier.join(e, "src")
+            .groupBy(F.col("dst").alias("vid"), F.col("lm"))
+            .agg((F.min("dist") + 1).alias("dist"))
+        )
+        new = cand.join(state.select("vid", "lm"), ["vid", "lm"], "left_anti")
+        return state.select("vid", "lm", "dist", F.lit(0.0).alias("delta")).unionAll(
+            new.select("vid", "lm", "dist", F.lit(1.0).alias("delta"))
+        )
+
+    try:
+        return engine.run(
+            run_id, init, step, tol=0.0, max_supersteps=max_dist,
+            edges_per_step=n_edges,
+        )
+    finally:
+        e.unpersist()
+
+
+def closeness_centrality(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_dist: int = 64,
+    run_id: str = "closeness",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Landmark closeness summary per vertex: (vid, n_reached,
+    sum_dist) over landmarks that reach it within ``max_dist`` hops —
+    closeness ≈ n_reached / sum_dist, harmonic variants are one
+    ``transform`` away. Integral outputs, hash-exact."""
+    run = landmark_distances(
+        spark, engine, edges, n_landmarks=n_landmarks, max_dist=max_dist,
+        run_id=run_id, num_parts=num_parts,
+    )
+    return run.state.groupBy("vid").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("dist").alias("sum_dist"),
+    )

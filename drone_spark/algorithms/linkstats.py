@@ -151,3 +151,63 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         .otherwise(0.0)
         .alias("reciprocity"),
     )
+
+
+def degree_correlation(edges: DataFrame) -> DataFrame:
+    """Exact integer moments for the directed degree-degree correlation
+    (assortativity): over every deduped non-loop edge (u, v), x =
+    outdeg(u) and y = indeg(v). One result row of BIGINT sums —
+    (n_edges, sum_x, sum_y, sum_xy, sum_x2, sum_y2) — from which
+    Pearson's r (Newman 2002's out-in assortativity) follows in one
+    driver-side division. Keeping the output integral makes it
+    hash-exact across engines; the float division is the caller's
+    one-liner, not the distributed job's.
+
+    Plan: two partial-agg degree tables broadcast-or-shuffle joined
+    onto the edge list, then a single global aggregate — map-side
+    combine everywhere, output is 1 row."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outd = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("x"))
+    ind = e.groupBy(F.col("dst")).agg(F.count(F.lit(1)).alias("y"))
+    xy = e.join(outd, "src").join(ind, "dst")
+    return xy.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_y2"),
+    )
+
+
+def joint_degree_histogram(edges: DataFrame) -> DataFrame:
+    """Joint (out-degree, in-degree) distribution over edges, bucketed
+    by power-of-two degree class: (x_bucket, y_bucket, n_edges) where
+    bucket = ⌊log₂ deg⌋ computed as ``length(bin(deg)) − 1`` — pure
+    integer/string semantics, so Spark and any SQL oracle agree exactly
+    (float log2 can misround at bucket boundaries).
+
+    The output is O(log²(max_degree)) rows — a web-scale-safe summary
+    of the full joint distribution (the raw (x, y) histogram would be
+    O(distinct degrees²))."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outd = e.groupBy(F.col("src")).agg(F.count(F.lit(1)).alias("x"))
+    ind = e.groupBy(F.col("dst")).agg(F.count(F.lit(1)).alias("y"))
+    return (
+        e.join(outd, "src")
+        .join(ind, "dst")
+        .select(
+            (F.length(F.bin("x")) - 1).cast("long").alias("x_bucket"),
+            (F.length(F.bin("y")) - 1).cast("long").alias("y_bucket"),
+        )
+        .groupBy("x_bucket", "y_bucket")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )

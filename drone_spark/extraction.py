@@ -189,3 +189,81 @@ CANON_URL_SQL = (
     "regexp_replace(regexp_replace(regexp_replace({u}, '#.*$', ''), "
     "'^[A-Za-z]+://[^/]*', ''), '(.)/$', '\\1'))"
 )
+
+
+_ANCHOR_RE = re.compile(r'<a href="([^"]*)"[^>]*>(.*?)</a>', re.S)
+ANCHOR_SCHEMA = "src_url string, dst_url string, anchor string"
+
+
+def anchors_from_pages(pages: DataFrame) -> DataFrame:
+    """pages → (src_url, dst_url, anchor): one row per link occurrence
+    with its visible anchor text (HTML-unescaped, whitespace intact —
+    normalization is the aggregation's job, keeping this extraction
+    byte-faithful like the article text).
+
+    Same Arrow-batched shape as :func:`extract_pages`; the extractall
+    runs on the C regex engine inside the batch. Unlike
+    ``edges_from_pages``, link *occurrences* are kept (no dedup): a
+    page linking twice with different anchors contributes two anchor
+    observations — exactly what anchor-text ranking wants."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows_src: list[str] = []
+            rows_dst: list[str] = []
+            rows_anchor: list[str] = []
+            docs = batch["html"].apply(lambda b: b.decode("utf-8"))
+            found = docs.str.extractall(_ANCHOR_RE)
+            if len(found):
+                # extractall index level 0 = row position in the batch
+                urls = batch["url"].reset_index(drop=True)
+                rows_src = urls.iloc[
+                    found.index.get_level_values(0)
+                ].tolist()
+                rows_dst = found[0].tolist()
+                rows_anchor = [_html.unescape(a) for a in found[1]]
+            yield pd.DataFrame(
+                {"src_url": rows_src, "dst_url": rows_dst,
+                 "anchor": rows_anchor}
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        extract, schema=ANCHOR_SCHEMA
+    )
+
+
+def anchor_text_summary(
+    anchors: DataFrame, k: int = 3, min_count: int = 1
+) -> DataFrame:
+    """Per-target anchor-term profile — the classic IR use of link
+    structure (anchor text describes the *target* better than its own
+    body; Craswell et al. 2001, and the BM25F anchor field): tokenize
+    anchors with the shared normalizer, drop intra-page self-links,
+    count (dst_url, term) over link occurrences, keep each target's
+    top-``k`` terms (ties broken by term for determinism).
+
+    Plan shape: explode → two-level partial agg on (dst_url, term) →
+    per-key top-k via ranked window over the count-aggregated rows
+    (input to the window is already one row per (dst, term), so the
+    sort is over the *aggregated* table, not the raw occurrences)."""
+    from pyspark.sql import Window
+
+    from .ops.textstats import norm_text
+
+    terms = (
+        anchors.where(F.col("dst_url") != F.col("src_url"))
+        .select(
+            "dst_url",
+            F.explode(F.split(norm_text("anchor"), " ")).alias("term"),
+        )
+        .where(F.length("term") > 0)
+        .groupBy("dst_url", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    w = Window.partitionBy("dst_url").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dst_url", "term", "n", "rank")
+    )

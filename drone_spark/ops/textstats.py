@@ -515,3 +515,201 @@ def redact_pii_sql(text_expr: str, id_expr: str = "doc_id") -> str:
     return (
         f"SELECT {id_expr}, " + ", ".join(counts) + f", {red} AS redacted"
     )
+
+
+def _ngram_array(lcol: Column, n: int) -> Column:
+    """Word n-grams of a token array as a new array column — built
+    entirely inside the array domain (transform + element_at), so
+    n-gram construction never explodes rows or shuffles."""
+    if n == 1:
+        return lcol
+    idx = F.sequence(F.lit(1), F.size(lcol) - (n - 1))
+
+    def gram(i):
+        out = F.element_at(lcol, i)
+        for j in range(1, n):
+            out = F.concat(out, F.lit(" "), F.element_at(lcol, i + j))
+        return out
+
+    return F.when(F.size(lcol) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, gram)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1), exact
+    integer basis points so the DuckDB oracle hash-matches bit-for-bit
+    (quality_score's floor-division convention):
+
+    - ``n_toks`` — whitespace tokens after the shared normalizer;
+    - ``top_tok_bp`` — frequency of the most common token in basis
+      points of ``n_toks``;
+    - ``dup2_bp`` / ``dup3_bp`` — duplicate word-n-gram fraction:
+      occurrences beyond the first, ``(n − distinct)·10⁴ div n``.
+
+    Scale shape: the dup fractions never leave the array domain
+    (``size − size(array_distinct)`` per row) — a map-only pass that
+    pipelines with the documents scan, zero shuffle and zero row
+    explosion. Only the most-common-token statistic needs an explode +
+    two-level partial agg on ``doc_id``. Documents with blank text
+    still get a row (all-zero stats)."""
+    nt = norm_text(text_col)
+    lcol = F.when(nt == "", F.array().cast("array<string>")).otherwise(
+        F.split(nt, " ")
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), lcol.alias("l"))
+
+    def counts(n: int, prefix: str) -> list[Column]:
+        g = _ngram_array(F.col("l"), n)
+        return [
+            F.size(g).cast("long").alias(f"n_{prefix}"),
+            F.size(F.array_distinct(g)).cast("long").alias(f"d_{prefix}"),
+        ]
+
+    base = d.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_toks"),
+        *counts(2, "g2"),
+        *counts(3, "g3"),
+    )
+    top = (
+        d.select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .withColumn("top_c", F.coalesce("top_c", F.lit(0)).cast("long"))
+        .selectExpr(
+            "doc_id",
+            "n_toks",
+            "CASE WHEN n_toks <= 0 THEN 0L"
+            " ELSE (top_c * 10000L) div n_toks END AS top_tok_bp",
+            "CASE WHEN n_g2 <= 0 THEN 0L"
+            " ELSE ((n_g2 - d_g2) * 10000L) div n_g2 END AS dup2_bp",
+            "CASE WHEN n_g3 <= 0 THEN 0L"
+            " ELSE ((n_g3 - d_g3) * 10000L) div n_g3 END AS dup3_bp",
+        )
+    )
+
+
+def repetition_stats_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`repetition_stats` — n-grams via indexed
+    ``list_transform`` lambdas over ``list_slice`` (the
+    build_postings_sql pattern), dup fractions via ``list_distinct``,
+    floor division via ``//`` on BIGINT-cast counts."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "arr AS (SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split(nt, ' ') END AS l FROM norm), "
+        "grams AS (SELECT doc_id, l, "
+        "list_transform(list_slice(l, 1, length(l) - 1), "
+        "(x, i) -> x || ' ' || l[i + 1]) AS g2, "
+        "list_transform(list_slice(l, 1, length(l) - 2), "
+        "(x, i) -> x || ' ' || l[i + 1] || ' ' || l[i + 2]) AS g3 FROM arr), "
+        "base AS (SELECT doc_id, CAST(length(l) AS BIGINT) AS n_toks, "
+        "CAST(length(g2) AS BIGINT) AS n_g2, "
+        "CAST(length(list_distinct(g2)) AS BIGINT) AS d_g2, "
+        "CAST(length(g3) AS BIGINT) AS n_g3, "
+        "CAST(length(list_distinct(g3)) AS BIGINT) AS d_g3 FROM grams), "
+        "top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c FROM ("
+        "SELECT doc_id, tok, COUNT(*) AS c FROM ("
+        "SELECT doc_id, unnest(l) AS tok FROM arr) GROUP BY doc_id, tok"
+        ") GROUP BY doc_id) "
+        "SELECT b.doc_id, b.n_toks, "
+        "CASE WHEN b.n_toks <= 0 THEN 0 "
+        "ELSE (COALESCE(t.top_c, 0) * 10000) // b.n_toks END AS top_tok_bp, "
+        "CASE WHEN b.n_g2 <= 0 THEN 0 "
+        "ELSE ((b.n_g2 - b.d_g2) * 10000) // b.n_g2 END AS dup2_bp, "
+        "CASE WHEN b.n_g3 <= 0 THEN 0 "
+        "ELSE ((b.n_g3 - b.d_g3) * 10000) // b.n_g3 END AS dup3_bp "
+        "FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id"
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    n: int = 4,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate fraction (the C4/CCNet-style
+    corpus-level repetition filter): a word ``n``-gram is *boilerplate*
+    when it occurs in ≥ ``min_df`` distinct documents (nav bars, footer
+    chrome, license blurbs); each document reports how much of it is
+    made of such shingles.
+
+    Output: (doc_id, n_shingles, boiler_bp) — distinct n-grams in the
+    doc and the basis-point fraction of them that are boilerplate
+    (floor division, hash-exact; repetition_stats conventions).
+
+    Scale shape: shingles are deduped *inside the array domain* before
+    the explode (array_distinct), so the exploded relation has one row
+    per (doc, distinct shingle); document frequency is then a single
+    partial-agg count on the shingle key — there is never a doc×doc
+    join, and hot boilerplate shingles cost one combiner row per map
+    partition, not a pair blowup."""
+    nt = norm_text(text_col)
+    lcol = F.when(nt == "", F.array().cast("array<string>")).otherwise(
+        F.split(nt, " ")
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), lcol.alias("l"))
+    doc_shingles = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngram_array(F.col("l"), n))).alias("sh"),
+    )
+    df_tab = doc_shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    flagged = (
+        doc_shingles.join(df_tab, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    base = d.select("doc_id")
+    return (
+        base.join(flagged, "doc_id", "left")
+        .withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0)).cast("long"))
+        .withColumn("n_boiler", F.coalesce("n_boiler", F.lit(0)).cast("long"))
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "CASE WHEN n_shingles <= 0 THEN 0L"
+            " ELSE (n_boiler * 10000L) div n_shingles END AS boiler_bp",
+        )
+    )
+
+
+def boilerplate_stats_sql(
+    n: int = 4, min_df: int = 3, doc_table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`boilerplate_stats` (list_transform n-grams
+    + list_distinct, then relational df-count — the
+    repetition_stats_sql patterns)."""
+    concat = " || ' ' || ".join(
+        "x" if j == 0 else f"l[i + {j}]" for j in range(n)
+    )
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "arr AS (SELECT doc_id, CASE WHEN nt = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split(nt, ' ') END AS l FROM norm), "
+        "ds AS (SELECT doc_id, unnest(list_distinct("
+        f"list_transform(list_slice(l, 1, length(l) - {n - 1}), "
+        f"(x, i) -> {concat}))) AS sh FROM arr), "
+        "dftab AS (SELECT sh, COUNT(*) AS df FROM ds GROUP BY sh), "
+        "flagged AS (SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+        f"CAST(SUM(CASE WHEN dftab.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_boiler "
+        "FROM ds JOIN dftab ON ds.sh = dftab.sh GROUP BY ds.doc_id) "
+        "SELECT d.doc_id, COALESCE(f.n_shingles, 0) AS n_shingles, "
+        "CASE WHEN COALESCE(f.n_shingles, 0) <= 0 THEN 0 "
+        "ELSE (COALESCE(f.n_boiler, 0) * 10000) // f.n_shingles END AS boiler_bp "
+        f"FROM (SELECT doc_id FROM {doc_table}) d "
+        "LEFT JOIN flagged f ON f.doc_id = d.doc_id"
+    )

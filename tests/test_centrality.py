@@ -1,0 +1,70 @@
+"""Landmark closeness centrality vs a Python BFS oracle."""
+
+import hashlib
+from collections import deque
+
+from drone_spark.algorithms.centrality import (
+    closeness_centrality, landmark_distances,
+)
+
+
+def _bfs(adj, src, max_dist):
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        v = q.popleft()
+        if dist[v] >= max_dist:
+            continue
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    return dist
+
+
+def _oracle(edges, n_landmarks, max_dist):
+    verts = sorted({v for e in edges for v in e})
+    lms = sorted(verts, key=lambda v: hashlib.md5(str(v).encode()).hexdigest())[
+        :n_landmarks
+    ]
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    out = {}
+    for lm in lms:
+        for v, d in _bfs(adj, lm, max_dist).items():
+            n, s = out.get(v, (0, 0))
+            out[v] = (n + 1, s + d)
+    return out
+
+
+def test_landmark_distances_exact(spark, engine):
+    import random
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vid"]: (r["n_reached"], r["sum_dist"])
+        for r in closeness_centrality(
+            spark, engine, df, n_landmarks=4, max_dist=64, run_id="close_t",
+            num_parts=4,
+        ).collect()
+    }
+    assert got == _oracle(edges, 4, 64)
+
+
+def test_distance_bound_respected(spark, engine):
+    # path 0 -> 1 -> 2 -> 3 -> 4; landmark set = all 5, max_dist = 2
+    edges = [(i, i + 1) for i in range(4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    run = landmark_distances(
+        spark, engine, df, n_landmarks=5, max_dist=2, run_id="close_b",
+        num_parts=2,
+    )
+    dists = [(r["lm"], r["vid"], r["dist"]) for r in run.state.collect()]
+    assert max(d for _, _, d in dists) <= 2
+    # from landmark 0 exactly vertices 0,1,2 are within 2 hops
+    from0 = {v: d for lm, v, d in dists if lm == 0}
+    assert from0 == {0: 0, 1: 1, 2: 2}

@@ -110,3 +110,41 @@ def test_canonical_urls_query_collapses_every_variant_pair(spark):
     out = E.q_canonical_urls(spark, "/root/testdata/sf0.001")
     assert out.where("n_variants != 2").count() == 0
     assert out.count() > 0
+
+
+def test_anchors_from_pages_and_summary(spark):
+    from drone_spark.extraction import anchor_text_summary, anchors_from_pages
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://a.example/p1",
+                (
+                    '<html><a href="http://b.example/x">Great  Search engine</a>'
+                    '<a href="http://c.example/y">docs &amp; news</a>'
+                    '<a href="http://b.example/x">search</a>'
+                    '<a href="http://a.example/p1">self nav</a></html>'
+                ).encode(),
+            ),
+            (
+                "http://d.example/p2",
+                '<html><a href="http://b.example/x">SEARCH now</a></html>'.encode(),
+            ),
+        ],
+        "url string, html binary",
+    )
+    anchors = anchors_from_pages(pages)
+    got = sorted(map(tuple, anchors.collect()))
+    assert ("http://a.example/p1", "http://c.example/y", "docs & news") in got
+    assert len(got) == 5  # all occurrences kept, incl self-link row
+
+    summary = anchor_text_summary(anchors, k=2)
+    rows = {
+        (r["dst_url"], r["rank"]): (r["term"], r["n"])
+        for r in summary.collect()
+    }
+    # b.example/x: 'search' appears 3x (two pages), 'engine'/'great'/'now' 1x
+    assert rows[("http://b.example/x", 1)] == ("search", 3)
+    assert rows[("http://b.example/x", 2)][1] == 1
+    # self-link anchors are excluded
+    assert not any(d == "http://a.example/p1" for d, _ in rows)

@@ -99,3 +99,37 @@ def test_linkstats_no_python_eval(spark, kite):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+def test_degree_correlation_matches_python(spark):
+    from drone_spark.algorithms.linkstats import degree_correlation
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (1, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dedup = {(s, d) for s, d in edges if s != d}
+    from collections import Counter
+
+    outd = Counter(s for s, _ in dedup)
+    ind = Counter(d for _, d in dedup)
+    xs = [(outd[s], ind[d]) for s, d in dedup]
+    want = (
+        len(xs),
+        sum(x for x, _ in xs),
+        sum(y for _, y in xs),
+        sum(x * y for x, y in xs),
+        sum(x * x for x, _ in xs),
+        sum(y * y for _, y in xs),
+    )
+    [row] = degree_correlation(df).collect()
+    assert tuple(row) == want
+
+
+def test_joint_degree_histogram_buckets(spark):
+    from drone_spark.algorithms.linkstats import joint_degree_histogram
+
+    # star: 0 -> 1..8 gives outdeg(0)=8 (bucket 3), indeg=1 (bucket 0)
+    edges = [(0, i) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["x_bucket"], r["y_bucket"]): r["n_edges"]
+           for r in joint_degree_histogram(df).collect()}
+    assert got == {(3, 0): 8}

@@ -236,3 +236,121 @@ def test_bm25_empty_corpus_raises(spark):
     )
     with pytest.raises(ValueError, match="avgdl"):
         bm25_topk(blank, ["a"])
+
+
+def test_repetition_stats_matches_python(spark):
+    import re
+    from collections import Counter
+
+    from drone_spark.ops.textstats import repetition_stats
+
+    corpus = [
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "a a a a a a"),
+        (3, "all tokens unique here today friend"),
+        (4, ""),
+        (5, "  spaced\t\tout   text  spaced out text "),
+        (6, "x y x y x y x y"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_toks"], r["top_tok_bp"], r["dup2_bp"], r["dup3_bp"])
+        for r in repetition_stats(docs).collect()
+    }
+    for doc_id, text in corpus:
+        nt = re.sub(r"\s+", " ", text.strip().lower())
+        toks = nt.split(" ") if nt else []
+        g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        g3 = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        want = (
+            len(toks),
+            Counter(toks).most_common(1)[0][1] * 10000 // len(toks) if toks else 0,
+            (len(g2) - len(set(g2))) * 10000 // len(g2) if g2 else 0,
+            (len(g3) - len(set(g3))) * 10000 // len(g3) if g3 else 0,
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_repetition_stats_plan_is_pythonless(spark):
+    from drone_spark.ops.textstats import repetition_stats
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    plan = (
+        repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_sql_twin_duckdb(spark):
+    import duckdb
+
+    from drone_spark.ops.textstats import repetition_stats, repetition_stats_sql
+
+    corpus = [
+        (1, "the cat sat on the mat the cat sat"),
+        (2, "b b b b"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(map(tuple, repetition_stats(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
+    want = sorted(map(tuple, con.execute(repetition_stats_sql()).fetchall()))
+    assert got == want
+
+
+def test_boilerplate_stats_matches_python(spark):
+    from drone_spark.ops.textstats import boilerplate_stats
+
+    footer = "copyright example corp all rights reserved"
+    corpus = [
+        (1, "alpha beta gamma delta " + footer),
+        (2, "epsilon zeta eta theta " + footer),
+        (3, "iota kappa lambda mu " + footer),
+        (4, "unique words only here no shared shingles at all"),
+        (5, "x"),  # too short for a 4-gram
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["boiler_bp"])
+        for r in boilerplate_stats(docs, n=4, min_df=3).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)}
+
+    from collections import Counter
+
+    df = Counter(sh for _, t in corpus for sh in shingles(t))
+    for doc_id, text in corpus:
+        sh = shingles(text)
+        boiler = sum(1 for s in sh if df[s] >= 3)
+        want = (len(sh), boiler * 10000 // len(sh) if sh else 0)
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    # the shared footer is boilerplate: docs 1-3 have nonzero coverage
+    assert all(got[i][1] > 0 for i in (1, 2, 3))
+    assert got[4][1] == 0 and got[5] == (0, 0)
+
+
+def test_boilerplate_sql_twin_duckdb(spark):
+    import duckdb
+
+    from drone_spark.ops.textstats import boilerplate_stats, boilerplate_stats_sql
+
+    corpus = [
+        (1, "one two three four five"),
+        (2, "one two three four six"),
+        (3, "one two three four seven"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(map(tuple, boilerplate_stats(docs, n=4, min_df=3).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
+    want = sorted(map(tuple, con.execute(boilerplate_stats_sql()).fetchall()))
+    assert got == want
