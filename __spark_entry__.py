@@ -1295,6 +1295,31 @@ def q_closeness(spark, sf_dir):
     )
 
 
+def q_distance_distribution(spark, sf_dir):
+    """Landmark-sampled neighborhood function N(d): (landmark, vertex)
+    pair counts per exact hop distance from the 8 md5-smallest
+    landmarks — the distribution behind average-distance /
+    effective-diameter estimates (ANF, HyperBall). Shares the closeness
+    BFS; output is O(max_dist) integral rows
+    (algorithms/centrality.distance_distribution)."""
+    from drone_spark.algorithms.centrality import distance_distribution
+
+    return distance_distribution(
+        spark, _engine(spark), _directed_edges(spark, sf_dir),
+        n_landmarks=8, max_dist=64, run_id="distdist_entry",
+    )
+
+
+def q_curation_verdict(spark, sf_dir):
+    """C4/Gopher-style composed curation pipeline: length bounds +
+    quality heuristic + repetition caps + language allow-list, emitted
+    as an auditable additive reason bitmask and keep 0/1 — exact
+    integer semantics end to end (ops/curation.curation_verdict)."""
+    from drone_spark.ops.curation import curation_verdict
+
+    return curation_verdict(_read(spark, sf_dir, "documents"))
+
+
 def q_degree_correlation(spark, sf_dir):
     """Exact integer moments of the out→in degree-degree correlation
     (Newman assortativity numerators) over the directed graph — one
@@ -1425,6 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "joint_degree_histogram": q_joint_degree_histogram,
         "closeness": q_closeness,
         "boilerplate": q_boilerplate,
+        "distance_distribution": q_distance_distribution,
+        "curation_verdict": q_curation_verdict,
     }
 
 
@@ -1799,6 +1826,27 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate": __import__(
             "drone_spark.ops.textstats", fromlist=["boilerplate_stats_sql"]
         ).boilerplate_stats_sql(),
+        "distance_distribution": (
+            # same landmark BFS as `closeness` (see that entry's note on
+            # the DISTINCT-built verts), aggregated by distance instead
+            # of by vertex
+            f"WITH RECURSIVE {SQL_DIRECTED}, "
+            "verts AS (SELECT DISTINCT id FROM "
+            "(SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)), "
+            "lm AS (SELECT id FROM verts "
+            "ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8), "
+            "walk(lm, vid, d) AS ("
+            "SELECT id, id, 0 FROM lm "
+            "UNION "
+            "SELECT w.lm, e.dst, w.d + 1 FROM walk w "
+            "JOIN edges e ON e.src = w.vid WHERE w.d < 64), "
+            "dist AS (SELECT lm, vid, MIN(d) AS d FROM walk GROUP BY lm, vid) "
+            "SELECT CAST(d AS BIGINT) AS dist, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pairs FROM dist GROUP BY d"
+        ),
+        "curation_verdict": __import__(
+            "drone_spark.ops.curation", fromlist=["curation_verdict_sql"]
+        ).curation_verdict_sql(),
     }
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition

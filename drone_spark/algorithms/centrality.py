@@ -115,3 +115,51 @@ def closeness_centrality(
         F.count(F.lit(1)).alias("n_reached"),
         F.sum("dist").alias("sum_dist"),
     )
+
+
+def distance_distribution(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_dist: int = 64,
+    run_id: str = "distdist",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Landmark-sampled neighborhood function N(d): (dist, n_pairs)
+    rows counting (landmark, vertex) pairs at each exact hop distance —
+    the distribution behind average-distance and effective-diameter
+    estimates (Palmer et al. ANF, KDD 2002; Boldi & Vigna HyperBall;
+    the "19 degrees of separation" measurement of Broder et al. WWW
+    2000 §4 on the same crawl the bowtie comes from).
+
+    One multi-source BFS (shared with closeness), then a global
+    O(max_dist)-row aggregate. Output stays integral — effective
+    diameter = smallest d with cumsum(n_pairs)·10 ≥ 9·total is the
+    caller's arithmetic over ≤ ``max_dist`` rows (see
+    :func:`effective_diameter`)."""
+    run = landmark_distances(
+        spark, engine, edges, n_landmarks=n_landmarks, max_dist=max_dist,
+        run_id=run_id, num_parts=num_parts,
+    )
+    return run.state.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def effective_diameter(dist_rows, pct_num: int = 9, pct_den: int = 10) -> int:
+    """Effective diameter from collected (dist, n_pairs) rows: the
+    smallest d whose cumulative pair count reaches ``pct_num/pct_den``
+    (default 90%) of all reachable pairs. Pure integer comparison —
+    cum·den ≥ num·total — so the answer is exact, never float-rounded.
+    Driver-side on ≤ max_dist rows by design."""
+    rows = sorted((int(r["dist"]), int(r["n_pairs"])) for r in dist_rows)
+    total = sum(n for _, n in rows)
+    if total == 0:
+        return 0
+    cum = 0
+    for d, n in rows:
+        cum += n
+        if cum * pct_den >= pct_num * total:
+            return d
+    return rows[-1][0]

@@ -1,0 +1,152 @@
+"""Composed curation verdict — the C4/Gopher filter pipeline as one op.
+
+Production pretraining pipelines (C4, Raffel et al. 2020 §2.2; Gopher /
+MassiveText, Rae et al. 2021 §A1; RefinedWeb, Penedo et al. 2023) chain
+per-document filters — length bounds, quality heuristics, repetition
+caps, language allow-list — and keep a *reason* for every drop so the
+funnel is auditable. This module composes the engine's existing signal
+ops (:mod:`textstats`: quality_score, repetition_stats, lang_id) into a
+single verdict table: ``(doc_id, n_toks, quality, lang_pred, reasons,
+keep)`` where ``reasons`` is an additive bitmask and ``keep = 1`` iff
+``reasons = 0``.
+
+Everything stays exact-integer (basis points, floor division, bitmask)
+so the DuckDB oracle hash-matches bit-for-bit; booleans are emitted as
+BIGINT 0/1 for the same reason.
+
+Scale shape: three signal jobs that are each map-only or
+two-level-partial-agg over the documents scan, joined on the uniform
+``doc_id`` key — no step is heavier than the signals the pipeline
+already computes, and the verdict join adds one co-partitioned shuffle.
+At 100 TB the whole pipeline is one pass over the corpus plus the
+(doc_id → doc_id) joins; nothing is quadratic and no key is hotter than
+a single document id.
+
+Reason bits (stable public contract, additive):
+
+====  ==============================================================
+bit   meaning
+====  ==============================================================
+1     too short — ``n_toks < min_tokens``
+2     too long — ``n_toks > max_tokens``
+4     low quality — ``quality < min_quality`` (see quality_score)
+8     repetitive — any of top_tok_bp / dup2_bp / dup3_bp over cap
+16    language not in ``allowed_langs``
+====  ==============================================================
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import (
+    lang_id,
+    lang_id_sql,
+    quality_score,
+    repetition_stats,
+    repetition_stats_sql,
+)
+
+R_TOO_SHORT = 1
+R_TOO_LONG = 2
+R_LOW_QUALITY = 4
+R_REPETITIVE = 8
+R_LANG = 16
+
+
+def curation_verdict(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: int = 50,
+    max_top_tok_bp: int = 2000,
+    max_dup2_bp: int = 2000,
+    max_dup3_bp: int = 1500,
+    allowed_langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Per-document keep/drop verdict with an auditable reason bitmask.
+
+    Defaults follow the published filters loosely: Gopher drops docs
+    whose most common word exceeds 20% of tokens (here 2000 bp) or
+    whose duplicate 2-/3-gram fraction exceeds ~20%/15%; C4 drops short
+    pages; the language allow-list is the MassiveText English filter.
+    Thresholds are parameters — the *composition* is the operator.
+    """
+    q = quality_score(docs, text_col)
+    r = repetition_stats(docs, text_col=text_col)
+    lg = lang_id(docs, text_col)
+    joined = (
+        r.join(q, "doc_id")
+        .join(lg, "doc_id")
+    )
+    bit = lambda cond, b: F.when(cond, F.lit(b)).otherwise(F.lit(0))  # noqa: E731
+    reasons = (
+        bit(F.col("n_toks") < min_tokens, R_TOO_SHORT)
+        + bit(F.col("n_toks") > max_tokens, R_TOO_LONG)
+        + bit(F.col("quality") < min_quality, R_LOW_QUALITY)
+        + bit(
+            (F.col("top_tok_bp") > max_top_tok_bp)
+            | (F.col("dup2_bp") > max_dup2_bp)
+            | (F.col("dup3_bp") > max_dup3_bp),
+            R_REPETITIVE,
+        )
+        + bit(~F.col("lang_pred").isin(*allowed_langs), R_LANG)
+    )
+    return joined.select(
+        "doc_id",
+        "n_toks",
+        "quality",
+        "lang_pred",
+        reasons.cast("long").alias("reasons"),
+        F.when(reasons == 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+def curation_verdict_sql(
+    doc_table: str = "documents",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_quality: int = 50,
+    max_top_tok_bp: int = 2000,
+    max_dup2_bp: int = 2000,
+    max_dup3_bp: int = 1500,
+    allowed_langs: tuple[str, ...] = ("en",),
+) -> str:
+    """DuckDB twin of :func:`curation_verdict` — the three signal
+    queries as subqueries joined on doc_id, same integer bitmask."""
+    quality = (
+        "SELECT doc_id, GREATEST(0, 100 "
+        "- LEAST(40, (n_punct * 100) // GREATEST(n_chars, 1)) "
+        "- LEAST(30, (n_digits * 100) // GREATEST(n_chars, 1)) "
+        "- CASE WHEN n_tokens < 10 THEN 30 ELSE 0 END) AS quality FROM ("
+        "SELECT doc_id, length(text) AS n_chars, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+        "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct, "
+        "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits "
+        f"FROM {doc_table})"
+    )
+    langs = ", ".join(f"'{lang}'" for lang in allowed_langs)
+    return (
+        f"WITH rep AS ({repetition_stats_sql(doc_table)}), "
+        f"qual AS ({quality}), "
+        f"lng AS ({lang_id_sql(doc_table)}), "
+        "bits AS (SELECT r.doc_id, r.n_toks, q.quality, l.lang_pred, "
+        f"(CASE WHEN r.n_toks < {min_tokens} THEN {R_TOO_SHORT} ELSE 0 END "
+        f"+ CASE WHEN r.n_toks > {max_tokens} THEN {R_TOO_LONG} ELSE 0 END "
+        f"+ CASE WHEN q.quality < {min_quality} THEN {R_LOW_QUALITY} ELSE 0 END "
+        f"+ CASE WHEN r.top_tok_bp > {max_top_tok_bp} "
+        f"OR r.dup2_bp > {max_dup2_bp} OR r.dup3_bp > {max_dup3_bp} "
+        f"THEN {R_REPETITIVE} ELSE 0 END "
+        f"+ CASE WHEN l.lang_pred NOT IN ({langs}) THEN {R_LANG} ELSE 0 END"
+        ") AS reasons "
+        "FROM rep r JOIN qual q ON r.doc_id = q.doc_id "
+        "JOIN lng l ON r.doc_id = l.doc_id) "
+        "SELECT doc_id, n_toks, quality, lang_pred, "
+        "CAST(reasons AS BIGINT) AS reasons, "
+        "CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep "
+        "FROM bits"
+    )

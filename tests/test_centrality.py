@@ -55,6 +55,49 @@ def test_landmark_distances_exact(spark, engine):
     assert got == _oracle(edges, 4, 64)
 
 
+def test_distance_distribution_matches_oracle(spark, engine):
+    import random
+    from collections import Counter
+
+    from drone_spark.algorithms.centrality import distance_distribution
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(100)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["dist"]: r["n_pairs"]
+        for r in distance_distribution(
+            spark, engine, df, n_landmarks=4, max_dist=64, run_id="dd_t",
+            num_parts=4,
+        ).collect()
+    }
+    want = Counter()
+    verts = sorted({v for e in edges for v in e})
+    lms = sorted(verts, key=lambda v: hashlib.md5(str(v).encode()).hexdigest())[:4]
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    for lm in lms:
+        for d in _bfs(adj, lm, 64).values():
+            want[d] += 1
+    assert got == dict(want)
+
+
+def test_effective_diameter_integer_percentile():
+    from drone_spark.algorithms.centrality import effective_diameter
+
+    rows = [
+        {"dist": 0, "n_pairs": 5},
+        {"dist": 1, "n_pairs": 4},
+        {"dist": 2, "n_pairs": 1},
+    ]
+    # cum at d=1 is 9/10 -> exactly 90%: integer compare keeps d=1
+    assert effective_diameter(rows) == 1
+    assert effective_diameter(rows, pct_num=1, pct_den=2) == 0
+    assert effective_diameter([]) == 0
+
+
 def test_distance_bound_respected(spark, engine):
     # path 0 -> 1 -> 2 -> 3 -> 4; landmark set = all 5, max_dist = 2
     edges = [(i, i + 1) for i in range(4)]
