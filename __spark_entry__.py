@@ -1320,6 +1320,21 @@ def q_curation_verdict(spark, sf_dir):
     return curation_verdict(_read(spark, sf_dir, "documents"))
 
 
+BUDGET_TOKENS = 20_000
+
+
+def q_budget_sample(spark, sf_dir):
+    """Deterministic token-budget corpus cut: greedy take in md5(id)
+    order until BUDGET_TOKENS, as a distributed prefix-sum (256
+    md5-prefix buckets + driver offset table) — never the
+    single-partition global window (ops/curation.budget_sample)."""
+    from drone_spark.ops.curation import budget_sample
+
+    return budget_sample(
+        _read(spark, sf_dir, "documents"), budget_tokens=BUDGET_TOKENS
+    )
+
+
 def q_degree_correlation(spark, sf_dir):
     """Exact integer moments of the out→in degree-degree correlation
     (Newman assortativity numerators) over the directed graph — one
@@ -1452,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "distance_distribution": q_distance_distribution,
         "curation_verdict": q_curation_verdict,
+        "budget_sample": q_budget_sample,
     }
 
 
@@ -1847,6 +1863,9 @@ def oracle_sql() -> dict[str, str]:
         "curation_verdict": __import__(
             "drone_spark.ops.curation", fromlist=["curation_verdict_sql"]
         ).curation_verdict_sql(),
+        "budget_sample": __import__(
+            "drone_spark.ops.curation", fromlist=["budget_sample_sql"]
+        ).budget_sample_sql(BUDGET_TOKENS),
     }
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition

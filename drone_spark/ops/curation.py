@@ -37,7 +37,7 @@ bit   meaning
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .textstats import (
     lang_id,
@@ -45,6 +45,7 @@ from .textstats import (
     quality_score,
     repetition_stats,
     repetition_stats_sql,
+    token_count,
 )
 
 R_TOO_SHORT = 1
@@ -102,6 +103,96 @@ def curation_verdict(
         F.when(reasons == 0, F.lit(1)).otherwise(F.lit(0))
         .cast("long")
         .alias("keep"),
+    )
+
+
+def budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic token-budget corpus sampling: walk documents in
+    ``md5(doc_id)`` order (hash-uniform, layout-independent — the
+    engine's standing sampling convention) and keep each doc whose
+    running token total still fits ``budget_tokens``; emit
+    ``(doc_id, n_toks, cum_toks, kept)`` with kept as BIGINT 0/1.
+    This is the "cut a 500B-token corpus out of a 5T-token pool" step
+    of every pretraining data plan, made reproducible: the kept set is
+    a pure function of ids, never of partitioning or timing.
+
+    Scale shape — a naive ``SUM() OVER (ORDER BY md5)`` window has no
+    partition key, so Spark collapses the whole table into ONE task
+    (the classic "No Partition Defined for Window" scale bug). Instead
+    this runs the textbook distributed prefix-sum: the first two hex
+    chars of the md5 split the order into 256 contiguous ranges; the
+    running sum is computed per bucket (parallel window over
+    co-partitioned data), and each bucket's starting offset is the
+    prefix-sum of the per-bucket totals — a 256-row driver computation
+    (a scalar-metrics-sized collect, the engine's allowed class). The
+    result is bit-identical to the single-ordering cumsum because the
+    bucket is a *prefix* of the md5 priority, so (bucket, pri) order
+    IS pri order."""
+    pr = F.md5(F.col(id_col).cast("string"))
+    # two passes over (doc_id, text) by design: the 256-row totals job,
+    # then the windowed pass — cheaper and more predictable at scale
+    # than caching the whole projected corpus between them
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).cast("long").alias("n_toks"),
+        pr.alias("pri"),
+        F.substring(pr, 1, 2).alias("bucket"),
+    )
+    totals = {
+        r["bucket"]: r["tot"]
+        for r in base.groupBy("bucket")
+        .agg(F.sum("n_toks").alias("tot"))
+        .collect()
+    }
+    if not totals:  # empty corpus: keep the output shape, zero rows
+        return base.select(
+            "doc_id",
+            "n_toks",
+            F.lit(0).cast("long").alias("cum_toks"),
+            F.lit(0).cast("long").alias("kept"),
+        )
+    offsets, running = {}, 0
+    for b in sorted(totals):  # lexical = md5-prefix order
+        offsets[b] = running
+        running += totals[b]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("bucket").orderBy("pri").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (F.sum("n_toks").over(w) + off[F.col("bucket")]).alias("cum_toks")
+    return base.select("doc_id", "n_toks", cum).select(
+        "doc_id",
+        "n_toks",
+        "cum_toks",
+        F.when(F.col("cum_toks") <= budget_tokens, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+def budget_sample_sql(budget_tokens: int, doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`budget_sample` — the single global-window
+    cumsum the distributed prefix-sum is provably equivalent to (same
+    md5 total order; doc_id ties impossible since ids are unique)."""
+    cum = (
+        "SUM(n_toks) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+        "END AS n_toks "
+        f"FROM {doc_table}) "
+        f"SELECT doc_id, n_toks, CAST({cum} AS BIGINT) AS cum_toks, "
+        f"CAST(CASE WHEN {cum} <= {budget_tokens} THEN 1 ELSE 0 END "
+        "AS BIGINT) AS kept FROM toks"
     )
 
 

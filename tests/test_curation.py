@@ -44,6 +44,42 @@ def test_verdict_bitmask(spark):
     assert got[4][0] & R_LOW_QUALITY
 
 
+def test_budget_sample_matches_global_cumsum(spark):
+    import hashlib
+
+    from drone_spark.ops.curation import budget_sample
+
+    docs = [(i, "tok " * (i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cum_toks"], r["kept"])
+        for r in budget_sample(df, budget_tokens=300).collect()
+    }
+    order = sorted(range(200), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    cum, want = 0, {}
+    for i in order:
+        cum += i % 7 + 1
+        want[i] = (cum, 1 if cum <= 300 else 0)
+    assert got == want
+    # layout independence: a different partitioning yields identical rows
+    got2 = {
+        r["doc_id"]: (r["cum_toks"], r["kept"])
+        for r in budget_sample(df.repartition(13), budget_tokens=300).collect()
+    }
+    assert got2 == want
+
+
+def test_budget_sample_empty_corpus(spark):
+    from drone_spark.ops.curation import budget_sample
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = budget_sample(df, budget_tokens=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_toks", "cum_toks", "kept",
+    ]
+
+
 def test_verdict_matches_duckdb_twin(spark):
     sdf = curation_verdict(_docs_df(spark)).toPandas()
     con = duckdb.connect()
