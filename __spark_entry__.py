@@ -1391,6 +1391,134 @@ def q_bowtie(spark, sf_dir):
     )
 
 
+TRUSS_K = 8
+TRUSS_ROUNDS = 6
+MIS_SQL_ROUNDS = 12  # fixpoint at sf0.01 is 8 rounds; extras are no-ops
+
+
+def q_edge_support(spark, sf_dir):
+    """Per-edge triangle support over the co-purchase graph
+    (algorithms/trusses.edge_support): (u, v, support) with u < v,
+    support-0 edges kept. Enumeration is degree-ordered
+    (Suri–Vassilvitskii), so no hub hot key; the oracle is the direct
+    3-way canonical join."""
+    from drone_spark.algorithms.trusses import edge_support
+
+    return edge_support(_copurchase_edges(spark, sf_dir))
+
+
+def q_ktruss(spark, sf_dir):
+    """TRUSS_ROUNDS pinned peel rounds toward the TRUSS_K-truss of the
+    co-purchase graph (algorithms/trusses.k_truss — Cohen's MapReduce
+    peel, distributed). Early convergence is safe for the same reason
+    as q_kcore: peeling is idempotent at the fixpoint, so 'exactly N
+    rounds' ≡ 'converged in ≤ N', mirrored by the N-round unrolled SQL.
+    Output: surviving canonical edges with their within-truss
+    support."""
+    from drone_spark.algorithms.trusses import k_truss
+
+    return k_truss(
+        _copurchase_edges(spark, sf_dir), k=TRUSS_K, max_rounds=TRUSS_ROUNDS
+    )
+
+
+def q_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set on the (symmetrized)
+    co-purchase graph (algorithms/mis.py): the lexicographically-first
+    MIS under the md5-hash priority order — unique and
+    layout-independent, so the unrolled-round SQL twin reproduces it
+    exactly. Spark runs to the fixpoint (8 rounds at sf0.01); the SQL
+    unrolls MIS_SQL_ROUNDS rounds, the extras no-ops on an empty
+    undecided set."""
+    from drone_spark.algorithms.mis import maximal_independent_set
+
+    return maximal_independent_set(_copurchase_edges(spark, sf_dir))
+
+
+def _support_sql_over(edge_cte: str) -> tuple[str, str]:
+    """(triangles CTE body, support CTE body) over canonical edge set
+    ``edge_cte`` (columns u, v with u < v) — each triangle a<b<c once
+    via the sorted 3-way join, then its 3 edges counted."""
+    tri = (
+        f"SELECT x.u AS a, x.v AS b, y.v AS c FROM {edge_cte} x "
+        f"JOIN {edge_cte} y ON y.u = x.u AND y.v > x.v "
+        f"JOIN {edge_cte} z ON z.u = x.v AND z.v = y.v"
+    )
+    return tri, (
+        "SELECT u, v, COUNT(*) AS c FROM ("
+        "SELECT a AS u, b AS v FROM {t} "
+        "UNION ALL SELECT a, c FROM {t} "
+        "UNION ALL SELECT b, c FROM {t}) GROUP BY u, v"
+    )
+
+
+def _edge_support_sql() -> str:
+    tri, sup_tpl = _support_sql_over("e0")
+    return (
+        f"WITH {SQL_COPURCHASE}, "
+        "e0 AS (SELECT src AS u, dst AS v FROM edges), "
+        f"t0 AS ({tri}), "
+        f"g0 AS ({sup_tpl.format(t='t0')}) "
+        "SELECT e.u, e.v, CAST(COALESCE(g.c, 0) AS BIGINT) AS support "
+        "FROM e0 e LEFT JOIN g0 g ON g.u = e.u AND g.v = e.v"
+    )
+
+
+def _ktruss_sql() -> str:
+    """TRUSS_ROUNDS unrolled peel rounds + final within-truss support —
+    the SQL twin of q_ktruss (same threshold, same round count)."""
+    parts = [
+        f"WITH {SQL_COPURCHASE}",
+        "e0 AS (SELECT src AS u, dst AS v FROM edges)",
+    ]
+    for i in range(TRUSS_ROUNDS):
+        tri, sup_tpl = _support_sql_over(f"e{i}")
+        parts.append(f"t{i} AS MATERIALIZED ({tri})")
+        parts.append(f"g{i} AS MATERIALIZED ({sup_tpl.format(t=f't{i}')})")
+        parts.append(
+            f"e{i+1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
+            f"JOIN g{i} g ON g.u = e.u AND g.v = e.v "
+            f"WHERE g.c >= {TRUSS_K - 2})"
+        )
+    r = TRUSS_ROUNDS
+    tri, sup_tpl = _support_sql_over(f"e{r}")
+    parts.append(f"tf AS ({tri})")
+    parts.append(f"gf AS ({sup_tpl.format(t='tf')})")
+    return ", ".join(parts) + (
+        f" SELECT e.u, e.v, CAST(COALESCE(g.c, 0) AS BIGINT) AS support "
+        f"FROM e{r} e LEFT JOIN gf g ON g.u = e.u AND g.v = e.v"
+    )
+
+
+def _mis_sql() -> str:
+    """Unrolled deterministic-Luby rounds — the SQL twin of q_mis.
+    Priorities use the engine-wide md5 idiom (ops/sampling.py), so the
+    hash order is identical across engines; w_i = undecided local
+    minima, u_i = undecided minus winners minus their neighbors."""
+    parts = [
+        f"WITH {SQL_COPURCHASE}, {SQL_SYM}",
+        "u0 AS (SELECT id, CAST(('0x' || substr(md5(CAST(id AS VARCHAR)),"
+        " 1, 15)) AS BIGINT) AS pri FROM v)",
+    ]
+    for i in range(1, MIS_SQL_ROUNDS + 1):
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT a.id FROM u{i-1} a "
+            f"WHERE NOT EXISTS (SELECT 1 FROM sym e "
+            f"JOIN u{i-1} b ON b.id = e.dst WHERE e.src = a.id "
+            f"AND (b.pri < a.pri OR (b.pri = a.pri AND b.id < a.id))))"
+        )
+        parts.append(
+            f"u{i} AS MATERIALIZED (SELECT a.id, a.pri FROM u{i-1} a "
+            f"WHERE a.id NOT IN (SELECT id FROM w{i}) "
+            f"AND NOT EXISTS (SELECT 1 FROM sym e "
+            f"JOIN w{i} w ON w.id = e.dst WHERE e.src = a.id))"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT id FROM w{i}" for i in range(1, MIS_SQL_ROUNDS + 1)
+    )
+    return ", ".join(parts) + f" SELECT id AS vid FROM ({sel})"
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1468,6 +1596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_distribution": q_distance_distribution,
         "curation_verdict": q_curation_verdict,
         "budget_sample": q_budget_sample,
+        "edge_support": q_edge_support,
+        "ktruss": q_ktruss,
+        "mis": q_mis,
     }
 
 
@@ -1866,6 +1997,9 @@ def oracle_sql() -> dict[str, str]:
         "budget_sample": __import__(
             "drone_spark.ops.curation", fromlist=["budget_sample_sql"]
         ).budget_sample_sql(BUDGET_TOKENS),
+        "edge_support": _edge_support_sql(),
+        "ktruss": _ktruss_sql(),
+        "mis": _mis_sql(),
     }
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition

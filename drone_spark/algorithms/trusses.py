@@ -1,0 +1,127 @@
+"""Edge triangle-support and k-truss decomposition.
+
+Not present in the reference (its §2.3 kernel surface stops at
+PR/CC/Sim — PageRank.go / CC.go), but the natural next rung above
+triangle counting on a web link graph: the k-truss is the maximal
+subgraph whose every edge closes ≥ k-2 triangles, the standard
+community-core / spam-farm detector (Cohen 2008, "Trusses: cohesive
+subgraphs for social network analysis"; Cohen's MapReduce formulation
+is what the loop below distributes).
+
+Scale shape
+-----------
+Triangle enumeration reuses the degree-ordered orientation from
+``triangles._oriented`` (Suri–Vassilvitskii node-iterator++): every
+forward-adjacency is O(sqrt(E)) even at web-graph hub skew, so the
+``collect_list`` per vertex is bounded and the intersect join never
+sees a hot key. Each triangle is emitted exactly once as (u,v,w) with
+all three edges forward-oriented, then exploded into its 3 canonical
+(min,max) edges and counted with map-side partial aggregation — one
+shuffle per round on the canonical-edge key. The peel loop drops
+edges below the support threshold and re-enumerates; rounds are
+data-dependent but small in practice (web graphs: single digits),
+and each round's survivor set is persisted + localCheckpointed so
+lineage stays flat and the next round scans a materialized table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .triangles import _oriented
+
+
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected simple edge set in canonical form: one row per
+    unordered pair, ``u < v``, self-loops dropped."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    return e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+
+
+def _triangle_triples(canon: DataFrame) -> DataFrame:
+    """Each undirected triangle exactly once as (x, y, w): (x,y) is a
+    degree-ordered forward edge and w a common forward neighbor."""
+    fwd = _oriented(canon.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    adj = fwd.groupBy(F.col("src").alias("a")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    return (
+        fwd.join(adj.withColumnRenamed("a", "src").withColumnRenamed("nbrs", "sn"), "src")
+        .join(adj.withColumnRenamed("a", "dst").withColumnRenamed("nbrs", "dn"), "dst")
+        .select(
+            F.col("src").alias("x"),
+            F.col("dst").alias("y"),
+            F.explode(F.array_intersect("sn", "dn")).alias("w"),
+        )
+    )
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over the undirected simple graph:
+    (u, v, support) with u < v, one row per edge INCLUDING support-0
+    edges (left join back onto the canonical set).
+
+    support(u,v) = number of vertices w adjacent to both u and v —
+    the quantity the k-truss threshold peels on."""
+    canon = edges if set(edges.columns) == {"u", "v"} else canonical_edges(edges)
+    tri = _triangle_triples(canon)
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+                ),
+                F.struct(
+                    F.least("x", "w").alias("u"), F.greatest("x", "w").alias("v")
+                ),
+                F.struct(
+                    F.least("y", "w").alias("u"), F.greatest("y", "w").alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    sup = tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+    return (
+        canon.join(sup, ["u", "v"], "left")
+        .select("u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """The k-truss of the undirected simple graph: the maximal subgraph
+    in which every edge has support ≥ k-2 (every edge closes at least
+    k-2 triangles *within the subgraph*). Returns the surviving
+    canonical edges (u, v, support) with the within-truss support.
+
+    Distributed peel (Cohen's MapReduce k-truss): alternately compute
+    support over the current edge set and drop edges below k-2; the
+    fixpoint is unique (no tie-breaking anywhere), so the result is
+    deterministic and layout-independent. Convergence is checked by
+    edge count — peeling is monotone, so equal counts = fixpoint.
+
+    Each round persists + localCheckpoints the survivor set: the next
+    round's 3-way enumeration scans a materialized table instead of a
+    growing lineage, and the driver never holds more than a count."""
+    if k < 2:
+        raise ValueError(f"k_truss: k must be >= 2, got {k}")
+    cur = canonical_edges(edges).persist()
+    n = cur.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        sup = edge_support(cur).where(F.col("support") >= k - 2)
+        nxt = sup.select("u", "v").localCheckpoint(eager=True)
+        m = nxt.count()
+        cur.unpersist()
+        cur = nxt
+        if m == n:
+            break
+        n = m
+    # re-attach the converged within-truss support for the result
+    return edge_support(cur)
