@@ -1395,6 +1395,52 @@ TRUSS_K = 8
 TRUSS_ROUNDS = 6
 MIS_SQL_ROUNDS = 12  # fixpoint at sf0.01 is 8 rounds; extras are no-ops
 
+CONTAM_N = 5
+CONTAM_BENCH_PPM = 20_000  # 2% of docs play the held-out benchmark
+REPEAT_N = 5
+
+
+def q_repeated_ngrams(spark, sf_dir):
+    """Exact-substring-dedup core (Lee et al. 2022): per-document
+    fraction of word 5-grams that recur anywhere in the corpus
+    (ops/decontam.repeated_ngrams). Grams are hashed to portable 60-bit
+    int64 before any shuffle."""
+    from drone_spark.ops.decontam import repeated_ngrams
+
+    return repeated_ngrams(
+        _read(spark, sf_dir, "documents"), n=REPEAT_N, min_occ=2
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 appendix-C shape): a
+    deterministic 2% hash sample of documents plays the benchmark
+    suite; every remaining doc reports how many of its distinct 5-grams
+    appear in it (ops/decontam.contamination — benchmark gram set is
+    broadcast-sized)."""
+    from drone_spark.ops.decontam import contamination
+    from drone_spark.ops.sampling import sample_bucket
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = sample_bucket(F.col("doc_id"), "bench") < CONTAM_BENCH_PPM
+    return contamination(
+        docs.where(~is_bench), docs.where(is_bench), n=CONTAM_N
+    )
+
+
+def _contamination_sql() -> str:
+    from drone_spark.ops.decontam import contamination_sql
+
+    pred = (
+        "CAST(('0x' || substr(md5('bench:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % 1000000 < {CONTAM_BENCH_PPM}"
+    )
+    return contamination_sql(
+        f"SELECT doc_id, text FROM documents WHERE NOT ({pred})",
+        f"SELECT doc_id, text FROM documents WHERE {pred}",
+        n=CONTAM_N,
+    )
+
 
 def q_edge_support(spark, sf_dir):
     """Per-edge triangle support over the co-purchase graph
@@ -1599,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support": q_edge_support,
         "ktruss": q_ktruss,
         "mis": q_mis,
+        "repeated_ngrams": q_repeated_ngrams,
+        "contamination": q_contamination,
     }
 
 
@@ -2000,6 +2048,10 @@ def oracle_sql() -> dict[str, str]:
         "edge_support": _edge_support_sql(),
         "ktruss": _ktruss_sql(),
         "mis": _mis_sql(),
+        "repeated_ngrams": __import__(
+            "drone_spark.ops.decontam", fromlist=["repeated_ngrams_sql"]
+        ).repeated_ngrams_sql("documents", REPEAT_N, 2),
+        "contamination": _contamination_sql(),
     }
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition
