@@ -1428,6 +1428,60 @@ def q_contamination(spark, sf_dir):
     )
 
 
+NS_FANOUT = (8, 4)
+NS_ROOT_PPM = 25_000  # ~2.5% of vertices play minibatch roots
+
+
+def q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style deterministic 2-hop neighbor sampling
+    (algorithms/walks.neighbor_sample) on the symmetrized co-purchase
+    graph: a 2.5% hash sample of vertices plays the minibatch roots;
+    hop 1 fans out through each vertex's hash-top-8 edges, hop 2
+    through hash-top-4. The sampled adjacency is exact two-phase
+    per-vertex top-k (hub-safe), equal by construction to the oracle's
+    single global window."""
+    from drone_spark.algorithms.kcore import symmetrize
+    from drone_spark.algorithms.walks import neighbor_sample
+    from drone_spark.ops.sampling import sample_bucket
+
+    sym = symmetrize(_copurchase_edges(spark, sf_dir))
+    roots = (
+        sym.select(F.col("src").alias("vid"))
+        .distinct()
+        .where(sample_bucket(F.col("vid"), "roots") < NS_ROOT_PPM)
+    )
+    return neighbor_sample(sym, roots, fanout=NS_FANOUT, salt="ns0")
+
+
+def _neighbor_sample_sql() -> str:
+    def ehash(salt: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('{salt}:' || CAST(src AS VARCHAR)"
+            " || ':' || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+
+    k1, k2 = NS_FANOUT
+    return (
+        f"WITH {SQL_COPURCHASE}, {SQL_SYM}, "
+        "roots AS (SELECT id AS root FROM v WHERE "
+        "CAST(('0x' || substr(md5('roots:' || CAST(id AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % 1000000 < {NS_ROOT_PPM}), "
+        "a1 AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER "
+        f"(PARTITION BY src ORDER BY {ehash('ns0:1')}, dst) AS rn FROM sym)"
+        f" WHERE rn <= {k1}), "
+        "h1 AS (SELECT DISTINCT r.root, CAST(1 AS BIGINT) AS hop,"
+        " a.src, a.dst FROM roots r JOIN a1 a ON a.src = r.root), "
+        "a2 AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER "
+        f"(PARTITION BY src ORDER BY {ehash('ns0:2')}, dst) AS rn FROM sym)"
+        f" WHERE rn <= {k2}), "
+        "f1 AS (SELECT DISTINCT root, dst AS cur FROM h1), "
+        "h2 AS (SELECT DISTINCT f.root, CAST(2 AS BIGINT) AS hop,"
+        " a.src, a.dst FROM f1 f JOIN a2 a ON a.src = f.cur) "
+        "SELECT root, hop, src, dst FROM h1 "
+        "UNION ALL SELECT root, hop, src, dst FROM h2"
+    )
+
+
 def _contamination_sql() -> str:
     from drone_spark.ops.decontam import contamination_sql
 
@@ -1647,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "repeated_ngrams": q_repeated_ngrams,
         "contamination": q_contamination,
+        "neighbor_sample": q_neighbor_sample,
     }
 
 
@@ -2052,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
             "drone_spark.ops.decontam", fromlist=["repeated_ngrams_sql"]
         ).repeated_ngrams_sql("documents", REPEAT_N, 2),
         "contamination": _contamination_sql(),
+        "neighbor_sample": _neighbor_sample_sql(),
     }
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition

@@ -149,3 +149,90 @@ def skipgram_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def _edge_hash(salt: str, src: Column, dst: Column) -> Column:
+    """Uniform 60-bit integer from (salt, edge) — the portable md5
+    idiom (same derivation as _step_hash, keyed per edge)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    src.cast("string"),
+                    F.lit(":"),
+                    dst.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_topk_adjacency(
+    edges: DataFrame, k: int, salt: str = "ns0", buckets: int = 16
+) -> DataFrame:
+    """Deterministic ≤k-out-neighbor sample per vertex: keep each
+    vertex's k out-edges with the smallest md5(salt, src, dst) —
+    statistically a uniform without-replacement sample, bit-identical
+    on any layout and any engine.
+
+    Hub-safe two-phase exact top-k (the web-graph skew concern): edges
+    first rank inside (src, hash-bucket) windows — a 10⁸-degree hub
+    sorts as `buckets` independent partitions — then the ≤ buckets·k
+    survivors per vertex rank globally. Both phases are exact, so the
+    result equals a single global window (which is what the one-window
+    SQL twin runs)."""
+    from pyspark.sql import Window
+
+    h = _edge_hash(salt, F.col("src"), F.col("dst"))
+    e = edges.select("src", "dst", h.alias("h"), F.pmod(h, F.lit(buckets)).alias("b"))
+    w1 = Window.partitionBy("src", "b").orderBy("h", "dst")
+    local = e.withColumn("rn", F.row_number().over(w1)).where(F.col("rn") <= k)
+    w2 = Window.partitionBy("src").orderBy("h", "dst")
+    return (
+        local.withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") <= k)
+        .select("src", "dst")
+    )
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanout: tuple[int, ...] = (10, 5),
+    salt: str = "ns0",
+) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling (Hamilton et al.
+    NeurIPS'17 minibatch fan-out): from each seed root, hop h expands
+    every frontier vertex through its hash-top-``fanout[h]`` sampled
+    out-edges. Returns the sampled computation graph as
+    (root, hop, src, dst), distinct per hop.
+
+    Each hop uses an independently-salted sampled adjacency — computed
+    once PER HOP for all roots simultaneously (the at-scale win over
+    per-minibatch resampling: the hop-h adjacency is one shared
+    deterministic table, reusable across every epoch and every
+    minibatch, and cacheable in the catalog). Frontiers dedup on
+    (root, vertex), so overlap between roots never re-expands."""
+    out: DataFrame | None = None
+    frontier = seeds.select(F.col("vid").alias("root"), F.col("vid").alias("cur"))
+    for hop, k in enumerate(fanout, 1):
+        adj = hash_topk_adjacency(edges, k, salt=f"{salt}:{hop}")
+        step = (
+            frontier.join(adj, frontier["cur"] == adj["src"])
+            .select(
+                "root",
+                F.lit(hop).cast("long").alias("hop"),
+                "src",
+                "dst",
+            )
+            .distinct()
+        )
+        out = step if out is None else out.unionAll(step)
+        frontier = step.select("root", F.col("dst").alias("cur")).distinct()
+    assert out is not None, "fanout must be non-empty"
+    return out
