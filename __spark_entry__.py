@@ -1428,6 +1428,52 @@ def q_contamination(spark, sf_dir):
     )
 
 
+ANF_ROUNDS = 3
+ANF_REGS = 4
+
+
+def q_anf3(spark, sf_dir):
+    """HyperANF-style neighborhood sketches (algorithms/anf.py): 3
+    OR-propagation rounds of 4 deterministic FM registers per vertex on
+    the directed bipartite graph — raw 64-bit masks, so the estimate of
+    |3-hop out-neighborhood| is reproducible bit-for-bit by the
+    unrolled SQL twin. The at-scale replacement for landmark BFS:
+    constant 32-byte state per vertex, one shuffle per round."""
+    from drone_spark.algorithms.anf import anf_sketches
+
+    return anf_sketches(
+        _bipartite_edges(spark, sf_dir), rounds=ANF_ROUNDS, registers=ANF_REGS
+    )
+
+
+def _anf_sql() -> str:
+    from drone_spark.algorithms.anf import fm_bit_sql, reg_hash_sql
+
+    regs = list(range(ANF_REGS))
+    init = ", ".join(
+        f"{fm_bit_sql(reg_hash_sql('id', r))} AS s{r}" for r in regs
+    )
+    parts = [
+        f"WITH {SQL_BIPARTITE}",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        f"st0 AS (SELECT id AS vid, {init} FROM v)",
+    ]
+    for i in range(1, ANF_ROUNDS + 1):
+        aggs = ", ".join(f"bit_or(s.s{r}) AS m{r}" for r in regs)
+        ors = ", ".join(f"s.s{r} | COALESCE(m.m{r}, 0) AS s{r}" for r in regs)
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT e.src AS vid, {aggs} "
+            f"FROM st{i-1} s JOIN edges e ON e.dst = s.vid GROUP BY e.src)"
+        )
+        parts.append(
+            f"st{i} AS MATERIALIZED (SELECT s.vid, {ors} "
+            f"FROM st{i-1} s LEFT JOIN m{i} m ON m.vid = s.vid)"
+        )
+    cols = ", ".join(f"s{r}" for r in regs)
+    return ", ".join(parts) + f" SELECT vid, {cols} FROM st{ANF_ROUNDS}"
+
+
 NS_FANOUT = (8, 4)
 NS_ROOT_PPM = 25_000  # ~2.5% of vertices play minibatch roots
 
@@ -1702,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": q_repeated_ngrams,
         "contamination": q_contamination,
         "neighbor_sample": q_neighbor_sample,
+        "anf3": q_anf3,
     }
 
 
@@ -2108,6 +2155,7 @@ def oracle_sql() -> dict[str, str]:
         ).repeated_ngrams_sql("documents", REPEAT_N, 2),
         "contamination": _contamination_sql(),
         "neighbor_sample": _neighbor_sample_sql(),
+        "anf3": _anf_sql(),
     }
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition
