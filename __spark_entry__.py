@@ -1428,6 +1428,155 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_salsa3(spark, sf_dir):
+    """3 rounds of *integer fixed-point* SALSA (Lempel & Moran, WWW
+    2000 — the degree-normalized HITS variant Twitter's WTF serves):
+    auth(v) = Σ_{u→v} hub(u) div outdeg(u), then
+    hub(u) = Σ_{u→v} auth(v) div indeg(v), init hub = PR_SCALE. Floor
+    division on BIGINTs keeps every round bit-identical across engines
+    (the pagerank5 convention). Same dual-orientation plan shape as
+    q_hits3 — the degree normalization is the only delta."""
+    from drone_spark.graph.builder import vertices
+
+    edges = _bipartite_edges(spark, sf_dir).persist()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+    v = vertices(edges).select(F.col("id").alias("vid"))
+    state = v.select("vid", F.lit(PR_SCALE).cast("long").alias("hub"))
+    auth = None
+    for _ in range(3):
+        auth = (
+            state.select(F.col("vid").alias("src"), "hub")
+            .join(edges, "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum(F.expr("hub div od")).alias("auth"))
+        )
+        auth = v.join(auth, "vid", "left").select(
+            "vid", F.coalesce("auth", F.lit(0)).cast("long").alias("auth")
+        )
+        hub = (
+            auth.select(F.col("vid").alias("dst"), "auth")
+            .join(edges, "dst")
+            .join(indeg, "dst")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.sum(F.expr("auth div idg")).alias("hub"))
+        )
+        state = v.join(hub, "vid", "left").select(
+            "vid", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
+        )
+    out = (
+        auth.join(state, "vid")
+        .select(
+            "vid",
+            F.col("auth").alias("auth_fx"),
+            F.col("hub").alias("hub_fx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
+
+
+def _salsa3_sql() -> str:
+    ctes = [
+        f"WITH {SQL_BIPARTITE}",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        "od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        "idg AS (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY dst)",
+        f"h0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) AS hub FROM v)",
+    ]
+    for k in range(1, 4):
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT v.id,"
+            " CAST(COALESCE(s.x, 0) AS BIGINT) AS auth FROM v LEFT JOIN ("
+            "SELECT e.dst AS id, CAST(SUM(h.hub // o.od) AS BIGINT) AS x "
+            f"FROM h{k-1} h JOIN edges e ON e.src = h.id "
+            "JOIN od o ON o.src = e.src GROUP BY e.dst) s ON v.id = s.id)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT v.id,"
+            " CAST(COALESCE(s.x, 0) AS BIGINT) AS hub FROM v LEFT JOIN ("
+            "SELECT e.src AS id, CAST(SUM(a.auth // i.idg) AS BIGINT) AS x "
+            f"FROM a{k} a JOIN edges e ON e.dst = a.id "
+            "JOIN idg i ON i.dst = e.dst GROUP BY e.src) s ON v.id = s.id)"
+        )
+    return ", ".join(ctes) + (
+        " SELECT a3.id AS vid, CAST(a3.auth AS BIGINT) AS auth_fx,"
+        " CAST(h3.hub AS BIGINT) AS hub_fx FROM a3 JOIN h3 ON a3.id = h3.id"
+    )
+
+
+def q_spam_mass5(spark, sf_dir):
+    """TrustRank spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04)
+    from the two 5-superstep fixed-point rank queries already in the
+    suite: global PageRank (q_pagerank5) and trust-seeded personalized
+    PageRank (q_ppr5, seeds = order-side ids % 50 == 0). Spam mass =
+    the PageRank fraction NOT explained by trusted-seed flow:
+    ``greatest(pr − tr·N, 0)·10⁴ div pr`` basis points, where the ·N
+    rescales the Σ≤1 PPR convention onto global PR's Σ≈N scale. The
+    max(0, ·) keeps the numerator non-negative so Spark's truncating
+    ``div`` and DuckDB's flooring ``//`` agree."""
+    pr = q_pagerank5(spark, sf_dir).withColumnRenamed("pr_fx", "pr")
+    tr = q_ppr5(spark, sf_dir).withColumnRenamed("pr_fx", "tr")
+    n = pr.count()
+    return pr.join(tr, "vid").select(
+        "vid",
+        F.col("pr").alias("pr_fx"),
+        F.col("tr").alias("tr_fx"),
+        F.expr(
+            f"CASE WHEN pr <= 0 THEN 0L ELSE "
+            f"(greatest(pr - tr * {n}L, 0L) * 10000L) div pr END"
+        ).alias("spam_bp"),
+    )
+
+
+def _spam_mass5_sql() -> str:
+    """Both unrolled 5-round chains (global g*, trusted t*) in one
+    statement + the spam-mass projection — the SQL twin of
+    q_spam_mass5 (see _pagerank5_sql for BIGINT pinning)."""
+    ctes = [
+        f"WITH {SQL_BIPARTITE}",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        "nv AS (SELECT COUNT(*) AS n FROM v)",
+        f"g0 AS (SELECT id, {PR_SCALE}::BIGINT AS pr FROM v)",
+        f"seeds AS (SELECT id FROM v WHERE id % 50 = 0 AND id < {PART_OFFSET})",
+        f"t0 AS (SELECT v.id, CAST(CASE WHEN s.id IS NOT NULL THEN {PR_SCALE}"
+        " ELSE 0 END AS BIGINT) AS pr,"
+        f" CAST(CASE WHEN s.id IS NOT NULL THEN {15 * PR_SCALE // 100}"
+        " ELSE 0 END AS BIGINT) AS base"
+        " FROM v LEFT JOIN seeds s ON v.id = s.id)",
+    ]
+    for k in range(1, 6):
+        ctes.append(
+            f"g{k} AS (SELECT v.id, CAST({15 * PR_SCALE // 100} + "
+            f"(85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS pr "
+            f"FROM v LEFT JOIN (SELECT e.dst AS id, "
+            f"CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS acc "
+            f"FROM g{k-1} p JOIN deg d ON p.id = d.id "
+            f"JOIN edges e ON e.src = p.id GROUP BY e.dst) s ON v.id = s.id)"
+        )
+        ctes.append(
+            f"t{k} AS (SELECT p0.id, CAST(p0.base + "
+            "(85 * COALESCE(s.acc, 0)) // 100 AS BIGINT) AS pr, p0.base "
+            f"FROM t0 p0 LEFT JOIN (SELECT e.dst AS id, "
+            f"CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS acc "
+            f"FROM t{k-1} p JOIN deg d ON p.id = d.id "
+            f"JOIN edges e ON e.src = p.id GROUP BY e.dst) s ON p0.id = s.id)"
+        )
+    return ", ".join(ctes) + (
+        " SELECT g5.id AS vid, CAST(g5.pr AS BIGINT) AS pr_fx,"
+        " CAST(t5.pr AS BIGINT) AS tr_fx,"
+        " CAST(CASE WHEN g5.pr <= 0 THEN 0 ELSE"
+        " (GREATEST(g5.pr - t5.pr * nv.n, 0) * 10000) // g5.pr END"
+        " AS BIGINT) AS spam_bp"
+        " FROM g5 JOIN t5 ON g5.id = t5.id CROSS JOIN nv"
+    )
+
+
 ANF_ROUNDS = 3
 ANF_REGS = 4
 
@@ -1749,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "neighbor_sample": q_neighbor_sample,
         "anf3": q_anf3,
+        "salsa3": q_salsa3,
+        "spam_mass5": q_spam_mass5,
     }
 
 
@@ -2156,6 +2307,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _contamination_sql(),
         "neighbor_sample": _neighbor_sample_sql(),
         "anf3": _anf_sql(),
+        "salsa3": _salsa3_sql(),
+        "spam_mass5": _spam_mass5_sql(),
     }
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition
