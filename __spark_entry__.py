@@ -1577,6 +1577,96 @@ def _spam_mass5_sql() -> str:
     )
 
 
+SNAP_A_PPM = 800_000  # snapshot A keeps 80% of edges by hash
+
+
+def _edge_keep_pred():
+    """Deterministic 'edge existed in the earlier crawl' predicate —
+    md5 of the (src, dst) pair, the engine-wide portable idiom."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("snap:"),
+                        F.col("src").cast("string"),
+                        F.lit(":"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+        < SNAP_A_PPM
+    )
+
+
+_EDGE_KEEP_SQL = (
+    "CAST(('0x' || substr(md5('snap:' || CAST(src AS VARCHAR) || ':' ||"
+    " CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+    f" < {SNAP_A_PPM}"
+)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl link churn (algorithms/linkstats.snapshot_diff):
+    snapshot A = the 80% deterministic hash sample of bipartite edges
+    (yesterday's crawl), snapshot B = all of them (today's). Per-vertex
+    out-degree in each plus added/removed edge counts — the re-crawl
+    prioritization signal."""
+    from drone_spark.algorithms.linkstats import snapshot_diff
+
+    b = _bipartite_edges(spark, sf_dir)
+    a = b.where(_edge_keep_pred())
+    return snapshot_diff(a, b)
+
+
+def _snapshot_diff_sql() -> str:
+    return (
+        f"WITH {SQL_BIPARTITE}, "
+        f"a AS (SELECT src, dst FROM edges WHERE {_EDGE_KEEP_SQL}), "
+        "m AS (SELECT COALESCE(a.src, b.src) AS src, "
+        "CASE WHEN a.src IS NULL THEN 0 ELSE 1 END AS in_a, "
+        "CASE WHEN b.src IS NULL THEN 0 ELSE 1 END AS in_b "
+        "FROM a FULL OUTER JOIN edges b"
+        " ON a.src = b.src AND a.dst = b.dst) "
+        "SELECT src AS vid, CAST(SUM(in_a) AS BIGINT) AS deg_a, "
+        "CAST(SUM(in_b) AS BIGINT) AS deg_b, "
+        "CAST(SUM(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS added, "
+        "CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS removed "
+        "FROM m GROUP BY src"
+    )
+
+
+def q_cc_warm_start(spark, sf_dir):
+    """Incremental connected components across a crawl append: cold CC
+    on the 80%-edge snapshot, then warm-start CC on the FULL graph
+    seeded with the old labels (algorithms/cc._run_labeling init —
+    exact for append-only growth because appends only merge
+    components). The result must be bit-identical to a cold run on the
+    full graph, so the oracle is connected_components' own recursive
+    CTE — the driver row proves incremental ≡ from-scratch."""
+    from drone_spark.algorithms.cc import connected_components
+
+    full = _copurchase_edges(spark, sf_dir)
+    old = connected_components(
+        spark, _engine(spark), full.where(_edge_keep_pred()),
+        run_id="entry_ccw_old", backend="relational",
+    )
+    res = connected_components(
+        spark, _engine(spark), full,
+        run_id="entry_ccw_new", backend="relational",
+        warm_start=old.state.select("vid", "label"),
+    )
+    return res.state.select("vid", "label")
+
+
 ANF_ROUNDS = 3
 ANF_REGS = 4
 
@@ -1900,6 +1990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf3": q_anf3,
         "salsa3": q_salsa3,
         "spam_mass5": q_spam_mass5,
+        "snapshot_diff": q_snapshot_diff,
+        "cc_warm_start": q_cc_warm_start,
     }
 
 
@@ -2310,11 +2402,15 @@ def oracle_sql() -> dict[str, str]:
         "salsa3": _salsa3_sql(),
         "spam_mass5": _spam_mass5_sql(),
     }
+    out["snapshot_diff"] = _snapshot_diff_sql()
     # backend twins share their relational variant's oracle verbatim:
     # the fixpoint is backend-independent, and one shared definition
     # means the two gates can't desynchronize
     out["connected_components_subgraph"] = out["connected_components"]
     out["sssp_subgraph"] = out["sssp"]
+    # incremental ≡ from-scratch: the warm-started run must reproduce
+    # the cold fixpoint exactly, so it shares the cold oracle
+    out["cc_warm_start"] = out["connected_components"]
     return out
 
 

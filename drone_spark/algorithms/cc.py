@@ -240,6 +240,7 @@ def _run_labeling(
     pre_partitioned: bool = False,
     assume_symmetric: bool = False,
     use_kernel_cache: bool = True,
+    warm_start: DataFrame | None = None,
 ) -> RunResult:
     """``pre_partitioned``: skips the per-run full-table shuffle — for
     the relational backend the input must be hash-distributed on
@@ -313,7 +314,32 @@ def _run_labeling(
         raise ValueError(f"unknown backend {backend!r}")
 
     def init() -> DataFrame:
-        return _init_labels(sym, label_expr)
+        base = _init_labels(sym, label_expr)
+        if warm_start is None:
+            return base
+        # incremental relabeling after edge APPENDS (the daily-crawl
+        # delta): seed each vertex with min(fresh seed, previous
+        # label). Sound because appends only MERGE components: a prior
+        # label is the seed-min over a subset of the vertex's new
+        # component, so it is achievable and ≥ the new fixpoint — the
+        # min-combine flood still converges to the exact new labels,
+        # skipping every superstep the old graph already paid for.
+        # Edge REMOVALS invalidate this (a label may name a vertex no
+        # longer reachable); re-run cold for shrinking graphs.
+        w = warm_start.select(
+            F.col("vid").alias("wvid"), F.col("label").alias("wlabel")
+        )
+        return (
+            base.join(w, base["vid"] == w["wvid"], "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce("wlabel", F.col("label"))
+                ).alias("label"),
+                "outdeg",
+                "delta",
+            )
+        )
 
     try:
         return engine.run(
@@ -338,7 +364,11 @@ def connected_components(
     resume: bool = False,
     **kw,
 ) -> RunResult:
-    """Min-vid label per undirected component (exact). State: (vid, label, delta)."""
+    """Min-vid label per undirected component (exact). State: (vid, label, delta).
+
+    ``warm_start=`` (kw): a previous run's (vid, label) state over an
+    earlier, edge-subset version of the graph — exact incremental
+    relabeling for append-only graph growth (see _run_labeling.init)."""
     return _run_labeling(
         spark, engine, edges, lambda c: c, run_id, backend, max_supersteps, resume, **kw
     )

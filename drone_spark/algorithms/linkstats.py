@@ -211,3 +211,37 @@ def joint_degree_histogram(edges: DataFrame) -> DataFrame:
         .groupBy("x_bucket", "y_bucket")
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+def snapshot_diff(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
+    """Crawl-to-crawl link-graph churn: compare two directed edge
+    snapshots (A = earlier, B = later) and report, per vertex that
+    appears in either, its out-degree in each plus how many of its
+    out-edges were added (in B only) and removed (in A only):
+    (vid, deg_a, deg_b, added, removed).
+
+    The daily-crawl monitoring query: feeds re-crawl prioritization
+    (high-churn hosts re-crawl sooner) and validates incremental
+    runs (Σ added/removed bounds the frontier warm-start PR /
+    warm-start CC must reprocess).
+
+    Plan: both snapshots dedup, then one full outer join on the edge
+    key and a single partial-agg rollup per src — two shuffles total,
+    both on (src, dst); no driver data."""
+    a = edges_a.select("src", "dst").distinct().withColumn("in_a", F.lit(1))
+    b = edges_b.select("src", "dst").distinct().withColumn("in_b", F.lit(1))
+    merged = a.join(b, ["src", "dst"], "full_outer").select(
+        "src",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    return merged.groupBy(F.col("src").alias("vid")).agg(
+        F.sum("in_a").cast("long").alias("deg_a"),
+        F.sum("in_b").cast("long").alias("deg_b"),
+        F.sum(
+            F.when((F.col("in_b") == 1) & (F.col("in_a") == 0), 1).otherwise(0)
+        ).cast("long").alias("added"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0)
+        ).cast("long").alias("removed"),
+    )

@@ -238,3 +238,44 @@ def test_hits_passes_reuse_both_edge_caches(spark, small_edges):
         assert m.group(1) != "dst", live_h  # edges never re-hashed on dst
     es.unpersist()
     ed.unpersist()
+
+
+def test_decontam_no_python_partial_agg(spark):
+    """repeated_ngrams: gram hashing + n-gram construction all JVM
+    codegen (no Python eval of any kind) and the corpus gram count is
+    map-side partial-aggregated."""
+    from drone_spark.ops.decontam import repeated_ngrams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(repeated_ngrams(docs, n=5))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_edge_support_no_python(spark, small_edges):
+    from drone_spark.algorithms.trusses import edge_support
+
+    plan = _plan(edge_support(small_edges))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_anf_no_python_partial_bitor(spark, small_edges):
+    """The FM ladder and the OR-combine are pure JVM; the per-round
+    bit_or aggregates partially (map-side) before the vid exchange."""
+    from drone_spark.algorithms.anf import anf_sketches
+
+    plan = _plan(anf_sketches(small_edges, rounds=1))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_neighbor_sample_no_python(spark, small_edges):
+    from drone_spark.algorithms.walks import neighbor_sample
+
+    seeds = small_edges.select(F.col("src").alias("vid")).distinct().limit(3)
+    plan = _plan(neighbor_sample(small_edges, seeds, fanout=(3, 2)))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
