@@ -1667,6 +1667,99 @@ def q_cc_warm_start(spark, sf_dir):
     return res.state.select("vid", "label")
 
 
+def q_sssp_warm_start(spark, sf_dir):
+    """Incremental SSSP across a crawl append: cold run on the 80%
+    deterministic edge sample, warm-start run on the full symmetrized
+    graph seeded with the old distances (algorithms/sssp.init — old
+    distances are achievable upper bounds once the graph only grew, so
+    the min-combine re-converges exactly). Must be bit-identical to a
+    cold full-graph run, so it shares q_sssp's recursive-CTE oracle."""
+    from drone_spark.algorithms.cc import _sym_edges
+    from drone_spark.algorithms.sssp import reached, sssp
+
+    edges = _copurchase_edges(spark, sf_dir)
+    source = int(edges.agg(F.min("src")).first()[0])
+    sym = _sym_edges(edges)
+    old = sssp(
+        spark, _engine(spark), sym.where(_edge_keep_pred()), source=source,
+        run_id="entry_sssp_w_old",
+    )
+    res = sssp(
+        spark, _engine(spark), sym, source=source,
+        run_id="entry_sssp_w_new",
+        warm_start=old.state.select("vid", "dist"),
+    )
+    return reached(res.state).select(
+        "vid", F.col("dist").cast("long").alias("dist")
+    )
+
+
+CRAWL_BUDGET = 1_000_000  # page fetches to apportion across hosts
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Crawl-budget planning: apportion CRAWL_BUDGET page fetches
+    across hosts proportionally to their weighted host rank
+    (q_host_rank5) with Hamilton's largest-remainder method — exact
+    integer apportionment (Σ budget ≡ CRAWL_BUDGET), fully
+    deterministic, ties broken by host name. Ranks are pre-scaled by
+    div 10⁶ so every product stays in int64 in both engines.
+
+    Scale note: the remainder ranking is a global window over the HOST
+    table (one row per host — ≪ pages; at 10⁹ hosts you'd swap the
+    final rank for a distributed top-r selection, the same two-phase
+    trick as walks.hash_topk_adjacency)."""
+    from pyspark.sql import Window
+
+    hr = q_host_rank5(spark, sf_dir)
+    k = hr.select("host", F.expr("pr_fx div 1000000L").alias("pr_k"))
+    tot = k.agg(F.sum("pr_k").alias("tot"))
+    j = k.crossJoin(F.broadcast(tot)).select(
+        "host",
+        F.expr(
+            f"CASE WHEN tot <= 0 THEN 0L"
+            f" ELSE (pr_k * {CRAWL_BUDGET}L) div tot END"
+        ).alias("base"),
+        F.expr(
+            f"CASE WHEN tot <= 0 THEN 0L"
+            f" ELSE (pr_k * {CRAWL_BUDGET}L) % tot END"
+        ).alias("rem"),
+    )
+    sb = j.agg((F.lit(CRAWL_BUDGET) - F.sum("base")).alias("leftover"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("host"))
+    return (
+        j.crossJoin(F.broadcast(sb))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "host",
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("budget"),
+        )
+    )
+
+
+def _crawl_budget_sql() -> str:
+    return (
+        f"WITH hr AS ({_host_rank5_sql()}), "
+        "k AS (SELECT host, CAST(pr_fx // 1000000 AS BIGINT) AS pr_k FROM hr), "
+        "t AS (SELECT CAST(SUM(pr_k) AS BIGINT) AS tot FROM k), "
+        "j AS (SELECT k.host, "
+        f"CAST(CASE WHEN t.tot <= 0 THEN 0 ELSE (k.pr_k * {CRAWL_BUDGET})"
+        " // t.tot END AS BIGINT) AS base, "
+        f"CAST(CASE WHEN t.tot <= 0 THEN 0 ELSE (k.pr_k * {CRAWL_BUDGET})"
+        " % t.tot END AS BIGINT) AS rem "
+        "FROM k CROSS JOIN t), "
+        f"l AS (SELECT CAST({CRAWL_BUDGET} - SUM(base) AS BIGINT)"
+        " AS leftover FROM j), "
+        "r AS (SELECT j.*, ROW_NUMBER() OVER (ORDER BY j.rem DESC, j.host)"
+        " AS rn FROM j) "
+        "SELECT r.host, CAST(r.base + CASE WHEN r.rn <= l.leftover"
+        " THEN 1 ELSE 0 END AS BIGINT) AS budget FROM r CROSS JOIN l"
+    )
+
+
 ANF_ROUNDS = 3
 ANF_REGS = 4
 
@@ -1904,6 +1997,95 @@ def _mis_sql() -> str:
     return ", ".join(parts) + f" SELECT id AS vid FROM ({sel})"
 
 
+# per-color MIS round budgets for the coloring SQL twin. Measured at
+# sf0.01 on the bipartite graph: 6 peel colors, inner fixpoints <= 5
+# rounds each; extras no-op on an empty undecided set (same padding
+# contract as MIS_SQL_ROUNDS).
+COLORING_SQL_ROUNDS = [12, 8, 6, 6, 5, 4, 3, 2]
+
+
+def q_coloring(spark, sf_dir):
+    """Distributed greedy coloring of the (symmetrized) bipartite
+    order→part graph by iterated deterministic-Luby MIS peeling
+    (algorithms/coloring.py): color i = the lexicographically-first
+    MIS of the residual graph under the static md5-hash priority, so
+    the whole coloring is unique and layout-independent. A link-graph
+    pipeline uses it for conflict-free scheduling (crawl politeness /
+    simultaneous-update batches). The SQL twin unrolls
+    len(COLORING_SQL_ROUNDS) peel colors × per-color Luby rounds."""
+    from drone_spark.algorithms.coloring import greedy_coloring
+
+    return greedy_coloring(
+        _bipartite_edges(spark, sf_dir),
+        max_colors=len(COLORING_SQL_ROUNDS),
+    )
+
+
+def _coloring_sql() -> str:
+    """Nested unrolled iterated-MIS-peel — the SQL twin of q_coloring.
+
+    Per color c over residual symmetric edge set s{c}: Luby rounds
+    w{c}_i (undecided local priority-minima) / u{c}_i (undecided minus
+    winners minus their neighbors), mis{c} = ∪ w{c}_i, then
+    s{c+1} = edges with neither endpoint in mis{c}. Vertices whose
+    residual edges all vanish before they ever join an MIS are
+    pairwise non-adjacent and take the trailing color — exactly the
+    loop count, i.e. min{c : s{c} empty} — together, mirroring
+    coloring.py's post-loop `rest` branch."""
+    cmax = len(COLORING_SQL_ROUNDS)
+    parts = [
+        f"WITH {SQL_BIPARTITE}",
+        "s0 AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
+        "allv AS (SELECT DISTINCT src AS id FROM s0)",
+        "pri AS (SELECT id, CAST(('0x' || substr(md5(CAST(id AS VARCHAR)),"
+        " 1, 15)) AS BIGINT) AS pri FROM allv)",
+    ]
+    for c, rounds in enumerate(COLORING_SQL_ROUNDS):
+        parts.append(
+            f"u{c}_0 AS MATERIALIZED (SELECT p.id, p.pri FROM "
+            f"(SELECT DISTINCT src AS id FROM s{c}) q "
+            f"JOIN pri p ON p.id = q.id)"
+        )
+        for i in range(1, rounds + 1):
+            parts.append(
+                f"w{c}_{i} AS MATERIALIZED (SELECT a.id FROM u{c}_{i-1} a "
+                f"WHERE NOT EXISTS (SELECT 1 FROM s{c} e "
+                f"JOIN u{c}_{i-1} b ON b.id = e.dst WHERE e.src = a.id "
+                f"AND (b.pri < a.pri OR (b.pri = a.pri AND b.id < a.id))))"
+            )
+            parts.append(
+                f"u{c}_{i} AS MATERIALIZED (SELECT a.id, a.pri FROM "
+                f"u{c}_{i-1} a WHERE a.id NOT IN (SELECT id FROM w{c}_{i}) "
+                f"AND NOT EXISTS (SELECT 1 FROM s{c} e "
+                f"JOIN w{c}_{i} w ON w.id = e.dst WHERE e.src = a.id))"
+            )
+        sel = " UNION ALL ".join(
+            f"SELECT id FROM w{c}_{i}" for i in range(1, rounds + 1)
+        )
+        parts.append(f"mis{c} AS MATERIALIZED (SELECT id FROM ({sel}))")
+        parts.append(
+            f"s{c+1} AS MATERIALIZED (SELECT e.src, e.dst FROM s{c} e "
+            f"WHERE e.src NOT IN (SELECT id FROM mis{c}) "
+            f"AND e.dst NOT IN (SELECT id FROM mis{c}))"
+        )
+    colored = " UNION ALL ".join(
+        f"SELECT id, {c} AS c FROM mis{c}" for c in range(cmax)
+    )
+    parts.append(f"colored AS MATERIALIZED ({colored})")
+    rest_cases = " UNION ALL ".join(
+        f"SELECT {c} AS cc WHERE NOT EXISTS (SELECT 1 FROM s{c})"
+        for c in range(cmax + 1)
+    )
+    parts.append(f"restc AS (SELECT MIN(cc) AS rc FROM ({rest_cases}))")
+    return ", ".join(parts) + (
+        " SELECT id AS vid, CAST(c AS BIGINT) AS color FROM colored "
+        "UNION ALL "
+        "SELECT a.id AS vid, CAST(r.rc AS BIGINT) AS color "
+        "FROM allv a CROSS JOIN restc r "
+        "WHERE a.id NOT IN (SELECT id FROM colored)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1992,6 +2174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass5": q_spam_mass5,
         "snapshot_diff": q_snapshot_diff,
         "cc_warm_start": q_cc_warm_start,
+        "sssp_warm_start": q_sssp_warm_start,
+        "crawl_budget": q_crawl_budget,
+        "coloring": q_coloring,
     }
 
 
@@ -2401,6 +2586,8 @@ def oracle_sql() -> dict[str, str]:
         "anf3": _anf_sql(),
         "salsa3": _salsa3_sql(),
         "spam_mass5": _spam_mass5_sql(),
+        "crawl_budget": _crawl_budget_sql(),
+        "coloring": _coloring_sql(),
     }
     out["snapshot_diff"] = _snapshot_diff_sql()
     # backend twins share their relational variant's oracle verbatim:
@@ -2408,9 +2595,10 @@ def oracle_sql() -> dict[str, str]:
     # means the two gates can't desynchronize
     out["connected_components_subgraph"] = out["connected_components"]
     out["sssp_subgraph"] = out["sssp"]
-    # incremental ≡ from-scratch: the warm-started run must reproduce
-    # the cold fixpoint exactly, so it shares the cold oracle
+    # incremental ≡ from-scratch: the warm-started runs must reproduce
+    # the cold fixpoints exactly, so they share the cold oracles
     out["cc_warm_start"] = out["connected_components"]
+    out["sssp_warm_start"] = out["sssp"]
     return out
 
 

@@ -138,8 +138,19 @@ def sssp(
     salt_threshold: int = 1024,
     pre_partitioned: bool = False,
     use_kernel_cache: bool = True,
+    warm_start: DataFrame | None = None,
 ) -> RunResult:
     """State: (vid, dist, outdeg, delta); delta>0 marks the current frontier.
+
+    ``warm_start``: a previous run's (vid, dist) state over an earlier,
+    edge-SUBSET version of the graph (append-only crawl growth) and the
+    SAME source. Old distances are paths that still exist, hence
+    achievable upper bounds; init takes min(cold seed, old dist) and
+    puts every finite-dist vertex in the first frontier so the old
+    distances re-scatter across the appended edges. The monotone
+    min-combine then converges to the exact new fixpoint — typically in
+    far fewer supersteps than a cold run. Edge REMOVALS invalidate the
+    bound; re-run cold for shrinking graphs.
 
     ``pre_partitioned``: skips the per-run edge shuffle — the dominant
     one-off cost at 100 TB. For the relational backend the input must
@@ -243,7 +254,7 @@ def sssp(
         # the edges the frontier actually relaxes (traversed_expr)
         from ..graph.builder import out_degrees
 
-        return (
+        base = (
             vertices(verts_src.select("src", "dst"))
             .join(
                 out_degrees(verts_src.select("src", "dst"))
@@ -256,6 +267,20 @@ def sssp(
                 F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
                 F.when(F.col("id") == source, 1.0).otherwise(0.0).alias("delta"),
             )
+        )
+        if warm_start is None:
+            return base
+        w = warm_start.select(
+            F.col("vid").alias("wvid"), F.col("dist").alias("wdist")
+        )
+        dist = F.least(F.col("dist"), F.coalesce("wdist", F.lit(INF)))
+        return base.join(w, base["vid"] == w["wvid"], "left").select(
+            "vid",
+            dist.alias("dist"),
+            "outdeg",
+            # every vertex with a finite warm distance re-scatters once
+            # so old paths relax across the appended edges
+            F.when(dist < INF, 1.0).otherwise(0.0).alias("delta"),
         )
 
     try:
