@@ -2086,6 +2086,126 @@ def _coloring_sql() -> str:
     )
 
 
+HOST_MOD = 199  # _url_edges / SQL_URLIFY site modulus — host(vid) = vid % 199
+
+
+def q_modularity(spark, sf_dir):
+    """Newman-Girvan modularity decomposition of the HOST partition of
+    the page link graph (algorithms/linkstats.modularity): how modular
+    is the web graph with respect to its site boundaries — the
+    canonical structure-vs-partition score (used to sanity-check
+    community detectors and shard assignments). Exact integer output:
+    q_num = 4·m·e_c − d_c² per community, Q = Σ q_num / 4m²."""
+    from drone_spark.algorithms.linkstats import modularity
+
+    edges = _bipartite_edges(spark, sf_dir)
+    asg = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", (F.col("vid") % HOST_MOD).cast("long").alias("community"))
+    )
+    return modularity(edges, asg)
+
+
+def _modularity_sql() -> str:
+    return (
+        f"WITH {SQL_BIPARTITE}, {SQL_SYM}, "
+        "canon AS (SELECT src, dst FROM sym WHERE src < dst), "
+        "m AS (SELECT COUNT(*) AS m FROM canon), "
+        f"asg AS (SELECT id AS vid, CAST(id % {HOST_MOD} AS BIGINT)"
+        " AS community FROM v), "
+        "ec AS (SELECT a.community, COUNT(*) AS internal_edges FROM canon c "
+        "JOIN asg a ON a.vid = c.src JOIN asg b ON b.vid = c.dst "
+        "WHERE a.community = b.community GROUP BY a.community), "
+        "deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src), "
+        "dc AS (SELECT a.community, SUM(d.deg) AS degree_sum FROM deg d "
+        "JOIN asg a ON a.vid = d.vid GROUP BY a.community) "
+        "SELECT dc.community, "
+        "CAST(COALESCE(ec.internal_edges, 0) AS BIGINT) AS internal_edges, "
+        "CAST(dc.degree_sum AS BIGINT) AS degree_sum, "
+        "CAST(4 * m.m * COALESCE(ec.internal_edges, 0) "
+        "- dc.degree_sum * dc.degree_sum AS BIGINT) AS q_num "
+        "FROM dc LEFT JOIN ec ON ec.community = dc.community CROSS JOIN m"
+    )
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation similarity between hosts (linkstats.cocitation):
+    host pairs with ≥2 shared in-linking hosts, with the shared count
+    and in-neighbor Jaccard in exact ppm — the classic related-site
+    signal. The host graph is 199 dense vertices here, so the hub cap
+    is off (every source's out-degree ≥ 137 at sf0.01 — the cap would
+    empty the result); at page scale the safe-by-default cap=64 stands
+    (see the library docstring's k² blowup argument)."""
+    from drone_spark.algorithms.linkstats import cocitation
+    from drone_spark.extraction import host_graph
+
+    hg = host_graph(_url_edges(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return cocitation(hg, min_common=2, max_out_degree=None)
+
+
+def _cocitation_sql() -> str:
+    return (
+        f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hosts AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls), "
+        "e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hosts "
+        "WHERE src_host <> dst_host), "
+        "ind AS (SELECT dst AS t, COUNT(*) AS ind FROM e GROUP BY dst), "
+        "pairs AS (SELECT x.dst AS a, y.dst AS b, COUNT(*) AS common "
+        "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
+        "GROUP BY x.dst, y.dst HAVING COUNT(*) >= 2) "
+        "SELECT p.a, p.b, CAST(p.common AS BIGINT) AS common, "
+        "CAST((1000000 * p.common) // (ia.ind + ib.ind - p.common) AS BIGINT)"
+        " AS jaccard_ppm "
+        "FROM pairs p JOIN ind ia ON ia.t = p.a JOIN ind ib ON ib.t = p.b"
+    )
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by exact fixed-point
+    tf/df weighting (ops/textstats.tfidf_topk) — keyword extraction
+    over the corpus, integer-scored so both engines hash-match."""
+    from drone_spark.ops.textstats import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+
+
+def q_bigram_novelty(spark, sf_dir):
+    """Share of corpus-rare bigrams per document in exact ppm
+    (ops/textstats.bigram_novelty, rare = document frequency 1) — the
+    integer stand-in for bigram-LM perplexity filtering."""
+    from drone_spark.ops.textstats import bigram_novelty
+
+    return bigram_novelty(_read(spark, sf_dir, "documents"), rare_df=1)
+
+
+# deterministic 80/20 corpus snapshot split for the incremental dedup
+# query: docs with doc_id % 5 == 0 play the NEW crawl batch
+OLD_DOC_PRED = "doc_id % 5 <> 0"
+NEW_DOC_PRED = "doc_id % 5 = 0"
+
+
+def q_minhash_dedup_incremental(spark, sf_dir):
+    """Crawl-append dedup: the 20% NEW docs (doc_id % 5 == 0) LSH-paired
+    against the 80% OLD corpus index only (dedup.
+    minhash_lsh_pairs_incremental, md5 variant) — the per-batch cost a
+    daily pipeline pays instead of re-pairing the whole corpus."""
+    from drone_spark.ops.dedup import minhash_lsh_pairs_incremental
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_incremental(
+        docs.where(F.expr(OLD_DOC_PRED)),
+        docs.where(F.expr(NEW_DOC_PRED)),
+        threshold=0.7,
+        hash_fn="md5",
+    ).select("a", "b")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2177,6 +2297,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_warm_start": q_sssp_warm_start,
         "crawl_budget": q_crawl_budget,
         "coloring": q_coloring,
+        "modularity": q_modularity,
+        "cocitation": q_cocitation,
+        "tfidf_topk": q_tfidf_topk,
+        "bigram_novelty": q_bigram_novelty,
+        "minhash_dedup_incremental": q_minhash_dedup_incremental,
     }
 
 
@@ -2588,6 +2713,11 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass5": _spam_mass5_sql(),
         "crawl_budget": _crawl_budget_sql(),
         "coloring": _coloring_sql(),
+        "modularity": _modularity_sql(),
+        "cocitation": _cocitation_sql(),
+        "tfidf_topk": _tfidf_topk_oracle(),
+        "bigram_novelty": _bigram_novelty_oracle(),
+        "minhash_dedup_incremental": _minhash_incremental_oracle(),
     }
     out["snapshot_diff"] = _snapshot_diff_sql()
     # backend twins share their relational variant's oracle verbatim:
@@ -2682,6 +2812,26 @@ def _lang_id_oracle() -> str:
     from drone_spark.ops.textstats import lang_id_sql
 
     return lang_id_sql("documents")
+
+
+def _tfidf_topk_oracle() -> str:
+    from drone_spark.ops.textstats import tfidf_topk_sql
+
+    return tfidf_topk_sql(k=3)
+
+
+def _bigram_novelty_oracle() -> str:
+    from drone_spark.ops.textstats import bigram_novelty_sql
+
+    return bigram_novelty_sql(rare_df=1)
+
+
+def _minhash_incremental_oracle() -> str:
+    from drone_spark.ops.dedup import minhash_lsh_incremental_sql
+
+    return minhash_lsh_incremental_sql(
+        OLD_DOC_PRED, NEW_DOC_PRED, threshold=0.7
+    )
 
 
 def _embedding_exact_oracle() -> str:

@@ -245,3 +245,138 @@ def snapshot_diff(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
             F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0)
         ).cast("long").alias("removed"),
     )
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Per-community modularity decomposition of a given partition over
+    the undirected simple graph: Newman-Girvan
+    Q = Σ_c [e_c/m − (d_c/2m)²] where m = #undirected edges, e_c =
+    edges internal to community c, d_c = Σ degrees of c's vertices.
+
+    ``communities``: (vid, community) — must cover every edge endpoint
+    (web pipelines score structural partitions like host / shard /
+    label-propagation assignments, which are total by construction).
+
+    Returns (community, internal_edges, degree_sum, q_num) with
+    q_num = 4·m·e_c − d_c², all BIGINT, so
+    Q = Σ q_num / (4m²) exactly — the integer decomposition keeps the
+    result bit-stable across engines (no float sum-order variance).
+    int64 bound: |q_num| ≤ 4m·max(e_c, m) — exact up to m ≈ 1.5·10⁹
+    edges; past that compute the float contribution from the two
+    integer columns instead (they never overflow: both ≤ 2m).
+
+    Plan: symmetrize + canonical-orient once, two broadcast-free
+    equi-joins of the edge list against the (small, one row per
+    vertex) assignment, then two partial-agg rollups keyed by
+    community — community cardinality ≪ |V|, so the final agg is
+    tiny; m is one scalar read."""
+    sym = _sym_edges(edges)
+    canon = sym.where(F.col("src") < F.col("dst")).distinct()
+    asg = communities.select("vid", "community")
+    m = canon.count()
+    e_c = (
+        canon.join(asg.withColumnRenamed("vid", "src")
+                   .withColumnRenamed("community", "ca"), "src")
+        .join(asg.withColumnRenamed("vid", "dst")
+              .withColumnRenamed("community", "cb"), "dst")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    d_c = (
+        deg.join(asg, "vid")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("degree_sum"))
+    )
+    return (
+        d_c.join(e_c, "community", "left")
+        .select(
+            "community",
+            F.coalesce("internal_edges", F.lit(0)).cast("long")
+            .alias("internal_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            (
+                F.lit(4 * m) * F.coalesce("internal_edges", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("long").alias("q_num"),
+        )
+    )
+
+
+def modularity_q(edges: DataFrame, communities: DataFrame) -> float:
+    """Scalar Newman-Girvan Q of the partition (float convenience over
+    :func:`modularity`'s exact integer decomposition)."""
+    sym = _sym_edges(edges)
+    m = sym.where(F.col("src") < F.col("dst")).distinct().count()
+    if m == 0:
+        return 0.0
+    s = modularity(edges, communities).agg(F.sum("q_num")).first()[0]
+    return float(s) / (4.0 * m * m)
+
+
+def cocitation(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_out_degree: int | None = 64,
+) -> DataFrame:
+    """Co-citation similarity (Small 1973): two targets are similar
+    when many sources link to BOTH — the classic related-page signal
+    (its transpose, bibliographic coupling, is the same op on reversed
+    edges). Returns (a, b, common, jaccard_ppm) for target pairs with
+    ≥ ``min_common`` shared in-linkers; jaccard_ppm =
+    ⌊10⁶·|Na∩Nb| / |Na∪Nb|⌋ over in-neighbor sets — integer ppm keeps
+    the output exact across engines.
+
+    ``max_out_degree`` is the safe-by-default hub cap (same contract
+    as adamic_adar's ``max_degree`` / dedup's ``max_doc_freq``): a
+    source linking k targets contributes k² co-citation pairs, so one
+    10⁶-out-degree hub page (a sitemap, a spam ring) would emit 10¹²
+    rows. Sources above the cap are dropped BEFORE the self-join,
+    bounding any source's contribution at cap²; in-neighbor sets (and
+    hence jaccard) are computed over the same capped edge set so the
+    ratio stays consistent. ``None`` restores exact all-sources
+    semantics — the oracle replays whichever is configured.
+
+    Plan: dedup → optional cap semi-join → src self-join (candidates
+    keyed by source, never all-pairs) → one partial-agg count per
+    (a, b) → two joins against the tiny per-target in-degree table."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if max_out_degree is not None:
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .where(F.col("od") <= max_out_degree)
+            .select("src")
+        )
+        e = e.join(keep, "src")
+    indeg = e.groupBy(F.col("dst").alias("t")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), "src")
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(indeg.withColumnRenamed("t", "a")
+                   .withColumnRenamed("ind", "ia"), "a")
+        .join(indeg.withColumnRenamed("t", "b")
+              .withColumnRenamed("ind", "ib"), "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            F.expr("(1000000 * common) div (ia + ib - common)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )

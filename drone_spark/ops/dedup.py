@@ -703,3 +703,161 @@ def simhash_pairs_sql(
         "FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id "
         f"WHERE bit_count(xor(x.sig, y.sig)) <= {max_hamming}"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) MinHash dedup
+# ---------------------------------------------------------------------------
+def minhash_lsh_pairs_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    n: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Crawl-append near-dup pairs: each NEW document against the OLD
+    corpus only → (a, b, est_jaccard) with ``a`` from ``old_docs`` and
+    ``b`` from ``new_docs``.
+
+    The incremental shape of :func:`minhash_lsh_pairs`: the old side's
+    signatures and band buckets are the reusable index (compute once
+    per snapshot, persist to the catalog), so a daily batch pays
+    signature cost proportional to the NEW docs plus a bucket
+    equi-join against the index — never a re-pair of the whole corpus.
+    Intra-batch (new×new) dups are a separate, batch-sized
+    ``minhash_lsh_pairs(new_docs)`` call.
+
+    ``max_bucket_size`` counts the COMBINED (old + new) population of
+    a band bucket — that product is what the cross join pays — and
+    drops saturated buckets before the candidate join, same
+    safe-by-default contract as the one-table op."""
+    rows_per_band = num_hashes // bands
+
+    def band_key(i: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", i * rows_per_band + j + 1)
+                for j in range(rows_per_band)
+            ],
+        )
+        if hash_fn == "md5":
+            return _hash60_md5(joined, f"b{i}:")
+        return F.xxhash64(joined, F.lit(i))
+
+    def buckets(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("band"), band_key(i).alias("bucket"))
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    sig_old = minhash_signatures(old_docs, num_hashes, text_col, n, hash_fn).persist()
+    sig_new = minhash_signatures(new_docs, num_hashes, text_col, n, hash_fn).persist()
+    b_old = buckets(sig_old)
+    b_new = buckets(sig_new)
+    if max_bucket_size is not None:
+        cool = (
+            b_old.unionAll(b_new)
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("pop"))
+            .where(F.col("pop") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        b_old = b_old.join(cool, ["band", "bucket"])
+        b_new = b_new.join(cool, ["band", "bucket"])
+    cand = (
+        b_old.select("band", "bucket", F.col("doc_id").alias("a"))
+        .join(
+            b_new.select("band", "bucket", F.col("doc_id").alias("b")),
+            ["band", "bucket"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        cand.join(sig_old.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga")), "a")
+        .join(sig_new.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb")), "b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("siga", "sigb", lambda p, q: (p == q).cast("int")),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+def minhash_lsh_incremental_sql(
+    old_pred: str,
+    new_pred: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    doc_table: str = "documents",
+    n: int = 3,
+    max_bucket_size: int | None = None,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs_incremental(hash_fn="md5") over
+    two predicate-defined snapshots of ``doc_table`` → (a, b)."""
+    rows = num_hashes // bands
+    mins = ", ".join(
+        "MIN(" + _sql_hash60(f"'{i}:' || shingle") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = []
+    for i in range(bands):
+        joined = " || ',' || ".join(
+            f"h{i * rows + j}::VARCHAR" for j in range(rows)
+        )
+        bucket = _sql_hash60(f"'b{i}:' || {joined}")
+        band_rows.append(
+            f"SELECT doc_id, {i} AS band, {bucket} AS bucket FROM sigs"
+        )
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    cap_sql = ""
+    bands_ref = "bands0"
+    if max_bucket_size is not None:
+        cap_sql = (
+            "cool AS (SELECT band, bucket FROM ("
+            "SELECT b.band, b.bucket FROM bands0 b JOIN old_ids o ON b.doc_id = o.doc_id "
+            "UNION ALL "
+            "SELECT b.band, b.bucket FROM bands0 b JOIN new_ids nn ON b.doc_id = nn.doc_id"
+            ") GROUP BY band, bucket "
+            f"HAVING COUNT(*) <= {max_bucket_size}), "
+            "bandsc AS (SELECT b.* FROM bands0 b JOIN cool c "
+            "ON b.band = c.band AND b.bucket = c.bucket), "
+        )
+        bands_ref = "bandsc"
+    return (
+        f"WITH {_sql_shingles(doc_table, n)}, "
+        f"sigs AS (SELECT doc_id, {mins} FROM grams2 GROUP BY doc_id), "
+        f"old_ids AS (SELECT doc_id FROM {doc_table} WHERE {old_pred}), "
+        f"new_ids AS (SELECT doc_id FROM {doc_table} WHERE {new_pred}), "
+        "bands0 AS (" + " UNION ALL ".join(band_rows) + "), "
+        + cap_sql +
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+        f"FROM {bands_ref} x JOIN old_ids xo ON x.doc_id = xo.doc_id "
+        f"JOIN {bands_ref} y ON x.band = y.band AND x.bucket = y.bucket "
+        "JOIN new_ids yn ON y.doc_id = yn.doc_id) "
+        f"SELECT a, b FROM cand JOIN sigs sa ON sa.doc_id = a "
+        f"JOIN sigs sb ON sb.doc_id = b "
+        f"WHERE ({eq_terms}) * 1.0 / {num_hashes} >= {threshold}"
+    )

@@ -713,3 +713,157 @@ def boilerplate_stats_sql(
         f"FROM (SELECT doc_id FROM {doc_table}) d "
         "LEFT JOIN flagged f ON f.doc_id = d.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Top-``k`` characteristic terms per document by raw
+    tf × (1/df) weighting → (doc_id, token, score_fx, rank).
+
+    score_fx = ⌊10¹²·tf / df⌋ — term frequency over corpus document
+    frequency in fixed-point, the rawest form of "term frequency ×
+    inverse document frequency". The integer scale keeps ordering and
+    values bit-identical across engines (log-smoothed idf would hang
+    the hash match on ln() ulp agreement); rank ties break on token.
+
+    Plan shape at scale: (doc, token, tf) by one explode + partial-agg
+    groupBy; df by a second partial-agg over the distinct (doc, token)
+    pairs (vocabulary-sized, ≪ corpus); score join keyed on token;
+    per-doc top-k is a window over each document's OWN tokens — bounded
+    by document length, never a global sort."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        F.expr("(tf * 1000000000000L) div df").alias("score_fx"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fx"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "score_fx", "rank")
+    )
+
+
+def tfidf_topk_sql(k: int = 5, doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`tfidf_topk`."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, UNNEST(string_split(nt, ' ')) AS token "
+        "FROM norm), "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks "
+        "WHERE length(token) > 0 GROUP BY doc_id, token), "
+        "df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token), "
+        "scored AS (SELECT tf.doc_id, tf.token, "
+        "CAST((tf.tf * 1000000000000) // df.df AS BIGINT) AS score_fx "
+        "FROM tf JOIN df ON tf.token = df.token), "
+        "ranked AS (SELECT doc_id, token, score_fx, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY score_fx DESC, token) AS rank "
+        "FROM scored) "
+        "SELECT doc_id, token, score_fx, CAST(rank AS BIGINT) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram novelty — corpus-LM rarity as a quality/novelty signal
+# ---------------------------------------------------------------------------
+def bigram_novelty(
+    docs: DataFrame, rare_df: int = 1, text_col: str = "text"
+) -> DataFrame:
+    """Per-document share of corpus-rare bigrams →
+    (doc_id, n_bigrams, n_rare, rare_ppm).
+
+    The integer stand-in for bigram-LM perplexity filtering: a bigram
+    is "rare" when its corpus document frequency is ≤ ``rare_df``
+    (df over distinct docs, so a doc repeating its own bigram doesn't
+    deflate its novelty). rare_ppm = ⌊10⁶·n_rare / n_bigrams⌋; docs
+    with < 2 tokens have no bigrams and report 0/0/0. High rare_ppm =
+    novel or noisy text (OCR garble scores high too — compose with
+    quality_score); near-0 = boilerplate assembled from corpus-common
+    transitions.
+
+    Plan: one explode per doc position (posexplode over the token
+    array), adjacent-pair bigram by self-zip inside the array (no
+    join), partial-agg df over distinct (doc, bigram), then a
+    broadcast-free join back keyed on bigram. All JVM codegen."""
+    t = F.split(norm_text(text_col), " ")
+    bigrams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(t) >= 2,
+                    F.zip_with(
+                        F.slice(t, 1, F.size(t) - 1),
+                        F.slice(t, 2, F.size(t) - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram"),
+        )
+    )
+    per_doc = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dfreq = per_doc.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        per_doc.join(dfreq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.when(F.col("df") <= rare_df, F.col("n")).otherwise(0))
+            .alias("n_rare"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+            F.expr(
+                "CASE WHEN coalesce(n_bigrams, 0L) <= 0 THEN 0L "
+                "ELSE (1000000 * n_rare) div n_bigrams END"
+            ).cast("long").alias("rare_ppm"),
+        )
+    )
+
+
+def bigram_novelty_sql(rare_df: int = 1, doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_novelty`."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm), "
+        "bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram "
+        "FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks) "
+        "WHERE len(t) >= 2 AND i <= len(t) - 1), "
+        "per_doc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg "
+        "GROUP BY doc_id, bigram), "
+        "dfreq AS (SELECT bigram, COUNT(*) AS df FROM per_doc GROUP BY bigram), "
+        "stats AS (SELECT p.doc_id, SUM(p.n) AS n_bigrams, "
+        f"SUM(CASE WHEN d.df <= {rare_df} THEN p.n ELSE 0 END) AS n_rare "
+        "FROM per_doc p JOIN dfreq d ON p.bigram = d.bigram "
+        "GROUP BY p.doc_id) "
+        "SELECT dd.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "CAST(COALESCE(s.n_rare, 0) AS BIGINT) AS n_rare, "
+        "CAST(CASE WHEN COALESCE(s.n_bigrams, 0) <= 0 THEN 0 "
+        "ELSE (1000000 * s.n_rare) // s.n_bigrams END AS BIGINT) AS rare_ppm "
+        f"FROM (SELECT doc_id FROM {doc_table}) dd "
+        "LEFT JOIN stats s ON s.doc_id = dd.doc_id"
+    )

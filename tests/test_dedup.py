@@ -314,3 +314,95 @@ def test_minhash_lsh_hot_bucket_cap(spark):
     # boilerplate-only pair can appear unless it cleared verification
     # through a small bucket — compare row counts as the bound evidence.
     assert capped.count() <= uncapped.count()
+
+
+def test_minhash_incremental_pairs_new_vs_old_only(spark):
+    """Old corpus {1,2}, new batch {100 (dup of 1), 101 (unique),
+    102 (dup of 101)}: the incremental op reports old×new pairs only —
+    (1,100) yes; the intra-batch dup (101,102) is NOT its job."""
+    from drone_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about distributed graph engines"
+    text_c = "a third unrelated document discussing minhash signatures here"
+    old = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, text_a), (101, text_c), (102, text_c)],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"])
+           for r in minhash_lsh_pairs_incremental(old, new,
+                                                  threshold=0.7).collect()}
+    assert got == {(1, 100)}
+    # cross-check vs the batch op on the union: its old×new subset
+    # must agree with the incremental result
+    union_pairs = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(old.unionAll(new),
+                                   threshold=0.7).collect()
+    }
+    cross = {(a, b) for a, b in union_pairs if a < 100 <= b}
+    assert cross == got
+
+
+def test_minhash_incremental_matches_duckdb_twin(spark):
+    import duckdb
+
+    from drone_spark.ops.dedup import (
+        minhash_lsh_incremental_sql,
+        minhash_lsh_pairs_incremental,
+    )
+
+    corpus = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (5, "alpha beta gamma delta epsilon zeta"),
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (11, "totally novel text with nothing shared"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    old = docs.where("doc_id % 5 <> 0")
+    new = docs.where("doc_id % 5 = 0")
+    got = sorted(
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs_incremental(
+            old, new, threshold=0.7, hash_fn="md5"
+        ).collect()
+    )
+    assert got == [(1, 5), (1, 10)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
+    sql = minhash_lsh_incremental_sql(
+        "doc_id % 5 <> 0", "doc_id % 5 = 0", threshold=0.7
+    )
+    want = sorted((r[0], r[1]) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_minhash_incremental_bucket_cap_counts_combined_population(spark):
+    """max_bucket_size counts old+new together: 3 old + 3 new exact
+    dups share every band bucket (pop 6) → cap 5 drops them all, cap 6
+    keeps the 9 cross pairs."""
+    from drone_spark.ops.dedup import minhash_lsh_pairs_incremental
+
+    text = "identical boilerplate page body repeated across the corpus"
+    old = spark.createDataFrame(
+        [(i, text) for i in (1, 2, 3)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, text) for i in (100, 101, 102)], "doc_id long, text string"
+    )
+    capped = minhash_lsh_pairs_incremental(
+        old, new, threshold=0.7, max_bucket_size=5
+    )
+    assert capped.count() == 0
+    kept = minhash_lsh_pairs_incremental(
+        old, new, threshold=0.7, max_bucket_size=6
+    )
+    assert kept.count() == 9

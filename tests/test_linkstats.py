@@ -133,3 +133,67 @@ def test_joint_degree_histogram_buckets(spark):
     got = {(r["x_bucket"], r["y_bucket"]): r["n_edges"]
            for r in joint_degree_histogram(df).collect()}
     assert got == {(3, 0): 8}
+
+
+def test_modularity_exact_integer_decomposition(spark, kite):
+    """Hand-computed Newman-Girvan Q on the kite with partition
+    {1,2,3} | {4,5}: m=6, e_0=3 d_0=8, e_1=1 d_1=4 →
+    q_num = 24·3−64 = 8 and 24·1−16 = 8, Q = 16/144 = 1/9."""
+    from drone_spark.algorithms.linkstats import modularity, modularity_q
+
+    asg = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1)], "vid long, community long"
+    )
+    rows = {r["community"]: r for r in modularity(kite, asg).collect()}
+    assert (rows[0]["internal_edges"], rows[0]["degree_sum"],
+            rows[0]["q_num"]) == (3, 8, 8)
+    assert (rows[1]["internal_edges"], rows[1]["degree_sum"],
+            rows[1]["q_num"]) == (1, 4, 8)
+    assert abs(modularity_q(kite, asg) - 1.0 / 9.0) < 1e-12
+
+
+def test_modularity_orientation_invariant(spark, kite):
+    """Reversed/duplicated directed edges describe the same undirected
+    graph — the decomposition must not change."""
+    from drone_spark.algorithms.linkstats import modularity
+
+    asg = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1)], "vid long, community long"
+    )
+    rev = kite.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    both = kite.unionAll(rev).unionAll(kite)
+    a = sorted(map(tuple, modularity(kite, asg).collect()))
+    b = sorted(map(tuple, modularity(both, asg).collect()))
+    assert a == b
+
+
+def test_cocitation_exact(spark):
+    """Sources 10,11 → {1,2}; 12 → {1,3}. In-degrees 1:3, 2:2, 3:1.
+    Only (1,2) shares ≥2 in-linkers: common=2, jaccard 2/3 → 666666."""
+    from drone_spark.algorithms.linkstats import cocitation
+
+    e = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3)],
+        "src long, dst long",
+    )
+    got = [tuple(r) for r in cocitation(e, min_common=2,
+                                        max_out_degree=None).collect()]
+    assert got == [(1, 2, 2, 666666)]
+    loose = {(r["a"], r["b"]): (r["common"], r["jaccard_ppm"])
+             for r in cocitation(e, min_common=1,
+                                 max_out_degree=None).collect()}
+    assert loose[(1, 3)] == (1, 333333)  # 1/(3+1-1)
+
+
+def test_cocitation_hub_cap_drops_fat_sources(spark):
+    from drone_spark.algorithms.linkstats import cocitation
+
+    e = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2)], "src long, dst long"
+    )
+    # every source has out-degree 2 > cap 1 → no candidates at all
+    assert cocitation(e, min_common=1, max_out_degree=1).count() == 0
+    # cap above the fan-out keeps exact semantics
+    kept = [tuple(r) for r in cocitation(e, min_common=2,
+                                         max_out_degree=2).collect()]
+    assert kept == [(1, 2, 2, 1000000)]

@@ -354,3 +354,78 @@ def test_boilerplate_sql_twin_duckdb(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
     want = sorted(map(tuple, con.execute(boilerplate_stats_sql()).fetchall()))
     assert got == want
+
+
+def test_tfidf_topk_exact_fixed_point(spark):
+    """doc 1 'apple banana apple', doc 2 'banana cherry':
+    df(apple)=1 df(banana)=2 df(cherry)=1 →
+    doc1: apple 2e12 > banana 5e11; doc2: cherry 1e12 > banana 5e11."""
+    from drone_spark.ops.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["score_fx"])
+           for r in tfidf_topk(docs, k=2).collect()}
+    assert got == {
+        (1, 1): ("apple", 2_000_000_000_000),
+        (1, 2): ("banana", 500_000_000_000),
+        (2, 1): ("cherry", 1_000_000_000_000),
+        (2, 2): ("banana", 500_000_000_000),
+    }
+
+
+def test_tfidf_topk_matches_duckdb_twin(spark):
+    import duckdb
+
+    from drone_spark.ops.textstats import tfidf_topk, tfidf_topk_sql
+
+    corpus = [
+        (1, "the quick brown fox"),
+        (2, "the quick red fox"),
+        (3, "THE  LAZY   dog"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(map(tuple, tfidf_topk(docs, k=3).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
+    want = sorted(map(tuple, con.execute(tfidf_topk_sql(k=3)).fetchall()))
+    assert got == want
+
+
+def test_bigram_novelty_exact(spark):
+    """d1 'a b c', d2 'a b d', d3 'x': df('a b')=2, others 1 →
+    both d1 and d2 have 1 rare of 2 bigrams = 500000 ppm; d3 0/0/0."""
+    from drone_spark.ops.textstats import bigram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_rare"], r["rare_ppm"])
+           for r in bigram_novelty(docs, rare_df=1).collect()}
+    assert got == {1: (2, 1, 500000), 2: (2, 1, 500000), 3: (0, 0, 0)}
+
+
+def test_bigram_novelty_repeated_bigram_counts_df_once(spark):
+    """A doc repeating its own bigram must not deflate its novelty:
+    df is over DISTINCT docs, but n counts every occurrence."""
+    import duckdb
+
+    from drone_spark.ops.textstats import bigram_novelty, bigram_novelty_sql
+
+    corpus = [(1, "a b a b"), (2, "c d")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_rare"], r["rare_ppm"])
+           for r in bigram_novelty(docs).collect()}
+    # d1 bigrams: 'a b'×2, 'b a'×1 → all df=1 → 3/3 rare
+    assert got[1] == (3, 3, 1000000)
+    assert got[2] == (1, 1, 1000000)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(bigram_novelty_sql()).fetchall()}
+    assert got == want
