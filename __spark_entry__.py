@@ -2206,6 +2206,138 @@ def q_minhash_dedup_incremental(spark, sf_dir):
     ).select("a", "b")
 
 
+def q_louvain(spark, sf_dir):
+    """One synchronous Louvain phase-1 sweep (linkstats.louvain_sweep)
+    over the page link graph, seeded with the host partition
+    (vid % 199): every vertex takes its best strictly-positive exact
+    modularity-gain move, ties to the smaller community — the
+    community-refinement primitive over the structural seed that
+    q_modularity scores. Integer ΔQ numerators, so both engines agree
+    bit-for-bit."""
+    from drone_spark.algorithms.linkstats import louvain_sweep
+
+    edges = _bipartite_edges(spark, sf_dir)
+    seed = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", (F.col("vid") % HOST_MOD).cast("long").alias("community"))
+    )
+    return louvain_sweep(edges, seed)
+
+
+def _louvain_sql() -> str:
+    return (
+        f"WITH {SQL_BIPARTITE}, {SQL_SYM}, "
+        f"asg AS (SELECT id AS vid, CAST(id % {HOST_MOD} AS BIGINT)"
+        " AS community FROM v), "
+        "m AS (SELECT COUNT(*) // 2 AS m FROM sym), "
+        "deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src), "
+        "tot AS (SELECT a.community, SUM(d.deg) AS tot FROM asg a "
+        "JOIN deg d ON d.vid = a.vid GROUP BY a.community), "
+        "kvc AS (SELECT s.src AS vid, a.community AS c, COUNT(*) AS k "
+        "FROM sym s JOIN asg a ON a.vid = s.dst GROUP BY s.src, a.community), "
+        "scored AS (SELECT k.vid, av.community, k.c, "
+        "2 * m.m * k.k - d.deg * (t.tot - CASE WHEN k.c = av.community "
+        "THEN d.deg ELSE 0 END) AS score_fx "
+        "FROM kvc k JOIN asg av ON av.vid = k.vid "
+        "JOIN deg d ON d.vid = k.vid "
+        "JOIN tot t ON t.community = k.c CROSS JOIN m), "
+        "stay AS (SELECT a.vid, a.community, "
+        "COALESCE(s.score_fx, -d.deg * (t.tot - d.deg)) AS stay_fx "
+        "FROM asg a JOIN deg d ON d.vid = a.vid "
+        "JOIN tot t ON t.community = a.community "
+        "LEFT JOIN scored s ON s.vid = a.vid AND s.c = a.community), "
+        "best AS (SELECT vid, score_fx AS best_fx, c AS best_c FROM ("
+        "SELECT vid, score_fx, c, ROW_NUMBER() OVER (PARTITION BY vid "
+        "ORDER BY score_fx DESC, c) AS rn FROM scored WHERE c <> community"
+        ") WHERE rn = 1) "
+        "SELECT st.vid, CAST(CASE WHEN b.best_fx > st.stay_fx "
+        "THEN b.best_c ELSE st.community END AS BIGINT) AS community "
+        "FROM stay st LEFT JOIN best b ON b.vid = st.vid"
+    )
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric shingle containment ≥ 0.5 in either direction
+    (dedup.ngram_containment_pairs, exact all-shingles semantics for
+    the oracle; the production hot-shingle cap has the same contract
+    as ngram_jaccard_capped) — catches a short doc quoted verbatim
+    inside a long one, which Jaccard's union denominator hides."""
+    from drone_spark.ops.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _read(spark, sf_dir, "documents"),
+        threshold_ppm=500_000,
+        max_doc_freq=None,
+    )
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (sampling.group_cap, k=3): the
+    C4/RefinedWeb-style per-domain quota — at most 3 docs per
+    `source`, chosen by smallest md5(doc_id) so the quota is uniform,
+    layout-independent and re-derivable. Hub-safe two-phase top-k on
+    the Spark side; the oracle runs the equivalent single window."""
+    from drone_spark.ops.sampling import group_cap
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_cap(docs, "source", "doc_id", k=3)
+
+
+def _source_cap_sql() -> str:
+    from drone_spark.ops.sampling import group_cap_sql
+
+    return group_cap_sql(
+        "source", "doc_id", k=3, table="documents",
+        out_cols="doc_id, source",
+    )
+
+
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (textstats.winnow_fingerprints, MOSS /
+    SIGMOD'03): rightmost-minimal k-gram hash per w-window →
+    (doc_id, pos, fp). The alignment-robust fingerprint set a corpus
+    pipeline indexes for local (partial-copy) dedup."""
+    from drone_spark.ops.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(spark, sf_dir, "documents"), k=3, w=4
+    )
+
+
+def q_walk_lift(spark, sf_dir):
+    """Association lift over the deterministic-walk skip-gram corpus
+    (walks → skipgram_pairs → textstats.cooccurrence_lift): exact
+    fixed-point exp(PMI) ranking of co-visited page pairs — the
+    query-independent relatedness signal trained embeddings
+    approximate. Composes three oracle-verified stages end-to-end."""
+    from drone_spark.ops.textstats import cooccurrence_lift
+
+    return cooccurrence_lift(
+        q_walk_skipgrams(spark, sf_dir),
+        "center", "context", min_count=2, count_col="n_pairs",
+    )
+
+
+def _walk_lift_sql() -> str:
+    return (
+        "WITH pairs AS (" + _walk_skipgrams_sql() + "), "
+        "n AS (SELECT SUM(n_pairs) AS n FROM pairs), "
+        "ca AS (SELECT center AS a, SUM(n_pairs) AS n_a FROM pairs "
+        "GROUP BY center), "
+        "cb AS (SELECT context AS b, SUM(n_pairs) AS n_b FROM pairs "
+        "GROUP BY context) "
+        "SELECT p.center AS a, p.context AS b, "
+        "CAST(p.n_pairs AS BIGINT) AS n_ab, "
+        "CAST((1000000 * n.n * p.n_pairs) // (ca.n_a * cb.n_b) AS BIGINT)"
+        " AS lift_ppm "
+        "FROM pairs p JOIN ca ON ca.a = p.center "
+        "JOIN cb ON cb.b = p.context CROSS JOIN n "
+        "WHERE p.n_pairs >= 2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2302,6 +2434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bigram_novelty": q_bigram_novelty,
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
+        "louvain": q_louvain,
+        "ngram_containment": q_ngram_containment,
+        "source_cap": q_source_cap,
+        "winnow": q_winnow,
+        "walk_lift": q_walk_lift,
     }
 
 
@@ -2718,6 +2855,11 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _tfidf_topk_oracle(),
         "bigram_novelty": _bigram_novelty_oracle(),
         "minhash_dedup_incremental": _minhash_incremental_oracle(),
+        "louvain": _louvain_sql(),
+        "ngram_containment": _ngram_containment_oracle(),
+        "source_cap": _source_cap_sql(),
+        "winnow": _winnow_oracle(),
+        "walk_lift": _walk_lift_sql(),
     }
     out["snapshot_diff"] = _snapshot_diff_sql()
     # backend twins share their relational variant's oracle verbatim:
@@ -2824,6 +2966,18 @@ def _bigram_novelty_oracle() -> str:
     from drone_spark.ops.textstats import bigram_novelty_sql
 
     return bigram_novelty_sql(rare_df=1)
+
+
+def _winnow_oracle() -> str:
+    from drone_spark.ops.textstats import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql(k=3, w=4)
+
+
+def _ngram_containment_oracle() -> str:
+    from drone_spark.ops.dedup import ngram_containment_sql
+
+    return ngram_containment_sql(threshold_ppm=500_000, max_doc_freq=None)
 
 
 def _minhash_incremental_oracle() -> str:

@@ -380,3 +380,119 @@ def cocitation(
             .cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+def louvain_sweep(
+    edges: DataFrame, communities: DataFrame | None = None
+) -> DataFrame:
+    """One synchronous Louvain phase-1 sweep (Blondel et al. 2008;
+    the synchronous-move distributed variant of e.g. Que et al. 2015):
+    every vertex evaluates the exact modularity gain of moving into
+    each neighboring community and takes the best strictly-positive
+    move, all moves applied at once. Returns (vid, community) for
+    every vertex of the symmetrized simple graph.
+
+    ``communities`` (vid, community) seeds the sweep; ``None`` is the
+    canonical singleton start (community(v) = v). Iterating the sweep
+    + :func:`modularity_q` is Louvain's inner loop; one sweep is
+    already the standard "refine a structural partition by modularity
+    gain" primitive.
+
+    Exact integer scoring — candidate community c for vertex v scores
+    score_fx(c) = 2m·k_v→c − d_v·(tot_c − d_v·[c = c_v])
+    (the ΔQ numerator over a common 2m² denominator, after removing v
+    from its own community; k_v→c = edges from v into c, tot_c = Σ
+    degrees in c, m = undirected edge count). v moves to the
+    max-score candidate iff that beats its stay score; ties break on
+    the smaller community id, so the sweep is deterministic and
+    layout-independent. int64-exact to m ≈ 10¹⁵/d_max.
+
+    Plan: degrees + community totals are two partial-agg rollups;
+    k_v→c is one partial-agg over the edge list joined to the (1 row
+    per vertex) assignment; the argmax is a max_by over each vertex's
+    OWN neighbor communities — bounded by degree, never a global
+    sort. No Python, no collect (m is one scalar read)."""
+    sym = _sym_edges(edges)
+    verts = sym.select(F.col("src").alias("vid")).distinct()
+    if communities is None:
+        asg = verts.select("vid", F.col("vid").alias("community"))
+    else:
+        asg = verts.join(
+            communities.select("vid", "community"), "vid", "left"
+        ).select("vid", F.coalesce("community", F.col("vid")).alias("community"))
+    m = sym.count() // 2
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tot = (
+        asg.join(deg, "vid")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("tot"))
+    )
+    # k_v→c over neighbor communities (v's own community included when
+    # it holds a neighbor)
+    kvc = (
+        sym.join(
+            asg.select(F.col("vid").alias("dst"), F.col("community").alias("c")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vid"), "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    scored = (
+        kvc.join(asg, "vid")
+        .join(deg, "vid")
+        .join(tot.withColumnRenamed("community", "c"), "c")
+        .select(
+            "vid",
+            "community",
+            "c",
+            (
+                F.lit(2 * m) * F.col("k")
+                - F.col("deg")
+                * (F.col("tot")
+                   - F.when(F.col("c") == F.col("community"), F.col("deg"))
+                   .otherwise(F.lit(0)))
+            ).alias("score_fx"),
+        )
+    )
+    # stay score: k_v→c_v may be 0 (no same-community neighbor) → the
+    # kvc row is absent; its score is then −d·(tot_cv − d)
+    stay = (
+        asg.join(deg, "vid")
+        .join(tot, "community")
+        .join(
+            scored.where(F.col("c") == F.col("community"))
+            .select("vid", F.col("score_fx").alias("s0")),
+            "vid",
+            "left",
+        )
+        .select(
+            "vid",
+            "community",
+            F.coalesce(
+                "s0",
+                -F.col("deg") * (F.col("tot") - F.col("deg")),
+            ).alias("stay_fx"),
+        )
+    )
+    best = (
+        scored.where(F.col("c") != F.col("community"))
+        .groupBy("vid")
+        .agg(
+            F.max_by(
+                F.struct(F.col("score_fx"), F.col("c")),
+                F.struct(F.col("score_fx"), -F.col("c")),
+            ).alias("b")
+        )
+        .select("vid", F.col("b.score_fx").alias("best_fx"), F.col("b.c").alias("best_c"))
+    )
+    return (
+        stay.join(best, "vid", "left")
+        .select(
+            "vid",
+            F.when(
+                F.col("best_fx") > F.col("stay_fx"), F.col("best_c")
+            ).otherwise(F.col("community")).cast("long").alias("community"),
+        )
+    )

@@ -861,3 +861,100 @@ def minhash_lsh_incremental_sql(
         f"JOIN sigs sb ON sb.doc_id = b "
         f"WHERE ({eq_terms}) * 1.0 / {num_hashes} >= {threshold}"
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric n-gram containment (partial-overlap / quote detection)
+# ---------------------------------------------------------------------------
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold_ppm: int = 800_000,
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997's second resemblance
+    measure): cont(a⊂b) = |Sa∩Sb| / |Sa|. Jaccard misses a short doc
+    embedded verbatim in a long one (union dominated by the long doc);
+    containment is the standard quote / partial-overlap / page-template
+    detector an LLM-corpus pipeline runs alongside near-dup.
+
+    Returns (a, b, common, cont_a_ppm, cont_b_ppm) for pairs (a < b)
+    where EITHER direction ≥ ``threshold_ppm`` (exact integer ppm:
+    ⌊10⁶·i/|S|⌋, bit-stable across engines).
+
+    Candidate generation and the ``max_doc_freq`` boilerplate-shingle
+    cap are shared with :func:`ngram_jaccard_pairs` (same safe-by-
+    default contract: a df-k shingle costs k² join rows, so hot
+    shingles are dropped BEFORE the self-join and set sizes are taken
+    over the same capped universe)."""
+    sh = shingles(docs, text_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("i").cast("long").alias("common"),
+            F.expr("(1000000 * i) div sza").cast("long").alias("cont_a_ppm"),
+            F.expr("(1000000 * i) div szb").cast("long").alias("cont_b_ppm"),
+        )
+        .where(
+            (F.col("cont_a_ppm") >= threshold_ppm)
+            | (F.col("cont_b_ppm") >= threshold_ppm)
+        )
+    )
+
+
+def ngram_containment_sql(
+    threshold_ppm: int = 800_000,
+    doc_table: str = "documents",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment_pairs`."""
+    if max_doc_freq is None:
+        grams = "grams"
+    else:
+        grams = "capped"
+    cap_cte = (
+        "" if max_doc_freq is None else (
+            "capped AS (SELECT g.doc_id, g.shingle FROM grams g JOIN ("
+            "SELECT shingle FROM grams GROUP BY shingle "
+            f"HAVING COUNT(*) <= {max_doc_freq}) r USING (shingle)), "
+        )
+    )
+    return (
+        f"WITH {_sql_shingles(doc_table, n)}, "
+        + cap_cte +
+        f"sizes AS (SELECT doc_id, COUNT(*) AS sz FROM {grams} GROUP BY doc_id), "
+        f"inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i "
+        f"FROM {grams} x JOIN {grams} y ON x.shingle = y.shingle "
+        "AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) "
+        "SELECT i.a, i.b, CAST(i.i AS BIGINT) AS common, "
+        "CAST((1000000 * i.i) // sa.sz AS BIGINT) AS cont_a_ppm, "
+        "CAST((1000000 * i.i) // sb.sz AS BIGINT) AS cont_b_ppm "
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.a "
+        "JOIN sizes sb ON sb.doc_id = i.b "
+        f"WHERE (1000000 * i.i) // sa.sz >= {threshold_ppm} "
+        f"OR (1000000 * i.i) // sb.sz >= {threshold_ppm}"
+    )

@@ -65,3 +65,62 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(round(rate * BUCKETS)))
         ).otherwise(thr)
     return df.where(sample_bucket(F.col(key_col), salt) < thr)
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "gc0",
+    buckets: int = 16,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen deterministically —
+    the per-domain document cap every webtext pipeline applies (C4 /
+    RefinedWeb-style: no single host may dominate the corpus). The
+    kept rows are those with the smallest md5(salt, key): statistically
+    a uniform without-replacement quota, bit-identical on any
+    partitioning, engine, or re-run (same contract as
+    :func:`deterministic_sample`).
+
+    Hub-safe two-phase exact top-k (the pattern of
+    walks.hash_topk_adjacency): rows first rank inside
+    (group, hash-bucket) windows — a 10⁸-doc host sorts as ``buckets``
+    independent partitions instead of one skewed one — then the
+    ≤ buckets·k survivors per group rank globally. Both phases exact,
+    so the result equals the single global window the SQL twin runs."""
+    from pyspark.sql import Window
+
+    cols = df.columns
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    e = df.withColumn("_h", h).withColumn("_b", F.pmod(F.col("_h"), F.lit(buckets)))
+    w1 = Window.partitionBy(group_col, "_b").orderBy("_h", key_col)
+    local = e.withColumn("_rn", F.row_number().over(w1)).where(F.col("_rn") <= k)
+    w2 = Window.partitionBy(group_col).orderBy("_h", key_col)
+    return (
+        local.withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") <= k)
+        .select(*cols)
+    )
+
+
+def group_cap_sql(
+    group_expr: str,
+    key_col: str,
+    k: int,
+    salt: str = "gc0",
+    table: str = "documents",
+    out_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`group_cap` (single global window)."""
+    h = f"('0x' || substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT"
+    return (
+        f"SELECT {out_cols} FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {group_expr} "
+        f"ORDER BY {h}, {key_col}) AS _rn FROM {table}) WHERE _rn <= {k}"
+    )

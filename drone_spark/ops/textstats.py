@@ -867,3 +867,160 @@ def bigram_novelty_sql(rare_df: int = 1, doc_table: str = "documents") -> str:
         f"FROM (SELECT doc_id FROM {doc_table}) dd "
         "LEFT JOIN stats s ON s.doc_id = dd.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003, the MOSS
+# algorithm) — position-robust document fingerprint selection
+# ---------------------------------------------------------------------------
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    salt: str = "wn0",
+) -> DataFrame:
+    """Winnowing: from each sliding window of ``w`` consecutive token
+    ``k``-gram hashes, select the RIGHTMOST minimal hash → distinct
+    (doc_id, pos, fp). Guarantees any shared run of ≥ w+k−1 tokens
+    between two documents yields at least one shared fingerprint,
+    while keeping ~2/(w+1) of positions — the classic local, alignment-
+    robust alternative to full-shingle dedup (SIGMOD'03, used by MOSS).
+
+    All hashes are md5-derived (the oracle-checkable idiom shared with
+    ops/dedup.py), so selection is bit-identical across engines; pos
+    is the 1-based k-gram index in the normalized token stream. Docs
+    shorter than w+k−1 tokens emit nothing (no full window exists —
+    the paper's contract).
+
+    Plan: one posexplode per k-gram, window min over the w-row frame
+    (partitioned BY DOCUMENT, ordered by pos — state is one doc's
+    grams, never global), then a bounded ±w self-join to locate the
+    rightmost minimal position per window, and a final distinct. All
+    JVM codegen; the per-doc window parallelizes across docs, which is
+    the corpus axis."""
+    from pyspark.sql import Window
+
+    toks = F.split(norm_text(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    g = (
+        docs.where(F.size(toks) >= k + w - 1)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("gram"))), 1, 15),
+                16, 10,
+            ).cast("long").alias("h"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    wins = (
+        g.withColumn("m", F.min("h").over(frame))
+        .withColumn("n_in", F.count("h").over(frame))
+        .where(F.col("n_in") == w)  # full windows only
+        .select("doc_id", F.col("pos").alias("j"), "m")
+    )
+    sel = (
+        wins.join(g, "doc_id")
+        .where(
+            (F.col("pos") >= F.col("j"))
+            & (F.col("pos") <= F.col("j") + w - 1)
+            & (F.col("h") == F.col("m"))
+        )
+        .groupBy("doc_id", "j", "m")
+        .agg(F.max("pos").alias("pos"))
+    )
+    return (
+        sel.select("doc_id", "pos", F.col("m").alias("fp"))
+        .distinct()
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "fp")
+    )
+
+
+def winnow_fingerprints_sql(
+    k: int = 3, w: int = 4, salt: str = "wn0", doc_table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    h = f"('0x' || substr(md5('{salt}:' || gram), 1, 15))::BIGINT"
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm "
+        f"WHERE len(string_split(nt, ' ')) >= {k + w - 1}), "
+        "grams AS (SELECT doc_id, i AS pos, "
+        f"{gram} AS gram "
+        "FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks) "
+        f"WHERE i <= len(t) - {k - 1}), "
+        f"g AS (SELECT doc_id, pos, {h} AS h FROM grams), "
+        "wins AS (SELECT doc_id, pos AS j, "
+        f"MIN(h) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m, "
+        f"COUNT(h) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS n_in "
+        "FROM g), "
+        "sel AS (SELECT wi.doc_id, wi.j, wi.m, MAX(g.pos) AS pos "
+        "FROM (SELECT * FROM wins WHERE n_in = " + str(w) + ") wi "
+        "JOIN g ON g.doc_id = wi.doc_id AND g.pos BETWEEN wi.j AND wi.j + "
+        f"{w - 1} AND g.h = wi.m GROUP BY wi.doc_id, wi.j, wi.m) "
+        "SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, m AS fp FROM sel"
+    )
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence lift — integer-exact PMI surrogate over pair counts
+# ---------------------------------------------------------------------------
+def cooccurrence_lift(
+    pairs: DataFrame,
+    a_col: str = "center",
+    b_col: str = "context",
+    min_count: int = 2,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Association scoring over a co-occurrence pair corpus (skip-gram
+    pairs from walks, query-click pairs, anchor co-mentions):
+    lift_ppm = ⌊10⁶ · N·c(a,b) / (c(a)·c(b))⌋ where N is the total
+    pair count and c(·) marginal counts — exp(PMI) in exact fixed
+    point (log-PMI itself would hang cross-engine equality on ln()
+    ulps; lift is the same ranking). Returns
+    (a, b, n_ab, lift_ppm) for pairs with n_ab ≥ ``min_count``.
+
+    ``count_col``: pass the count column of a pre-aggregated pair
+    table (e.g. skipgram_pairs' ``n_pairs``); ``None`` counts raw
+    pair events.
+
+    Arithmetic runs in DECIMAL(38,0), exact to N·c_ab ≤ 10³⁸ (beyond
+    any real corpus; DuckDB's HUGEINT path is identical).
+
+    Plan: two partial-agg marginals (vocabulary-sized) + one pair agg,
+    then two joins keyed on the marginals — no shuffle wider than the
+    pair table itself; N is one scalar read."""
+    cnt = (F.count(F.lit(1)) if count_col is None
+           else F.sum(count_col))
+    pc = pairs.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(cnt.alias("n_ab"))
+    ca = pairs.groupBy(F.col(a_col).alias("a")).agg(cnt.alias("n_a"))
+    cb = pairs.groupBy(F.col(b_col).alias("b")).agg(cnt.alias("n_b"))
+    n = (pairs.count() if count_col is None
+         else pairs.agg(F.sum(count_col)).first()[0])
+    return (
+        pc.where(F.col("n_ab") >= min_count)
+        .join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr(
+                f"CAST((CAST({10**6 * n} AS DECIMAL(38,0)) * n_ab) DIV "
+                "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

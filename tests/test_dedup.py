@@ -406,3 +406,50 @@ def test_minhash_incremental_bucket_cap_counts_combined_population(spark):
         old, new, threshold=0.7, max_bucket_size=6
     )
     assert kept.count() == 9
+
+
+def test_ngram_containment_detects_quote_jaccard_misses(spark):
+    """Doc 2 embeds doc 1 verbatim inside much longer text: containment
+    a⊂b is 1.0 while Jaccard is far below any dedup threshold."""
+    from drone_spark.ops.dedup import ngram_containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper())],
+        "doc_id long, text string",
+    )
+    [r] = ngram_containment_pairs(
+        docs, threshold_ppm=900_000, max_doc_freq=None
+    ).collect()
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["cont_a_ppm"] == 1_000_000  # every shingle of 1 is in 2
+    assert r["cont_b_ppm"] < 200_000  # far below any dedup threshold
+
+
+def test_ngram_containment_matches_duckdb_twin(spark):
+    import duckdb
+
+    from drone_spark.ops.dedup import (
+        ngram_containment_pairs,
+        ngram_containment_sql,
+    )
+
+    corpus = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five"),
+        (4, "one two three four five"),
+        (5, "short"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    for cap in (None, 1):
+        got = sorted(map(tuple, ngram_containment_pairs(
+            docs, threshold_ppm=400_000, max_doc_freq=cap).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
+        want = sorted(map(tuple, con.execute(ngram_containment_sql(
+            threshold_ppm=400_000, max_doc_freq=cap)).fetchall()))
+        assert got == want, f"cap={cap}"
+        con.close()

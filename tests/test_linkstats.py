@@ -197,3 +197,52 @@ def test_cocitation_hub_cap_drops_fat_sources(spark):
     kept = [tuple(r) for r in cocitation(e, min_common=2,
                                          max_out_degree=2).collect()]
     assert kept == [(1, 2, 2, 1000000)]
+
+
+def test_louvain_sweep_singleton_start(spark, kite):
+    """Hand-computed first sweep on the kite (m=6, 2m=12, score of
+    moving v to singleton {u} = 12 − d_v·d_u, stay = 0):
+    1→{2} (6, tie with {3} → min id), 2→{1} (6), 3→{1} (6),
+    4→{5} (9 beats 3), 5→{4} (9)."""
+    from drone_spark.algorithms.linkstats import louvain_sweep
+
+    got = {r["vid"]: r["community"]
+           for r in louvain_sweep(kite).collect()}
+    assert got == {1: 2, 2: 1, 3: 1, 4: 5, 5: 4}
+
+
+def test_louvain_sweep_seeded_fixed_point(spark, kite):
+    """The natural kite partition {1,2,3}|{4,5} is modularity-locally
+    optimal: every vertex's stay score beats all moves (hand-checked:
+    v4 stay 9 vs move 0; v2 stay 6 vs 0), so the sweep is the
+    identity on it."""
+    from drone_spark.algorithms.linkstats import louvain_sweep
+
+    seed = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1)], "vid long, community long"
+    )
+    got = {r["vid"]: r["community"]
+           for r in louvain_sweep(kite, seed).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+
+
+def test_louvain_sweep_repairs_misplaced_vertex(spark):
+    """Two 4-cliques {0..3}, {10..13} bridged by (3,10), seeded with
+    vertex 12 misplaced into the left community: the sweep moves
+    EXACTLY 12 back (hand-checked: its move score 48 vs stay −39;
+    every other vertex's stay dominates) and Q strictly improves."""
+    from drone_spark.algorithms.linkstats import louvain_sweep, modularity_q
+
+    cl = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl = cl + [(a + 10, b + 10) for a, b in cl] + [(3, 10)]
+    edges = spark.createDataFrame(cl, "src long, dst long")
+    seed = spark.createDataFrame(
+        [(v, 0 if v < 10 or v == 12 else 1) for v in
+         [0, 1, 2, 3, 10, 11, 12, 13]],
+        "vid long, community long",
+    )
+    got = {r["vid"]: r["community"]
+           for r in louvain_sweep(edges, seed).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 1, 11: 1, 12: 1, 13: 1}
+    out = spark.createDataFrame(list(got.items()), "vid long, community long")
+    assert modularity_q(edges, out) > modularity_q(edges, seed)

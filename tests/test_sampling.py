@@ -114,3 +114,38 @@ def test_sampling_and_redaction_pure_codegen(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_group_cap_exact_quota_and_layout_independence(spark):
+    from drone_spark.ops.sampling import group_cap
+
+    rows = [(i, f"host{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = group_cap(df, "source", "doc_id", k=4)
+    got = kept.groupBy("source").count().collect()
+    assert {r["count"] for r in got} == {4} and len(got) == 3
+    # bit-identical on a different layout
+    a = sorted(map(tuple, kept.collect()))
+    b = sorted(map(tuple, group_cap(df.repartition(7, "doc_id"),
+                                    "source", "doc_id", k=4).collect()))
+    assert a == b
+    # groups under quota keep everything
+    small = group_cap(df.where("doc_id < 5"), "source", "doc_id", k=4)
+    assert small.count() == 5
+
+
+def test_group_cap_two_phase_equals_global_window_twin(spark):
+    import duckdb
+
+    from drone_spark.ops.sampling import group_cap, group_cap_sql
+
+    rows = [(i, f"h{i % 5}") for i in range(97)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(map(tuple, group_cap(
+        df, "source", "doc_id", k=3, buckets=4).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(group_cap_sql(
+        "source", "doc_id", k=3, out_cols="doc_id, source")).fetchall()))
+    assert got == want

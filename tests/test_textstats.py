@@ -429,3 +429,73 @@ def test_bigram_novelty_repeated_bigram_counts_df_once(spark):
     want = {r[0]: (r[1], r[2], r[3])
             for r in con.execute(bigram_novelty_sql()).fetchall()}
     assert got == want
+
+
+def test_winnow_guarantee_shared_run_shares_a_fingerprint(spark):
+    """Winnowing's coverage guarantee: two docs sharing ≥ w+k−1 = 6
+    consecutive tokens must share ≥1 fingerprint; and selection
+    density is ~2/(w+1) of positions, bounded above by 1 per window."""
+    from drone_spark.ops.textstats import winnow_fingerprints
+
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(1, f"aa bb cc {shared} dd ee"),
+         (2, f"xx {shared} yy zz qq rr")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=3, w=4).collect()
+    f1 = {r["fp"] for r in fp if r["doc_id"] == 1}
+    f2 = {r["fp"] for r in fp if r["doc_id"] == 2}
+    assert f1 & f2
+    # short doc (< k+w-1 tokens) emits nothing
+    short = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    assert winnow_fingerprints(short, k=3, w=4).count() == 0
+
+
+def test_winnow_matches_duckdb_twin_and_layout(spark):
+    import duckdb
+
+    from drone_spark.ops.textstats import (
+        winnow_fingerprints,
+        winnow_fingerprints_sql,
+    )
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+        (3, "the quick brown fox naps under the lazy dog today"),
+        (4, "tiny"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(map(tuple, winnow_fingerprints(docs, k=3, w=4).collect()))
+    assert got == sorted(map(tuple, winnow_fingerprints(
+        docs.repartition(5), k=3, w=4).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
+    want = sorted(map(tuple, con.execute(
+        winnow_fingerprints_sql(k=3, w=4)).fetchall()))
+    assert got == want
+
+
+def test_cooccurrence_lift_exact(spark):
+    """Raw events: (a,b)×4, (a,c)×2, (d,b)×2 → N=8.
+    lift(a,b) = 8·4/(6·6) = 0.888… → 888888 ppm;
+    lift(a,c) = 8·2/(6·2) = 4/3 → 1333333; lift(d,b) = 8·2/(2·6) →
+    1333333. Pre-aggregated path must agree."""
+    from drone_spark.ops.textstats import cooccurrence_lift
+
+    ev = ([("a", "b")] * 4 + [("a", "c")] * 2 + [("d", "b")] * 2)
+    raw = spark.createDataFrame(ev, "x string, y string")
+    got = {(r["a"], r["b"]): (r["n_ab"], r["lift_ppm"])
+           for r in cooccurrence_lift(raw, "x", "y", min_count=2).collect()}
+    assert got == {
+        ("a", "b"): (4, 888888),
+        ("a", "c"): (2, 1333333),
+        ("d", "b"): (2, 1333333),
+    }
+    pre = raw.groupBy("x", "y").count()
+    got2 = {(r["a"], r["b"]): (r["n_ab"], r["lift_ppm"])
+            for r in cooccurrence_lift(pre, "x", "y", min_count=2,
+                                       count_col="count").collect()}
+    assert got2 == got
