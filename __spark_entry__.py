@@ -2338,6 +2338,83 @@ def _walk_lift_sql() -> str:
     )
 
 
+FUNNEL_STAGES = ["view", "click", "signup", "purchase"]
+FUNNEL_HORIZON_S = 7 * 24 * 3600
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered first-touch funnel view→click→signup→purchase within a
+    7-day horizon (ops/events.funnel): per-stage user counts with
+    strict sequential ordering — the canonical product-analytics
+    query, implemented as one stage-filtered partial-agg per level
+    (no window over raw events, no event-table self-join)."""
+    from drone_spark.ops.events import funnel
+
+    return funnel(
+        _read(spark, sf_dir, "events"),
+        FUNNEL_STAGES,
+        horizon_s=FUNNEL_HORIZON_S,
+    )
+
+
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention (ops/events.retention): users bucketed
+    by first-seen epoch week × active-again week offset — exact
+    integer week arithmetic so both engines agree bit-for-bit."""
+    from drone_spark.ops.events import retention
+
+    return retention(_read(spark, sf_dir, "events"))
+
+
+# deterministic redirect function graph over doc ids: chains of ≤9
+# down to multiples of 10 (terminals), except each multiple of 50
+# points back up — a 10-cycle — so the query exercises terminal,
+# chained, and cyclic resolution in one table
+REDIRECTS_SQL = (
+    "redirects AS (SELECT doc_id AS src, CASE WHEN doc_id % 50 = 0 "
+    "THEN doc_id + 9 ELSE doc_id - 1 END AS dst FROM documents "
+    "WHERE doc_id % 10 <> 0 OR doc_id % 50 = 0)"
+)
+
+
+def q_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling
+    (ops/events.resolve_redirects): final target, exact hop count and
+    resolved flag for every source of a synthetic redirect function
+    graph (chains + 10-cycles over doc ids) — 16-hop chains in 4
+    state⋈state shuffles; the oracle walks hop-by-hop with a
+    recursive CTE to the identical fixpoint."""
+    from drone_spark.ops.events import resolve_redirects
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    red = docs.where(
+        (F.col("doc_id") % 10 != 0) | (F.col("doc_id") % 50 == 0)
+    ).select(
+        F.col("doc_id").alias("src"),
+        F.when(F.col("doc_id") % 50 == 0, F.col("doc_id") + 9)
+        .otherwise(F.col("doc_id") - 1).alias("dst"),
+    )
+    return resolve_redirects(red, max_hops=16)
+
+
+def _funnel_sql() -> str:
+    from drone_spark.ops.events import funnel_sql
+
+    return funnel_sql(FUNNEL_STAGES, horizon_s=FUNNEL_HORIZON_S)
+
+
+def _retention_sql() -> str:
+    from drone_spark.ops.events import retention_sql
+
+    return retention_sql()
+
+
+def _redirects_sql() -> str:
+    from drone_spark.ops.events import resolve_redirects_sql
+
+    return resolve_redirects_sql(REDIRECTS_SQL, max_hops=16)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2439,6 +2516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "winnow": q_winnow,
         "walk_lift": q_walk_lift,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "redirects": q_redirects,
     }
 
 
@@ -2860,6 +2940,9 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": _source_cap_sql(),
         "winnow": _winnow_oracle(),
         "walk_lift": _walk_lift_sql(),
+        "funnel": _funnel_sql(),
+        "retention": _retention_sql(),
+        "redirects": _redirects_sql(),
     }
     out["snapshot_diff"] = _snapshot_diff_sql()
     # backend twins share their relational variant's oracle verbatim:

@@ -1,0 +1,248 @@
+"""Behavioral analytics over the events table — funnel conversion and
+cohort retention, the two canonical product-analytics queries — plus
+redirect-chain resolution for the crawl frontier (pointer doubling).
+
+All outputs are integer/exact (counts, epoch-week buckets), so every
+query hash-matches its DuckDB oracle bit-for-bit. Pure DataFrame
+codegen — no Python on any path; one partial-agg shuffle per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    horizon_s: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered first-touch funnel: (stage_idx, stage, n_users) — how
+    many users reach stage i having cleared stages 0..i−1 IN ORDER.
+
+    A user clears stage 0 at their earliest stages[0] event, and
+    stage i at the earliest stages[i] event STRICTLY after their
+    stage-(i−1) clear (strict ordering makes the result independent
+    of any total-order tie-break between equal timestamps).
+    ``horizon_s`` additionally requires every clear to land within
+    that many seconds of the stage-0 clear — the standard "converted
+    within N days" form.
+
+    Plan shape at 100 TB: each stage is one stage-filtered partial-agg
+    groupBy(user) joined to the (|users|-row) running clear table —
+    the raw event table is scanned once per stage with the type filter
+    pushed to the scan; no window over raw events, no self-join of the
+    event table against itself. The per-level clear tables are
+    persisted so the final union of per-stage counts doesn't recompute
+    the walk."""
+    if not stages:
+        raise ValueError("funnel requires at least one stage")
+    clears = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("c"))
+        .withColumn("c0", F.col("c"))
+    )
+    levels = []
+    for i, stage in enumerate(stages):
+        if i > 0:
+            nxt = (
+                events.where(F.col(type_col) == stage)
+                .select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"))
+                .join(clears.select("u", "c", "c0"), "u")
+                .where(F.col("t") > F.col("c"))
+            )
+            if horizon_s is not None:
+                nxt = nxt.where(
+                    F.col("t") <= F.col("c0") + F.expr(f"INTERVAL {horizon_s} SECOND")
+                )
+            clears = nxt.groupBy("u", "c0").agg(F.min("t").alias("c"))
+        clears = clears.persist()
+        levels.append(
+            clears.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col("n_users").cast("long"),
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out
+
+
+def funnel_sql(
+    stages: list[str],
+    horizon_s: int | None = None,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`funnel`."""
+    ctes = [
+        (
+            "c0 AS (SELECT user_id AS u, MIN(ts) AS c, MIN(ts) AS first "
+            f"FROM {table} WHERE event_type = '{stages[0]}' GROUP BY user_id)"
+        )
+    ]
+    for i, stage in enumerate(stages[1:], start=1):
+        hz = (
+            f" AND e.ts <= p.first + INTERVAL '{horizon_s} seconds'"
+            if horizon_s is not None else ""
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.user_id AS u, MIN(e.ts) AS c, p.first "
+            f"FROM {table} e JOIN c{i-1} p ON p.u = e.user_id "
+            f"WHERE e.event_type = '{stage}' AND e.ts > p.c{hz} "
+            "GROUP BY e.user_id, p.first)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage_idx, '{s}' AS stage, "
+        f"CAST((SELECT COUNT(*) FROM c{i}) AS BIGINT) AS n_users"
+        for i, s in enumerate(stages)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects
+
+
+WEEK_S = 7 * 24 * 3600
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_offset, n_users) —
+    users whose FIRST event falls in epoch-week w (cohort) and who are
+    active again (any event) in week w+offset. offset 0 row = cohort
+    size. Epoch weeks are ⌊epoch_seconds / 604800⌋ — exact integers,
+    timezone-free, identical across engines.
+
+    Plan: one partial-agg min per user (cohort), one distinct over
+    (user, week) — both corpus-wide shuffles a 100 TB pipeline pays
+    anyway — then a user-keyed join and a tiny (weeks²) final agg."""
+    # NTZ columns cast through TIMESTAMP first (session tz is pinned
+    # to UTC in session.py, so NTZ values are read as UTC — the same
+    # convention DuckDB's epoch() applies to naive timestamps)
+    uw = events.select(
+        F.col(user_col).alias("u"),
+        F.floor(
+            F.col(ts_col).cast("timestamp").cast("long") / WEEK_S
+        ).cast("long").alias("wk"),
+    )
+    cohort = uw.groupBy("u").agg(F.min("wk").alias("cw"))
+    act = uw.distinct()
+    out = (
+        act.join(cohort, "u")
+        .select("cw", (F.col("wk") - F.col("cw")).alias("off"))
+    )
+    if max_weeks is not None:
+        out = out.where(F.col("off") <= max_weeks)
+    return out.groupBy(
+        F.col("cw").alias("cohort_week"), F.col("off").alias("week_offset")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+def retention_sql(max_weeks: int | None = None, table: str = "events") -> str:
+    """DuckDB twin of :func:`retention`."""
+    cap = f"WHERE wk - cw <= {max_weeks} " if max_weeks is not None else ""
+    return (
+        "WITH uw AS (SELECT DISTINCT user_id AS u, "
+        # FLOOR(epoch) first: DuckDB's epoch(ts) is a DOUBLE with
+        # fractional seconds, Spark's ts.cast(long) truncates — match
+        # the truncation before the week division
+        f"CAST(FLOOR(epoch(ts)) AS BIGINT) // {WEEK_S} AS wk "
+        f"FROM {table}), "
+        "cohort AS (SELECT u, MIN(wk) AS cw FROM uw GROUP BY u) "
+        "SELECT cw AS cohort_week, wk - cw AS week_offset, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users "
+        f"FROM uw JOIN cohort USING (u) {cap}"
+        "GROUP BY cw, wk - cw"
+    )
+
+
+def resolve_redirects(redirects: DataFrame, max_hops: int = 16) -> DataFrame:
+    """Redirect/rel=canonical chain resolution by pointer doubling:
+    (src, final, hops, resolved) — ``final`` is the node reached after
+    following min(chain length, ``max_hops``) redirects from ``src``;
+    ``resolved`` is true iff final has no outgoing redirect (chains
+    into cycles, or longer than the cap, report resolved = false).
+    ``max_hops`` is rounded up to the next power of two — doubling
+    follows exactly 2^k hops, so the cap is honest.
+
+    Input must be a function graph (≤1 outgoing per src); duplicate
+    srcs are collapsed to the smallest dst for determinism.
+
+    The Spark-first superstep shape: pointer doubling needs only
+    ⌈log₂ H⌉ self-joins of the (src, cur) state — 16-hop chains cost
+    4 shuffles, not 16 — and every join is state⋈state keyed on the
+    same column, so a bucketed state table co-locates them. The
+    DuckDB twin walks hop-by-hop with a recursive CTE; both reach the
+    identical fixpoint."""
+    import math
+
+    k = max(1, math.ceil(math.log2(max_hops)))
+    nxt = (
+        redirects.select("src", "dst")
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+        .persist()
+    )
+    # state: src → (cur, hops, done); done once cur has no outgoing edge
+    state = nxt.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
+    )
+    for _ in range(k):
+        jump = (
+            state.alias("s")
+            .join(
+                state.select(
+                    F.col("src").alias("cur"),
+                    F.col("cur").alias("cur2"),
+                    F.col("hops").alias("hops2"),
+                ),
+                "cur",
+                "left",
+            )
+        )
+        state = jump.select(
+            "src",
+            F.coalesce("cur2", "cur").alias("cur"),
+            (F.col("hops") + F.coalesce("hops2", F.lit(0))).alias("hops"),
+        )
+    has_out = nxt.select(F.col("src").alias("cur"), F.lit(1).alias("_o"))
+    return (
+        state.join(has_out, "cur", "left")
+        .select(
+            "src",
+            F.col("cur").alias("final"),
+            F.col("hops").cast("long").alias("hops"),
+            F.col("_o").isNull().alias("resolved"),
+        )
+    )
+
+
+def resolve_redirects_sql(redirects_cte: str, max_hops: int = 16) -> str:
+    """DuckDB twin of :func:`resolve_redirects`. ``redirects_cte`` must
+    define a CTE named ``redirects(src, dst)`` (pre-deduped or not —
+    the twin collapses duplicate srcs to min dst the same way)."""
+    import math
+
+    h = 2 ** max(1, math.ceil(math.log2(max_hops)))
+    return (
+        f"WITH RECURSIVE {redirects_cte}, "
+        "nxt AS (SELECT src, MIN(dst) AS dst FROM redirects GROUP BY src), "
+        "walk AS ("
+        "SELECT src AS u, dst AS cur, 1 AS hops FROM nxt "
+        "UNION ALL "
+        "SELECT w.u, n.dst, w.hops + 1 FROM walk w "
+        f"JOIN nxt n ON n.src = w.cur WHERE w.hops < {h}), "
+        "last AS (SELECT u, cur, hops FROM ("
+        "SELECT u, cur, hops, ROW_NUMBER() OVER (PARTITION BY u "
+        "ORDER BY hops DESC) AS rn FROM walk) WHERE rn = 1) "
+        "SELECT l.u AS src, l.cur AS final, CAST(l.hops AS BIGINT) AS hops, "
+        "n.src IS NULL AS resolved "
+        "FROM last l LEFT JOIN nxt n ON n.src = l.cur"
+    )
