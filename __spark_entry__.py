@@ -2415,6 +2415,24 @@ def _redirects_sql() -> str:
     return resolve_redirects_sql(REDIRECTS_SQL, max_hops=16)
 
 
+def q_session_paths(spark, sf_dir):
+    """Top-10 in-session event-type trigram paths
+    (streaming/windows.session_paths): click-path mining over the same
+    session boundaries as `sessionize` (microsecond gap arithmetic,
+    deterministic (ts, event_id) ordering), counted per occurrence and
+    tie-broken by path so the top-k is unique."""
+    from drone_spark.streaming.windows import session_paths
+
+    return session_paths(_read(spark, sf_dir, "events"), gap_minutes=30,
+                         n=3, k=10)
+
+
+def _session_paths_sql() -> str:
+    from drone_spark.streaming.windows import session_paths_sql
+
+    return session_paths_sql(gap_minutes=30, n=3, k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2519,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "redirects": q_redirects,
+        "session_paths": q_session_paths,
     }
 
 
@@ -2943,6 +2962,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _funnel_sql(),
         "retention": _retention_sql(),
         "redirects": _redirects_sql(),
+        "session_paths": _session_paths_sql(),
     }
     out["snapshot_diff"] = _snapshot_diff_sql()
     # backend twins share their relational variant's oracle verbatim:

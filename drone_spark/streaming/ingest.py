@@ -62,3 +62,43 @@ def edges_stream(pages: DataFrame, watermark: str = "1 day") -> DataFrame:
     return edges.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         ["src", "dst"]
     )
+
+
+def near_dup_stream(
+    docs_stream: DataFrame,
+    corpus_index: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> None:
+    """Continuous near-dup screening of a document stream against the
+    existing corpus: each micro-batch of NEW docs is LSH-paired against
+    the (static, persisted) old-corpus table via
+    :func:`drone_spark.ops.dedup.minhash_lsh_pairs_incremental` and the
+    (a, b, est_jaccard) verdicts append to ``sink_path`` — the
+    streaming shape of the daily incremental dedup batch.
+
+    foreachBatch is the right tool (not a stream-stream join): the old
+    side is a bounded, slowly-refreshed index, the signature + band
+    pipeline is a multi-stage batch plan Structured Streaming can't
+    express incrementally, and per-batch cost is proportional to the
+    BATCH (the incremental op's contract), with exactly-once sink
+    semantics from the checkpointed batch id. Runs with
+    ``availableNow`` so tests drain deterministically; a deployment
+    drops that trigger."""
+    from ..ops.dedup import minhash_lsh_pairs_incremental
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        pairs = minhash_lsh_pairs_incremental(
+            corpus_index, batch, threshold=threshold, **lsh_kwargs
+        )
+        pairs.write.mode("append").parquet(sink_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

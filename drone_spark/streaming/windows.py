@@ -181,3 +181,98 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    n: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` in-session event-type ``n``-gram paths →
+    (path, n_occurrences, rank): the click-path mining query — which
+    journeys ("view>click>purchase") actually happen, ranked by how
+    often. Session boundaries are :func:`sessionize`'s (same gap rule,
+    same microsecond arithmetic, same (ts, event_id) deterministic
+    ordering), so the two ops reconcile row-for-row.
+
+    Every occurrence counts (a session repeating a loop contributes
+    each repeat); ties rank by path string so the top-k is unique.
+
+    Scale shape: one user_id hash exchange for the session windows
+    (shared with sessionize when both run), per-session arrays bounded
+    by session length, n-grams built in-array (transform+slice — no
+    explode until the 1-row-per-gram count), and the final top-k is a
+    TakeOrderedAndProject over the (distinct paths)-sized count table,
+    never a global sort of occurrences."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (_us("ts") - _us(F.lag("ts").over(w)) > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    seqs = sess.groupBy("user_id", "sid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    grams = seqs.where(F.size("types") >= n).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("types") - n),
+                lambda i: F.array_join(F.slice("types", i + 1, n), ">"),
+            )
+        ).alias("path")
+    )
+    counts = grams.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("path", "n_occurrences", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def session_paths_sql(
+    gap_minutes: int = 30, n: int = 3, k: int = 10, table: str = "events"
+) -> str:
+    """DuckDB twin of :func:`session_paths`."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    gram = " || '>' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        "WITH flagged AS (SELECT user_id, ts, event_id, event_type, "
+        "CASE WHEN LAG(ts) OVER w IS NULL OR "
+        f"epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {gap_us} "
+        "THEN 1 ELSE 0 END AS new_sess "
+        f"FROM {table} WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), "
+        "seqs AS (SELECT user_id, sid, "
+        "ARRAY_AGG(event_type ORDER BY ts, event_id) AS t "
+        "FROM sess GROUP BY user_id, sid), "
+        f"grams AS (SELECT {gram} AS path "
+        "FROM (SELECT t, generate_subscripts(t, 1) AS i FROM seqs "
+        f"WHERE len(t) >= {n}) WHERE i <= len(t) - {n - 1}), "
+        "counts AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+        "FROM grams GROUP BY path) "
+        "SELECT path, n_occurrences, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY n_occurrences DESC, path) AS BIGINT) AS rank "
+        f"FROM counts QUALIFY rank <= {k}"
+    )

@@ -288,3 +288,87 @@ def test_sessionize_stateful_half_cent_parity(spark, tmp_path):
     assert got[key] == batch[key]
     # the decimal HALF_UP values, not the float-banker ones (380)
     assert batch[key] == 112 + 268 + 1
+
+
+def test_session_paths_hand_computed(spark):
+    """u1 session: v,c,p,v (paths v>c>p, c>p>v); a >30 min gap starts a
+    new u1 session with v,c,p again; u2 has a 2-event session (no
+    trigram). Expect v>c>p ×2 ranked first, c>p>v ×1 second."""
+    from datetime import datetime
+
+    from drone_spark.streaming.windows import session_paths
+
+    def t(mi, s=0):
+        return datetime(2024, 1, 1, 10 + mi // 60, mi % 60, s)
+
+    rows = [
+        (1, 1, t(0), "v"), (2, 1, t(1), "c"), (3, 1, t(2), "p"),
+        (4, 1, t(3), "v"),
+        (5, 1, t(60), "v"), (6, 1, t(61), "c"), (7, 1, t(62), "p"),
+        (8, 2, t(0), "v"), (9, 2, t(1), "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = [tuple(r) for r in session_paths(ev, gap_minutes=30, n=3,
+                                           k=10).collect()]
+    assert got == [("v>c>p", 2, 1), ("c>p>v", 1, 2)]
+
+
+def test_session_paths_matches_duckdb_twin(spark):
+    import duckdb
+    from datetime import datetime, timedelta
+
+    from drone_spark.streaming.windows import session_paths, session_paths_sql
+
+    base = datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        (i, i % 7, base + timedelta(minutes=(i * 13) % 300,
+                                    microseconds=i * 137),
+         types[(i * 5) % 4])
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = sorted(map(tuple, session_paths(ev, gap_minutes=30, n=3,
+                                          k=10).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, user_id BIGINT, "
+        "ts TIMESTAMP, event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        session_paths_sql(gap_minutes=30, n=3, k=10)).fetchall()))
+    assert got == want
+
+
+def test_near_dup_stream_matches_incremental_batch(spark, tmp_path):
+    """Streamed new docs vs a static corpus index produce exactly the
+    batch incremental op's pairs (exactly-once through foreachBatch)."""
+    from drone_spark.ops.dedup import minhash_lsh_pairs_incremental
+    from drone_spark.streaming.ingest import near_dup_stream
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about distributed graph engines"
+    old = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    new_rows = [(100, text_a), (101, "novel text nothing shared here at all")]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    new.coalesce(1).write.parquet(src)
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    near_dup_stream(stream, old, sink, ck, threshold=0.7)
+    got = sorted(
+        (r["a"], r["b"]) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs_incremental(old, new, threshold=0.7).collect()
+    )
+    assert got == want == [(1, 100)]
