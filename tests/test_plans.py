@@ -279,3 +279,66 @@ def test_neighbor_sample_no_python(spark, small_edges):
     plan = _plan(neighbor_sample(small_edges, seeds, fanout=(3, 2)))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_round4_new_ops_no_python(spark, small_edges):
+    """Every r4 addition stays pure JVM codegen: louvain sweep,
+    modularity, cocitation, containment, winnowing, tfidf, bigram
+    novelty, lift, group_cap, funnel, retention, redirect doubling,
+    session paths."""
+    from drone_spark.algorithms.linkstats import (
+        cocitation,
+        louvain_sweep,
+        modularity,
+    )
+    from drone_spark.ops.dedup import ngram_containment_pairs
+    from drone_spark.ops.events import funnel, resolve_redirects, retention
+    from drone_spark.ops.sampling import group_cap
+    from drone_spark.ops.textstats import (
+        bigram_novelty,
+        cooccurrence_lift,
+        tfidf_topk,
+        winnow_fingerprints,
+    )
+    from drone_spark.streaming.windows import session_paths
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    asg = small_edges.select(F.col("src").alias("vid")).distinct().select(
+        "vid", (F.col("vid") % 5).alias("community")
+    )
+    pairs = spark.createDataFrame([("a", "b")], "center string, context string")
+    plans = {
+        "louvain": louvain_sweep(small_edges, asg),
+        "modularity": modularity(small_edges, asg),
+        "cocitation": cocitation(small_edges),
+        "containment": ngram_containment_pairs(docs),
+        "winnow": winnow_fingerprints(docs),
+        "tfidf": tfidf_topk(docs),
+        "bigram_novelty": bigram_novelty(docs),
+        "lift": cooccurrence_lift(pairs, min_count=1),
+        "group_cap": group_cap(docs.select("doc_id", "source"),
+                               "source", "doc_id", k=3),
+        "funnel": funnel(ev, ["view", "click"]),
+        "retention": retention(ev),
+        "redirects": resolve_redirects(
+            small_edges.groupBy("src").agg(F.min("dst").alias("dst"))),
+        "session_paths": session_paths(ev),
+    }
+    for name, df in plans.items():
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_funnel_stage_filter_pushed_to_scan(spark):
+    """Each funnel level scans the event table with the stage predicate
+    pushed into the parquet scan (PushedFilters), so at 100 TB a stage
+    reads only its own row groups."""
+    from drone_spark.ops.events import funnel
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(funnel(ev, ["view", "click"]))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
