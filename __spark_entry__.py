@@ -2433,6 +2433,119 @@ def _session_paths_sql() -> str:
     return session_paths_sql(gap_minutes=30, n=3, k=10)
 
 
+def _host_edges_cte() -> str:
+    """CTE chain ending in ``gedges(src, dst)`` = the distinct directed
+    host graph (same derivation as q_cocitation's), the edge-set name
+    the nullmodel/labelspread twins expect. Named `gedges` because
+    SQL_BIPARTITE already owns `edges`."""
+    return (
+        f"{SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hostsq AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls), "
+        "gedges AS (SELECT DISTINCT src_host AS src, dst_host AS dst "
+        "FROM hostsq)"
+    )
+
+
+def _spark_host_edges(spark, sf_dir):
+    from drone_spark.extraction import host_graph
+
+    return host_graph(_url_edges(spark, sf_dir)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+
+
+def q_null_rewire(spark, sf_dir):
+    """Deterministic configuration-model rewiring of the host graph
+    (algorithms/nullmodel.configuration_rewire): degree-preserving null
+    edges from md5-ordered stub pairing — global stub ranks computed as
+    a 256-bucket distributed prefix-rank (the budget_sample pattern),
+    bit-identical to the single global sort the oracle runs."""
+    from drone_spark.algorithms.nullmodel import configuration_rewire
+
+    return configuration_rewire(_spark_host_edges(spark, sf_dir))
+
+
+def _null_rewire_sql() -> str:
+    from drone_spark.algorithms.nullmodel import configuration_rewire_sql
+
+    return "WITH " + configuration_rewire_sql(_host_edges_cte())
+
+
+def q_motif_significance(spark, sf_dir):
+    """Triangle-count motif significance: the host graph's triangle
+    count next to its degree-preserving null model's (one row —
+    n_real, n_null). Real web/link graphs close triangles far above
+    chance for their degree sequence; the null baseline is what makes
+    the raw count interpretable."""
+    from drone_spark.algorithms.nullmodel import configuration_rewire
+    from drone_spark.algorithms.triangles import triangle_count
+
+    hosts = _spark_host_edges(spark, sf_dir)
+    real = triangle_count(hosts).select(
+        F.col("n_triangles").alias("n_real")
+    )
+    null = triangle_count(configuration_rewire(hosts)).select(
+        F.col("n_triangles").alias("n_null")
+    )
+    return real.crossJoin(null)
+
+
+def _motif_significance_sql() -> str:
+    from drone_spark.algorithms.nullmodel import configuration_rewire_sql
+
+    tri = (
+        "SELECT COUNT(*) AS {n} FROM {t} e1 "
+        "JOIN {t} e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+        "JOIN {t} e3 ON e3.src = e1.dst AND e3.dst = e2.dst"
+    )
+    return (
+        "WITH "
+        + configuration_rewire_sql(_host_edges_cte(), final_cte="null_edges")
+        + ", canon AS (SELECT DISTINCT LEAST(src, dst) AS src, "
+        "GREATEST(src, dst) AS dst FROM gedges WHERE src <> dst), "
+        "r AS (" + tri.format(n="n_real", t="canon") + "), "
+        "nn AS (" + tri.format(n="n_null", t="null_edges") + ") "
+        "SELECT CAST(r.n_real AS BIGINT) AS n_real, "
+        "CAST(nn.n_null AS BIGINT) AS n_null FROM r CROSS JOIN nn"
+    )
+
+
+def q_label_spread(spark, sf_dir):
+    """Seeded majority label spreading on the page link graph
+    (algorithms/labelspread.label_spread): vertices ≡ 0 (mod 3) carry
+    a clamped label (vid mod 7); two synchronous rounds classify the
+    rest by labeled-neighbor majority, ties to the smaller label —
+    the semi-supervised category/spam-verdict propagation primitive."""
+    from drone_spark.algorithms.labelspread import label_spread
+
+    edges = _bipartite_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .where(F.col("vid") % 3 == 0)
+        .select("vid", (F.col("vid") % 7).cast("long").alias("label"))
+    )
+    return label_spread(edges, seeds, rounds=2)
+
+
+def _label_spread_sql() -> str:
+    from drone_spark.algorithms.labelspread import label_spread_sql
+
+    seeds = (
+        "seeds AS (SELECT vid, CAST(vid % 7 AS BIGINT) AS label FROM ("
+        "SELECT DISTINCT src AS vid FROM gedges UNION "
+        "SELECT DISTINCT dst FROM gedges) WHERE vid % 3 = 0)"
+    )
+    return "WITH " + label_spread_sql(
+        f"{SQL_BIPARTITE}, gedges AS (SELECT src, dst FROM edges)",
+        seeds,
+        rounds=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2538,6 +2651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "redirects": q_redirects,
         "session_paths": q_session_paths,
+        "null_rewire": q_null_rewire,
+        "motif_significance": q_motif_significance,
+        "label_spread": q_label_spread,
     }
 
 
@@ -2963,6 +3079,9 @@ def oracle_sql() -> dict[str, str]:
         "retention": _retention_sql(),
         "redirects": _redirects_sql(),
         "session_paths": _session_paths_sql(),
+        "null_rewire": _null_rewire_sql(),
+        "motif_significance": _motif_significance_sql(),
+        "label_spread": _label_spread_sql(),
     }
     out["snapshot_diff"] = _snapshot_diff_sql()
     # backend twins share their relational variant's oracle verbatim:
