@@ -1310,6 +1310,19 @@ def q_distance_distribution(spark, sf_dir):
     )
 
 
+def q_harmonic(spark, sf_dir):
+    """Landmark harmonic centrality (centrality.harmonic_centrality):
+    Σ ⌊10⁶/d⌋ over reaching landmarks — integer quotients so the sum
+    is reduction-order independent, unlike a float Σ1/d; shares the
+    closeness BFS and its recursive-CTE oracle."""
+    from drone_spark.algorithms.centrality import harmonic_centrality
+
+    return harmonic_centrality(
+        spark, _engine(spark), _directed_edges(spark, sf_dir),
+        n_landmarks=8, max_dist=64, run_id="harmonic_entry",
+    )
+
+
 def q_curation_verdict(spark, sf_dir):
     """C4/Gopher-style composed curation pipeline: length bounds +
     quality heuristic + repetition caps + language allow-list, emitted
@@ -2654,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_rewire": q_null_rewire,
         "motif_significance": q_motif_significance,
         "label_spread": q_label_spread,
+        "harmonic": q_harmonic,
     }
 
 
@@ -3082,6 +3096,24 @@ def oracle_sql() -> dict[str, str]:
         "null_rewire": _null_rewire_sql(),
         "motif_significance": _motif_significance_sql(),
         "label_spread": _label_spread_sql(),
+        "harmonic": (
+            # same landmark BFS as `closeness` (same DISTINCT-verts
+            # note); d=0 self rows excluded — 1/0 is defined away
+            f"WITH RECURSIVE {SQL_DIRECTED}, "
+            "verts AS (SELECT DISTINCT id FROM "
+            "(SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)), "
+            "lm AS (SELECT id FROM verts "
+            "ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8), "
+            "walk(lm, vid, d) AS ("
+            "SELECT id, id, 0 FROM lm "
+            "UNION "
+            "SELECT w.lm, e.dst, w.d + 1 FROM walk w "
+            "JOIN edges e ON e.src = w.vid WHERE w.d < 64), "
+            "dist AS (SELECT lm, vid, MIN(d) AS d FROM walk GROUP BY lm, vid) "
+            "SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_reached, "
+            "CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm "
+            "FROM dist WHERE d >= 1 GROUP BY vid"
+        ),
     }
     out["snapshot_diff"] = _snapshot_diff_sql()
     # backend twins share their relational variant's oracle verbatim:

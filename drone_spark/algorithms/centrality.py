@@ -163,3 +163,39 @@ def effective_diameter(dist_rows, pct_num: int = 9, pct_den: int = 10) -> int:
         if cum * pct_den >= pct_num * total:
             return d
     return rows[-1][0]
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_dist: int = 64,
+    run_id: str = "harmonic",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Landmark harmonic centrality per vertex: (vid, n_reached,
+    harmonic_ppm) with harmonic_ppm = Σ_lm ⌊10⁶ / d(lm, v)⌋ over the
+    landmarks that reach v in 1..max_dist hops (the d=0 self row is
+    excluded — 1/0 is the reason harmonic papers define it away).
+    Harmonic centrality (Boldi & Vigna 2014) is the closeness variant
+    that handles disconnected graphs gracefully: unreachable pairs
+    contribute 0 instead of poisoning the mean.
+
+    Exact by construction: each term is an integer quotient, so the
+    sum is order-independent and the DuckDB oracle hash-matches —
+    unlike a float Σ1/d whose value depends on reduction order.
+    Shares :func:`landmark_distances`' single multi-source BFS."""
+    run = landmark_distances(
+        spark, engine, edges, n_landmarks=n_landmarks, max_dist=max_dist,
+        run_id=run_id, num_parts=num_parts,
+    )
+    return (
+        run.state.where(F.col("dist") >= 1)
+        .groupBy("vid")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr("1000000 div dist")).cast("long")
+            .alias("harmonic_ppm"),
+        )
+    )

@@ -111,3 +111,17 @@ def test_distance_bound_respected(spark, engine):
     # from landmark 0 exactly vertices 0,1,2 are within 2 hops
     from0 = {v: d for lm, v, d in dists if lm == 0}
     assert from0 == {0: 0, 1: 1, 2: 2}
+
+
+def test_harmonic_centrality_exact_quotients(spark, engine):
+    """Path 0→1→2 with landmarks = all 3 md5-smallest vertices: v2 is
+    reached by 0 at d=2 (500000) and 1 at d=1 (1000000) → 1500000;
+    self rows excluded."""
+    from drone_spark.algorithms.centrality import harmonic_centrality
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r["vid"]: (r["n_reached"], r["harmonic_ppm"])
+           for r in harmonic_centrality(
+               spark, engine, edges, n_landmarks=3, max_dist=8,
+               run_id="harm_t").collect()}
+    assert got == {1: (1, 1_000_000), 2: (2, 1_500_000)}
