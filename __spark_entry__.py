@@ -1310,6 +1310,70 @@ def q_distance_distribution(spark, sf_dir):
     )
 
 
+def q_dedup_compact(spark, sf_dir):
+    """The dedup pipeline's final act — corpus compaction: keep each
+    near-dup cluster's canonical document (min doc_id) plus every
+    unclustered doc, with its surviving-cluster size → (doc_id,
+    n_merged). Composes minhash pairs → transitive clusters →
+    canonical filter; at 100 TB this is the write that shrinks the
+    corpus, and n_merged is the audit column (how many docs each
+    survivor absorbed)."""
+    from drone_spark.ops.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7, hash_fn="md5").select("a", "b")
+    clusters = dedup_clusters(
+        spark, _engine(spark), pairs, docs=docs, run_id="entry_compact"
+    )
+    return (
+        clusters.groupBy("canonical")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_merged"))
+        .select(F.col("canonical").alias("doc_id"), "n_merged")
+    )
+
+
+def _dedup_compact_sql() -> str:
+    from drone_spark.ops.dedup import dedup_clusters_sql, minhash_lsh_sql
+
+    return (
+        "SELECT canonical AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_merged "
+        "FROM ("
+        + dedup_clusters_sql(minhash_lsh_sql(threshold=0.7,
+                                             doc_table="documents"))
+        + ") GROUP BY canonical"
+    )
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness-preserving crawl schedule over the distinct URL
+    frontier (extraction.crawl_schedule): every host's URLs shard to
+    one worker (md5(host) mod 8) and deal into waves of 2 in md5(url)
+    order — the static no-coordination frontier table a fetch fleet
+    consumes (Mercator/Heritrix sharding rule)."""
+    from drone_spark.extraction import crawl_schedule
+
+    ue = _url_edges(spark, sf_dir)
+    frontier = (
+        ue.select(F.col("src_url").alias("url"))
+        .union(ue.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    return crawl_schedule(frontier, n_workers=8, per_wave=2)
+
+
+def _crawl_schedule_sql() -> str:
+    from drone_spark.extraction import crawl_schedule_sql
+
+    # fold the frontier CTEs into the twin's WITH chain
+    inner = crawl_schedule_sql("__URLS__", n_workers=8, per_wave=2)
+    return inner.replace(
+        "WITH u AS (__URLS__)",
+        f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "u AS (SELECT DISTINCT src_url AS url FROM urls "
+        "UNION SELECT DISTINCT dst_url FROM urls)",
+    )
+
+
 def q_harmonic(spark, sf_dir):
     """Landmark harmonic centrality (centrality.harmonic_centrality):
     Σ ⌊10⁶/d⌋ over reaching landmarks — integer quotients so the sum
@@ -2668,6 +2732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_significance": q_motif_significance,
         "label_spread": q_label_spread,
         "harmonic": q_harmonic,
+        "dedup_compact": q_dedup_compact,
+        "crawl_schedule": q_crawl_schedule,
     }
 
 
@@ -3096,6 +3162,8 @@ def oracle_sql() -> dict[str, str]:
         "null_rewire": _null_rewire_sql(),
         "motif_significance": _motif_significance_sql(),
         "label_spread": _label_spread_sql(),
+        "dedup_compact": _dedup_compact_sql(),
+        "crawl_schedule": _crawl_schedule_sql(),
         "harmonic": (
             # same landmark BFS as `closeness` (same DISTINCT-verts
             # note); d=0 self rows excluded — 1/0 is defined away

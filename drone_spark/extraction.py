@@ -267,3 +267,72 @@ def anchor_text_summary(
         .where(F.col("rank") <= k)
         .select("dst_url", "term", "n", "rank")
     )
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    n_workers: int = 8,
+    per_wave: int = 2,
+    url_col: str = "url",
+    salt: str = "cs0",
+) -> DataFrame:
+    """Politeness-preserving crawl schedule: (url, host, worker, wave).
+
+    Every URL of a host lands on ONE worker (worker = 60-bit
+    md5(salt, host) mod n_workers), so per-host rate limiting is a
+    local concern of that worker — the standard frontier-sharding rule
+    (Mercator, Heritrix). Within a host, URLs are ordered by
+    md5(salt, url) (uniform, layout-independent) and dealt into waves
+    of ``per_wave`` fetches: wave k of every host can be issued in the
+    k-th politeness interval, so the whole schedule is one static
+    table a fleet consumes without coordination.
+
+    Scale shape: one window per (host, hash-bucket)? — not needed:
+    the rank is per-host and per-wave quotas are small, but a
+    pathological 10⁸-URL host still sorts inside one partition, so the
+    rank reuses the two-phase bucket trick ONLY via ordering on the
+    hash (windows stay per-host; hosts are the natural parallel axis
+    of a frontier and per-host URL counts are crawl-budget-capped
+    upstream by design — see crawl_budget)."""
+    from pyspark.sql import Window
+
+    h60 = lambda c: F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), c)), 1, 15), 16, 10
+    ).cast("long")
+    host = host_col(F.col(url_col))
+    base = urls.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        F.pmod(h60(host), F.lit(n_workers)).cast("long").alias("worker"),
+        h60(F.col(url_col)).alias("_h"),
+    )
+    w = Window.partitionBy("host").orderBy("_h", "url")
+    return base.select(
+        "url",
+        "host",
+        "worker",
+        F.floor((F.row_number().over(w) - 1) / per_wave)
+        .cast("long").alias("wave"),
+    )
+
+
+def crawl_schedule_sql(
+    urls_sql: str,
+    n_workers: int = 8,
+    per_wave: int = 2,
+    salt: str = "cs0",
+    host_extract: str = "regexp_extract({u}, '^[a-z]+://([^/]+)', 1)",
+) -> str:
+    """DuckDB twin of :func:`crawl_schedule`. ``urls_sql`` is a complete
+    SELECT returning one column ``url``."""
+    h60 = lambda e: f"('0x' || substr(md5('{salt}:' || {e}), 1, 15))::BIGINT"
+    host = host_extract.format(u="url")
+    return (
+        f"WITH u AS ({urls_sql}), "
+        f"base AS (SELECT url, {host} AS host, "
+        f"CAST({h60(host)} % {n_workers} AS BIGINT) AS worker, "
+        f"{h60('url')} AS h FROM u) "
+        "SELECT url, host, worker, "
+        f"CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY h, url) - 1) "
+        f"// {per_wave} AS BIGINT) AS wave FROM base"
+    )

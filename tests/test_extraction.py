@@ -148,3 +148,49 @@ def test_anchors_from_pages_and_summary(spark):
     assert rows[("http://b.example/x", 2)][1] == 1
     # self-link anchors are excluded
     assert not any(d == "http://a.example/p1" for d, _ in rows)
+
+
+def test_crawl_schedule_politeness_invariants(spark):
+    """One worker per host; waves within a host are dealt in quota-2
+    packs (wave k has exactly 2 URLs until the remainder); the whole
+    schedule is layout-independent."""
+    from drone_spark.extraction import crawl_schedule
+
+    urls = [(f"http://h{i % 3}.example/p{i}",) for i in range(13)]
+    df = spark.createDataFrame(urls, "url string")
+    sched = crawl_schedule(df, n_workers=4, per_wave=2)
+    rows = sched.collect()
+    per_host_workers = {}
+    for r in rows:
+        per_host_workers.setdefault(r["host"], set()).add(r["worker"])
+    assert all(len(ws) == 1 for ws in per_host_workers.values())
+    from collections import Counter
+
+    for host in per_host_workers:
+        waves = Counter(r["wave"] for r in rows if r["host"] == host)
+        n = sum(waves.values())
+        for k in range(n // 2):
+            assert waves[k] == 2
+        if n % 2:
+            assert waves[n // 2] == 1
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, crawl_schedule(
+        df.repartition(5), n_workers=4, per_wave=2).collect()))
+    assert a == b
+
+
+def test_crawl_schedule_matches_duckdb_twin(spark):
+    import duckdb
+
+    from drone_spark.extraction import crawl_schedule, crawl_schedule_sql
+
+    urls = [(f"http://site{i % 7}.example/page/{i}",) for i in range(40)]
+    df = spark.createDataFrame(urls, "url string")
+    got = sorted(map(tuple, crawl_schedule(df, n_workers=8,
+                                           per_wave=3).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE f(url VARCHAR)")
+    con.executemany("INSERT INTO f VALUES (?)", urls)
+    want = sorted(map(tuple, con.execute(crawl_schedule_sql(
+        "SELECT url FROM f", n_workers=8, per_wave=3)).fetchall()))
+    assert got == want
