@@ -1344,6 +1344,25 @@ def _dedup_compact_sql() -> str:
     )
 
 
+def q_duplicate_verdict(spark, sf_dir):
+    """Every dedup family's vote in one auditable pair table
+    (dedup.duplicate_verdict): methods bitmask 1=exact hash,
+    2=MinHash-LSH≥0.7, 4=SimHash≤3, 8=containment≥0.8 either way —
+    act on ANY flag, audit WHICH detector fired. Exact all-shingles
+    containment so the oracle replays it; all md5 variants."""
+    from drone_spark.ops.dedup import duplicate_verdict
+
+    return duplicate_verdict(
+        _read(spark, sf_dir, "documents"), max_doc_freq=None
+    )
+
+
+def _duplicate_verdict_sql() -> str:
+    from drone_spark.ops.dedup import duplicate_verdict_sql
+
+    return duplicate_verdict_sql(max_doc_freq=None)
+
+
 def q_crawl_schedule(spark, sf_dir):
     """Politeness-preserving crawl schedule over the distinct URL
     frontier (extraction.crawl_schedule): every host's URLs shard to
@@ -2734,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "dedup_compact": q_dedup_compact,
         "crawl_schedule": q_crawl_schedule,
+        "duplicate_verdict": q_duplicate_verdict,
     }
 
 
@@ -3164,6 +3184,7 @@ def oracle_sql() -> dict[str, str]:
         "label_spread": _label_spread_sql(),
         "dedup_compact": _dedup_compact_sql(),
         "crawl_schedule": _crawl_schedule_sql(),
+        "duplicate_verdict": _duplicate_verdict_sql(),
         "harmonic": (
             # same landmark BFS as `closeness` (same DISTINCT-verts
             # note); d=0 self rows excluded — 1/0 is defined away

@@ -958,3 +958,83 @@ def ngram_containment_sql(
         f"WHERE (1000000 * i.i) // sa.sz >= {threshold_ppm} "
         f"OR (1000000 * i.i) // sb.sz >= {threshold_ppm}"
     )
+
+
+# ---------------------------------------------------------------------------
+# composed duplicate verdict — every dedup family in one auditable table
+# ---------------------------------------------------------------------------
+DUP_EXACT, DUP_MINHASH, DUP_SIMHASH, DUP_CONTAIN = 1, 2, 4, 8
+
+
+def duplicate_verdict(
+    docs: DataFrame,
+    minhash_threshold: float = 0.7,
+    simhash_max_hamming: int = 3,
+    containment_ppm: int = 800_000,
+    text_col: str = "text",
+    hash_fn: str = "md5",
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Every near-dup family's vote on one pair table → (a, b, methods)
+    with methods an additive bitmask: 1 = exact normalized-text hash,
+    2 = MinHash-LSH ≥ threshold, 4 = SimHash ≤ max_hamming,
+    8 = shingle containment ≥ ppm either direction. The
+    curation_verdict pattern applied to dedup: a pipeline acts on ANY
+    flag but audits WHICH detector fired (exact dups skip review,
+    containment-only pairs route to quote handling, etc.).
+
+    Each family emits a pair at most once, so SUM over the union is
+    the bitwise OR — one partial-agg groupBy, no join of verdicts."""
+    fps = docs.select("doc_id", F.md5(norm_text(text_col)).alias("fp"))
+    exact = (
+        fps.alias("x")
+        .join(fps.alias("y"), "fp")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.lit(DUP_EXACT).alias("bit"),
+        )
+    )
+    mh = minhash_lsh_pairs(
+        docs, threshold=minhash_threshold, text_col=text_col, hash_fn=hash_fn
+    ).select("a", "b", F.lit(DUP_MINHASH).alias("bit"))
+    sh = simhash_near_dups(
+        docs, max_hamming=simhash_max_hamming, text_col=text_col,
+        hash_fn=hash_fn,
+    ).select("a", "b", F.lit(DUP_SIMHASH).alias("bit"))
+    ct = ngram_containment_pairs(
+        docs, threshold_ppm=containment_ppm, text_col=text_col,
+        max_doc_freq=max_doc_freq,
+    ).select("a", "b", F.lit(DUP_CONTAIN).alias("bit"))
+    return (
+        exact.unionAll(mh).unionAll(sh).unionAll(ct)
+        .groupBy("a", "b")
+        .agg(F.sum("bit").cast("long").alias("methods"))
+    )
+
+
+def duplicate_verdict_sql(
+    minhash_threshold: float = 0.7,
+    simhash_max_hamming: int = 3,
+    containment_ppm: int = 800_000,
+    doc_table: str = "documents",
+    max_doc_freq: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`duplicate_verdict` (md5 variants)."""
+    exact = (
+        f"WITH n AS (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM {doc_table}) "
+        "SELECT x.doc_id AS a, y.doc_id AS b FROM n x "
+        "JOIN n y ON x.fp = y.fp AND x.doc_id < y.doc_id"
+    )
+    return (
+        f"SELECT a, b, CAST(SUM(bit) AS BIGINT) AS methods FROM ("
+        f"SELECT a, b, {DUP_EXACT} AS bit FROM ({exact}) "
+        f"UNION ALL SELECT a, b, {DUP_MINHASH} FROM "
+        f"({minhash_lsh_sql(threshold=minhash_threshold, doc_table=doc_table)}) "
+        f"UNION ALL SELECT a, b, {DUP_SIMHASH} FROM "
+        f"({simhash_pairs_sql(max_hamming=simhash_max_hamming, doc_table=doc_table)}) "
+        f"UNION ALL SELECT a, b, {DUP_CONTAIN} FROM "
+        f"({ngram_containment_sql(threshold_ppm=containment_ppm, doc_table=doc_table, max_doc_freq=max_doc_freq)})"
+        ") GROUP BY a, b"
+    )

@@ -453,3 +453,49 @@ def test_ngram_containment_matches_duckdb_twin(spark):
             threshold_ppm=400_000, max_doc_freq=cap)).fetchall()))
         assert got == want, f"cap={cap}"
         con.close()
+
+
+def test_duplicate_verdict_bitmask_composition(spark):
+    """Exact dup pair carries all of exact+minhash+simhash+containment
+    (1+2+4+8=15); a quote-containment-only pair carries exactly 8."""
+    from drone_spark.ops.dedup import duplicate_verdict
+
+    quote = "the quick brown fox jumps over the lazy dog again today"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, quote),                       # exact dup of 1
+            (3, filler + " " + quote),        # contains 1 verbatim
+            (4, "entirely unrelated content about graph engines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r["methods"]
+           for r in duplicate_verdict(docs, max_doc_freq=None).collect()}
+    assert got[(1, 2)] == 15
+    assert got.get((1, 3), 8) == 8 or got[(1, 3)] & 8  # containment fires
+    assert not any(4 in (a, b) for a, b in got)  # 4 matches nothing
+
+
+def test_duplicate_verdict_matches_duckdb_twin(spark):
+    import duckdb
+
+    from drone_spark.ops.dedup import duplicate_verdict, duplicate_verdict_sql
+
+    corpus = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon eta"),
+        (4, "one two three four five six seven eight nine"),
+        (5, "zzz " + "alpha beta gamma delta epsilon zeta" + " yyy xxx www"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(map(tuple, duplicate_verdict(
+        docs, max_doc_freq=None).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
+    want = sorted(map(tuple, con.execute(
+        duplicate_verdict_sql(max_doc_freq=None)).fetchall()))
+    assert got == want
