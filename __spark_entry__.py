@@ -1344,6 +1344,65 @@ def _dedup_compact_sql() -> str:
     )
 
 
+def q_host_communities(spark, sf_dir):
+    """Weighted community detection chain on the host graph: singleton-
+    start WEIGHTED Louvain sweep (strengths = n_links, exact integer
+    ΔQ) → weighted modularity decomposition of the resulting partition
+    (linkstats.louvain_sweep / modularity with weight_col). Output is
+    the per-community integer Q decomposition — two community ops
+    composed and hash-verified end-to-end."""
+    from drone_spark.algorithms.linkstats import louvain_sweep, modularity
+    from drone_spark.extraction import host_graph
+
+    hg = host_graph(_url_edges(spark, sf_dir)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        "n_links",
+    )
+    part = louvain_sweep(hg, weight_col="n_links")
+    return modularity(hg, part, weight_col="n_links")
+
+
+def _host_communities_sql() -> str:
+    # singleton-start weighted sweep simplifies: tot(c)=strength(c),
+    # k_v→{u} = w(v,u), stay score = 0
+    return (
+        f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hostsq AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS sh, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dh FROM urls), "
+        "hg AS (SELECT sh AS src, dh AS dst, COUNT(*) AS w0 FROM hostsq "
+        "WHERE sh <> dh GROUP BY sh, dh), "
+        "und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "SUM(w0) AS w FROM hg GROUP BY 1, 2), "
+        "symw AS (SELECT a AS src, b AS dst, w FROM und "
+        "UNION ALL SELECT b, a, w FROM und), "
+        "m AS (SELECT SUM(w) AS m FROM und), "
+        "deg AS (SELECT src AS vid, SUM(w) AS deg FROM symw GROUP BY src), "
+        "scored AS (SELECT s.src AS vid, s.dst AS c, "
+        "2 * m.m * s.w - dv.deg * du.deg AS score_fx "
+        "FROM symw s JOIN deg dv ON dv.vid = s.src "
+        "JOIN deg du ON du.vid = s.dst CROSS JOIN m), "
+        "best AS (SELECT vid, score_fx, c FROM (SELECT vid, score_fx, c, "
+        "ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score_fx DESC, c) "
+        "AS rn FROM scored) WHERE rn = 1), "
+        "asg AS (SELECT d.vid, CASE WHEN b.score_fx > 0 THEN b.c "
+        "ELSE d.vid END AS community FROM deg d "
+        "LEFT JOIN best b ON b.vid = d.vid), "
+        "ec AS (SELECT x.community, SUM(u.w) AS internal_edges FROM und u "
+        "JOIN asg x ON x.vid = u.a JOIN asg y ON y.vid = u.b "
+        "WHERE x.community = y.community GROUP BY x.community), "
+        "dc AS (SELECT a.community, SUM(d.deg) AS degree_sum FROM deg d "
+        "JOIN asg a ON a.vid = d.vid GROUP BY a.community) "
+        "SELECT dc.community, "
+        "CAST(COALESCE(ec.internal_edges, 0) AS BIGINT) AS internal_edges, "
+        "CAST(dc.degree_sum AS BIGINT) AS degree_sum, "
+        "CAST(4 * m.m * COALESCE(ec.internal_edges, 0) "
+        "- dc.degree_sum * dc.degree_sum AS BIGINT) AS q_num "
+        "FROM dc LEFT JOIN ec ON ec.community = dc.community CROSS JOIN m"
+    )
+
+
 def q_duplicate_verdict(spark, sf_dir):
     """Every dedup family's vote in one auditable pair table
     (dedup.duplicate_verdict): methods bitmask 1=exact hash,
@@ -2754,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_compact": q_dedup_compact,
         "crawl_schedule": q_crawl_schedule,
         "duplicate_verdict": q_duplicate_verdict,
+        "host_communities": q_host_communities,
     }
 
 
@@ -3185,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_compact": _dedup_compact_sql(),
         "crawl_schedule": _crawl_schedule_sql(),
         "duplicate_verdict": _duplicate_verdict_sql(),
+        "host_communities": _host_communities_sql(),
         "harmonic": (
             # same landmark BFS as `closeness` (same DISTINCT-verts
             # note); d=0 self rows excluded — 1/0 is defined away

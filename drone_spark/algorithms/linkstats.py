@@ -247,7 +247,33 @@ def snapshot_diff(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
     )
 
 
-def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+def _und_weighted(edges: DataFrame, weight_col: str | None) -> "DataFrame":
+    """Undirected weighted simple edges (a < b, w): weight_col=None
+    gives w=1 per distinct undirected edge (the unweighted case);
+    otherwise w = Σ of both directions' integer weights."""
+    if weight_col is None:
+        sym = _sym_edges(edges)
+        return sym.where(F.col("src") < F.col("dst")).distinct().select(
+            F.col("src").alias("a"), F.col("dst").alias("b"),
+            F.lit(1).cast("long").alias("w"),
+        )
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Per-community modularity decomposition of a given partition over
     the undirected simple graph: Newman-Girvan
     Q = Σ_c [e_c/m − (d_c/2m)²] where m = #undirected edges, e_c =
@@ -269,22 +295,29 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     equi-joins of the edge list against the (small, one row per
     vertex) assignment, then two partial-agg rollups keyed by
     community — community cardinality ≪ |V|, so the final agg is
-    tiny; m is one scalar read."""
-    sym = _sym_edges(edges)
-    canon = sym.where(F.col("src") < F.col("dst")).distinct()
+    tiny; m is one scalar read.
+
+    ``weight_col`` generalizes to the weighted form (host graphs carry
+    n_links): m becomes W = Σw, degrees become strengths, e_c becomes
+    internal weight — same integer decomposition, same exactness (the
+    weighted Q of Newman 2004)."""
+    und = _und_weighted(edges, weight_col)
     asg = communities.select("vid", "community")
-    m = canon.count()
+    m = und.agg(F.sum("w")).first()[0] or 0
     e_c = (
-        canon.join(asg.withColumnRenamed("vid", "src")
-                   .withColumnRenamed("community", "ca"), "src")
-        .join(asg.withColumnRenamed("vid", "dst")
-              .withColumnRenamed("community", "cb"), "dst")
+        und.join(asg.withColumnRenamed("vid", "a")
+                 .withColumnRenamed("community", "ca"), "a")
+        .join(asg.withColumnRenamed("vid", "b")
+              .withColumnRenamed("community", "cb"), "b")
         .where(F.col("ca") == F.col("cb"))
         .groupBy(F.col("ca").alias("community"))
-        .agg(F.count(F.lit(1)).alias("internal_edges"))
+        .agg(F.sum("w").alias("internal_edges"))
     )
-    deg = sym.groupBy(F.col("src").alias("vid")).agg(
-        F.count(F.lit(1)).alias("deg")
+    deg = (
+        und.select(F.col("a").alias("vid"), "w")
+        .unionAll(und.select(F.col("b").alias("vid"), "w"))
+        .groupBy("vid")
+        .agg(F.sum("w").alias("deg"))
     )
     d_c = (
         deg.join(asg, "vid")
@@ -306,14 +339,18 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
-def modularity_q(edges: DataFrame, communities: DataFrame) -> float:
+def modularity_q(
+    edges: DataFrame,
+    communities: DataFrame,
+    weight_col: str | None = None,
+) -> float:
     """Scalar Newman-Girvan Q of the partition (float convenience over
     :func:`modularity`'s exact integer decomposition)."""
-    sym = _sym_edges(edges)
-    m = sym.where(F.col("src") < F.col("dst")).distinct().count()
+    m = _und_weighted(edges, weight_col).agg(F.sum("w")).first()[0] or 0
     if m == 0:
         return 0.0
-    s = modularity(edges, communities).agg(F.sum("q_num")).first()[0]
+    s = modularity(edges, communities, weight_col).agg(
+        F.sum("q_num")).first()[0]
     return float(s) / (4.0 * m * m)
 
 
@@ -383,7 +420,9 @@ def cocitation(
 
 
 def louvain_sweep(
-    edges: DataFrame, communities: DataFrame | None = None
+    edges: DataFrame,
+    communities: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One synchronous Louvain phase-1 sweep (Blondel et al. 2008;
     the synchronous-move distributed variant of e.g. Que et al. 2015):
@@ -411,8 +450,18 @@ def louvain_sweep(
     k_v→c is one partial-agg over the edge list joined to the (1 row
     per vertex) assignment; the argmax is a max_by over each vertex's
     OWN neighbor communities — bounded by degree, never a global
-    sort. No Python, no collect (m is one scalar read)."""
-    sym = _sym_edges(edges)
+    sort. No Python, no collect (m is one scalar read).
+
+    ``weight_col`` generalizes every count to a weight sum (weighted
+    Louvain, e.g. over the host graph's n_links): degrees become
+    strengths, k_v→c the weight into c, m the total weight W — the
+    same exact integer scoring."""
+    und = _und_weighted(edges, weight_col)
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
     verts = sym.select(F.col("src").alias("vid")).distinct()
     if communities is None:
         asg = verts.select("vid", F.col("vid").alias("community"))
@@ -420,9 +469,9 @@ def louvain_sweep(
         asg = verts.join(
             communities.select("vid", "community"), "vid", "left"
         ).select("vid", F.coalesce("community", F.col("vid")).alias("community"))
-    m = sym.count() // 2
+    m = und.agg(F.sum("w")).first()[0] or 0
     deg = sym.groupBy(F.col("src").alias("vid")).agg(
-        F.count(F.lit(1)).alias("deg")
+        F.sum("w").alias("deg")
     )
     tot = (
         asg.join(deg, "vid")
@@ -437,7 +486,7 @@ def louvain_sweep(
             "dst",
         )
         .groupBy(F.col("src").alias("vid"), "c")
-        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.sum("w").alias("k"))
     )
     scored = (
         kvc.join(asg, "vid")
@@ -476,16 +525,18 @@ def louvain_sweep(
             ).alias("stay_fx"),
         )
     )
+    # tie-break = smallest community id among max-score candidates,
+    # expressed as min_by over (−score, c) so it works for ANY
+    # community type (string hosts included — negating c would not)
     best = (
         scored.where(F.col("c") != F.col("community"))
         .groupBy("vid")
         .agg(
-            F.max_by(
-                F.struct(F.col("score_fx"), F.col("c")),
-                F.struct(F.col("score_fx"), -F.col("c")),
-            ).alias("b")
+            F.max("score_fx").alias("best_fx"),
+            F.min_by(
+                F.col("c"), F.struct(-F.col("score_fx"), F.col("c"))
+            ).alias("best_c"),
         )
-        .select("vid", F.col("b.score_fx").alias("best_fx"), F.col("b.c").alias("best_c"))
     )
     return (
         stay.join(best, "vid", "left")
@@ -493,6 +544,6 @@ def louvain_sweep(
             "vid",
             F.when(
                 F.col("best_fx") > F.col("stay_fx"), F.col("best_c")
-            ).otherwise(F.col("community")).cast("long").alias("community"),
+            ).otherwise(F.col("community")).alias("community"),
         )
     )

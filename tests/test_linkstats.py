@@ -246,3 +246,34 @@ def test_louvain_sweep_repairs_misplaced_vertex(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 1, 11: 1, 12: 1, 13: 1}
     out = spark.createDataFrame(list(got.items()), "vid long, community long")
     assert modularity_q(edges, out) > modularity_q(edges, seed)
+
+
+def test_weighted_modularity_and_louvain(spark):
+    """Weighted kite: edge (2,3) carries weight 10, all others 1 —
+    W = 15. Partition {1,2,3}|{4,5}: w_0 = 1+1+10 = 12, s_0 = 2+
+    (1+1+10)+(1+10+1) = 26, q_num_0 = 4·15·12 − 26² = 44;
+    w_1 = 1, s_1 = (1+1+1)+1 = 4, q_num_1 = 60 − 16 = 44.
+    And the weighted sweep must treat the heavy edge as gravity:
+    singleton start moves 2 and 3 into each other (2m·10 = 300 ≫
+    d2·d3 = 144), symmetric swap 2↔3."""
+    from drone_spark.algorithms.linkstats import louvain_sweep, modularity
+
+    kite_w = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (2, 3, 10), (2, 4, 1), (3, 4, 1), (4, 5, 1)],
+        "src long, dst long, w long",
+    )
+    asg = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1)], "vid long, community long"
+    )
+    rows = {r["community"]: tuple(r)[1:]
+            for r in modularity(kite_w, asg, weight_col="w").collect()}
+    assert rows[0] == (12, 26, 44)
+    assert rows[1] == (1, 4, 44)
+    got = {r["vid"]: r["community"]
+           for r in louvain_sweep(kite_w, weight_col="w").collect()}
+    assert got[2] == 3 and got[3] == 2  # the heavy edge wins for both
+    # weight 1 everywhere ≡ the unweighted op (same integers)
+    kite1 = kite_w.select("src", "dst", F.lit(1).alias("one"))
+    a = sorted(map(tuple, modularity(kite1, asg, weight_col="one").collect()))
+    b = sorted(map(tuple, modularity(kite1, asg).collect()))
+    assert a == b
