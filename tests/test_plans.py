@@ -308,9 +308,17 @@ def test_round4_new_ops_no_python(spark, small_edges):
     asg = small_edges.select(F.col("src").alias("vid")).distinct().select(
         "vid", (F.col("vid") % 5).alias("community")
     )
+    from drone_spark.algorithms.labelspread import label_spread
+    from drone_spark.algorithms.nullmodel import configuration_rewire
+
     pairs = spark.createDataFrame([("a", "b")], "center string, context string")
+    seeds = asg.withColumnRenamed("community", "label")
     plans = {
         "louvain": louvain_sweep(small_edges, asg),
+        "louvain_weighted": louvain_sweep(
+            small_edges.withColumn("w", F.lit(2)), asg, weight_col="w"),
+        "config_rewire": configuration_rewire(small_edges),
+        "label_spread": label_spread(small_edges, seeds, rounds=1),
         "modularity": modularity(small_edges, asg),
         "cocitation": cocitation(small_edges),
         "containment": ngram_containment_pairs(docs),
