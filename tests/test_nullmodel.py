@@ -108,3 +108,25 @@ def test_label_spread_matches_duckdb_twin(spark):
     )
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_empty_graph_edge_cases(spark):
+    """Empty inputs return empty (never raise): rewiring, sweep,
+    modularity scalar, label spreading, funnel with an absent stage."""
+    from drone_spark.algorithms.linkstats import louvain_sweep, modularity_q
+    from drone_spark.ops.events import funnel
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert configuration_rewire(empty).count() == 0
+    assert louvain_sweep(empty).count() == 0
+    assert modularity_q(
+        empty, spark.createDataFrame([], "vid long, community long")) == 0.0
+    seeds = spark.createDataFrame([(1, 1)], "vid long, label long")
+    assert label_spread(empty, seeds, rounds=2).count() == 0
+    ev = spark.createDataFrame(
+        [(1, 1, __import__("datetime").datetime(2024, 1, 1), "view")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {r["stage"]: r["n_users"]
+           for r in funnel(ev, ["view", "nonexistent"]).collect()}
+    assert got == {"view": 1, "nonexistent": 0}
