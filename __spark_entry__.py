@@ -1403,6 +1403,40 @@ def _host_communities_sql() -> str:
     )
 
 
+def q_bib_coupling(spark, sf_dir):
+    """Bibliographic coupling between hosts (linkstats.
+    bibliographic_coupling): host pairs citing ≥2 common targets, with
+    shared count and out-neighbor Jaccard in exact ppm — co-citation's
+    transpose, the complementary related-site signal. Cap off for the
+    dense 199-host graph (same reasoning as q_cocitation)."""
+    from drone_spark.algorithms.linkstats import bibliographic_coupling
+
+    return bibliographic_coupling(
+        _spark_host_edges(spark, sf_dir), min_common=2, max_in_degree=None
+    )
+
+
+def _bib_coupling_sql() -> str:
+    # cocitation's SQL with the edge roles swapped: candidates keyed
+    # by shared TARGET, similarity over out-neighbor sets
+    return (
+        f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hostsq AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls), "
+        "e AS (SELECT DISTINCT dst_host AS src, src_host AS dst FROM hostsq "
+        "WHERE src_host <> dst_host), "
+        "ind AS (SELECT dst AS t, COUNT(*) AS ind FROM e GROUP BY dst), "
+        "pairs AS (SELECT x.dst AS a, y.dst AS b, COUNT(*) AS common "
+        "FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst "
+        "GROUP BY x.dst, y.dst HAVING COUNT(*) >= 2) "
+        "SELECT p.a, p.b, CAST(p.common AS BIGINT) AS common, "
+        "CAST((1000000 * p.common) // (ia.ind + ib.ind - p.common) AS BIGINT)"
+        " AS jaccard_ppm "
+        "FROM pairs p JOIN ind ia ON ia.t = p.a JOIN ind ib ON ib.t = p.b"
+    )
+
+
 def q_duplicate_verdict(spark, sf_dir):
     """Every dedup family's vote in one auditable pair table
     (dedup.duplicate_verdict): methods bitmask 1=exact hash,
@@ -2814,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "duplicate_verdict": q_duplicate_verdict,
         "host_communities": q_host_communities,
+        "bib_coupling": q_bib_coupling,
     }
 
 
@@ -3246,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_schedule": _crawl_schedule_sql(),
         "duplicate_verdict": _duplicate_verdict_sql(),
         "host_communities": _host_communities_sql(),
+        "bib_coupling": _bib_coupling_sql(),
         "harmonic": (
             # same landmark BFS as `closeness` (same DISTINCT-verts
             # note); d=0 self rows excluded — 1/0 is defined away

@@ -547,3 +547,23 @@ def louvain_sweep(
             ).otherwise(F.col("community")).alias("community"),
         )
     )
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_in_degree: int | None = 64,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): two SOURCES are similar
+    when they link to many of the same targets — :func:`cocitation`'s
+    exact transpose (same candidate-join plan on reversed edges), the
+    complementary related-page signal (coupling looks at what a page
+    cites; co-citation at who cites it). Returns
+    (a, b, common, jaccard_ppm) over out-neighbor sets; the hub cap
+    here bounds TARGET in-degree (a 10⁶-in-degree target creates k²
+    coupled pairs)."""
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return cocitation(rev, min_common=min_common,
+                      max_out_degree=max_in_degree)

@@ -277,3 +277,24 @@ def test_weighted_modularity_and_louvain(spark):
     a = sorted(map(tuple, modularity(kite1, asg, weight_col="one").collect()))
     b = sorted(map(tuple, modularity(kite1, asg).collect()))
     assert a == b
+
+
+def test_bibliographic_coupling_is_cocitation_transpose(spark):
+    """Sources 1,2 → {10,11}; 3 → {10,12}: coupling(1,2) shares 2
+    targets, jaccard 2/(2+2-2)=1.0; and the op equals cocitation on
+    reversed edges by construction."""
+    from drone_spark.algorithms.linkstats import (
+        bibliographic_coupling,
+        cocitation,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12)],
+        "src long, dst long",
+    )
+    got = [tuple(r) for r in bibliographic_coupling(
+        e, min_common=2, max_in_degree=None).collect()]
+    assert got == [(1, 2, 2, 1000000)]
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert got == [tuple(r) for r in cocitation(
+        rev, min_common=2, max_out_degree=None).collect()]
