@@ -1403,6 +1403,62 @@ def _host_communities_sql() -> str:
     )
 
 
+# strength threshold: just above the sf0.01 minimum (541) — the host
+# graph is near-regular, so thresholds ≥550 cascade to an EMPTY core
+# within the pinned rounds (probed: 545→198 survivors, 550→0); 545
+# keeps the peel nontrivial (a drop occurs and survivors' strengths
+# are visibly decremented) without collapsing
+SCORE_S = 545
+SCORE_ROUNDS = 6    # pinned peel rounds (the q_kcore twin convention)
+
+
+def q_score(spark, sf_dir):
+    """s-core (weighted k-core, Eidsaa & Almaas 2013) of the n_links
+    host graph at strength ≥ 600, 6 pinned peeling rounds
+    (algorithms/kcore.s_core): survivors with their induced strength.
+    Frontier-decrement peel — only the dropping frontier ever touches
+    the persisted edge table (the k_core 11×-measured discipline),
+    while the oracle recounts per round (fine at oracle scale)."""
+    from drone_spark.algorithms.kcore import s_core
+    from drone_spark.extraction import host_graph
+
+    hg = host_graph(_url_edges(spark, sf_dir)).select(
+        "src_host", "dst_host", "n_links"
+    ).withColumnRenamed("src_host", "src").withColumnRenamed(
+        "dst_host", "dst"
+    )
+    out = s_core(hg, s=SCORE_S, weight_col="n_links", rounds=SCORE_ROUNDS)
+    return out.where("in_core").select("vid", "strength")
+
+
+def _score_sql() -> str:
+    ctes = [
+        f"WITH {SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hostsq AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS sh, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dh FROM urls), "
+        "hg AS (SELECT sh AS src, dh AS dst, COUNT(*) AS w0 FROM hostsq "
+        "WHERE sh <> dh GROUP BY sh, dh), "
+        "und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "SUM(w0) AS w FROM hg GROUP BY 1, 2), "
+        "symw AS (SELECT a AS src, b AS dst, w FROM und "
+        "UNION ALL SELECT b, a, w FROM und), "
+        "s0 AS (SELECT DISTINCT src AS id FROM symw)",
+    ]
+    for i in range(1, SCORE_ROUNDS + 1):
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.src AS id FROM symw e "
+            f"JOIN s{i-1} a ON e.src = a.id "
+            f"JOIN s{i-1} b ON e.dst = b.id "
+            f"GROUP BY e.src HAVING SUM(e.w) >= {SCORE_S})"
+        )
+    return ", ".join(ctes) + (
+        f" SELECT e.src AS vid, CAST(SUM(e.w) AS BIGINT) AS strength "
+        f"FROM symw e JOIN s{SCORE_ROUNDS} a ON e.src = a.id "
+        f"JOIN s{SCORE_ROUNDS} b ON e.dst = b.id GROUP BY e.src"
+    )
+
+
 def q_bib_coupling(spark, sf_dir):
     """Bibliographic coupling between hosts (linkstats.
     bibliographic_coupling): host pairs citing ≥2 common targets, with
@@ -2849,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_verdict": q_duplicate_verdict,
         "host_communities": q_host_communities,
         "bib_coupling": q_bib_coupling,
+        "score": q_score,
     }
 
 
@@ -3282,6 +3339,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_verdict": _duplicate_verdict_sql(),
         "host_communities": _host_communities_sql(),
         "bib_coupling": _bib_coupling_sql(),
+        "score": _score_sql(),
         "harmonic": (
             # same landmark BFS as `closeness` (same DISTINCT-verts
             # note); d=0 self rows excluded — 1/0 is defined away

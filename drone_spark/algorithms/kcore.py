@@ -151,3 +151,89 @@ def k_core(
 def core_members(result: RunResult) -> DataFrame:
     """(vid, deg) rows of the converged k-core."""
     return result.state.where("active").select("vid", "deg")
+
+
+def s_core(
+    edges: DataFrame,
+    s: int,
+    weight_col: str = "w",
+    rounds: int | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Weighted k-core — the *s-core* (Eidsaa & Almaas 2013): peel
+    vertices whose STRENGTH (sum of incident undirected edge weights)
+    within the surviving subgraph is < ``s``, all at once per round, to
+    the greatest fixpoint. The weighted-graph density analysis for
+    rolled-up multigraphs (host graph n_links, co-purchase counts)
+    where raw degree undercounts heavy parallel structure.
+
+    Returns (vid, in_core, strength): every vertex of the symmetrized
+    simple graph, with its induced strength at termination (== original
+    strength minus every dropped neighbor's edge weight). ``rounds``
+    pins the round count for cross-engine twins; ``None`` runs to the
+    fixpoint.
+
+    Same frontier-decrement discipline as :func:`k_core` (module
+    docstring: measured 11× over per-round recounts): the weighted
+    symmetric edge table is hash-partitioned on src ONCE and persisted;
+    each round only the dropping frontier joins it, scattering −w to
+    survivors — a round's work is proportional to edges leaving the
+    frontier, never |E|. Integer weights, so strengths are exact."""
+    spark = edges.sparkSession
+    n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    symw = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .repartition(n_parts, "src")
+        .persist()
+    )
+    state = (
+        symw.groupBy(F.col("src").alias("vid"))
+        .agg(F.sum("w").alias("strength"))
+        .select("vid", F.lit(True).alias("active"), "strength")
+        .persist()
+    )
+    r = 0
+    while True:
+        r += 1
+        dropping = state.where(F.col("active") & (F.col("strength") < s))
+        n_drop = dropping.count()
+        if n_drop == 0 and rounds is None:
+            break
+        if n_drop > 0:
+            dec = (
+                dropping.select(F.col("vid").alias("src"))
+                .join(symw, "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum("w").alias("dec"))
+            )
+            new_state = (
+                state.join(dec, "vid", "left")
+                .select(
+                    "vid",
+                    (F.col("active") & (F.col("strength") >= s)).alias("active"),
+                    (F.col("strength") - F.coalesce("dec", F.lit(0)))
+                    .alias("strength"),
+                )
+                .persist()
+            )
+            new_state.count()  # materialize before unpersisting the parent
+            state.unpersist()
+            state = new_state
+        if rounds is not None and r >= rounds:
+            break
+    out = state.select(
+        "vid", F.col("active").alias("in_core"), F.col("strength").cast("long").alias("strength")
+    )
+    symw.unpersist()
+    return out

@@ -78,3 +78,27 @@ def test_hits_random_graphs(spark, engine, seed):
     exp = numpy_hits(edges, tol=1e-7)
     for v, (a, h) in exp.items():
         assert abs(got[v][0] - a) < 1e-5 and abs(got[v][1] - h) < 1e-5, (seed, v)
+
+
+def test_s_core_weighted_peel_hand_computed(spark):
+    """Triangle 1-2-3 with weights (1,2)=5, (1,3)=5, (2,3)=1, pendant
+    (3,4)=10. Strengths: 1:10, 2:6, 3:16, 4:10. s=8: round 1 drops 2
+    (6<8) → 1:5, 3:15, 4:10; round 2 drops 1 (5<8) → 3:11, 4:10;
+    fixpoint {3,4} with strengths 11... wait: dropping 1 removes
+    w(1,3)=5 → 3: 16−1−5=10; core {3,4} strengths 10, 10."""
+    from drone_spark.algorithms.kcore import s_core
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 5), (2, 3, 1), (3, 4, 10)],
+        "src long, dst long, w long",
+    )
+    out = {r["vid"]: (r["in_core"], r["strength"])
+           for r in s_core(e, s=8, weight_col="w").collect()}
+    assert out[2][0] is False and out[1][0] is False
+    assert out[3] == (True, 10) and out[4] == (True, 10)
+    # pinned rounds beyond the fixpoint change nothing
+    pinned = {r["vid"]: (r["in_core"], r["strength"])
+              for r in s_core(e, s=8, weight_col="w", rounds=6).collect()}
+    assert {v: pinned[v] for v in (3, 4)} == {3: (True, 10), 4: (True, 10)}
+    # s above every strength empties the core in one cascade
+    assert s_core(e, s=100, weight_col="w").where("in_core").count() == 0
