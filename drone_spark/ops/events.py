@@ -246,3 +246,82 @@ def resolve_redirects_sql(redirects_cte: str, max_hops: int = 16) -> str:
         "n.src IS NULL AS resolved "
         "FROM last l LEFT JOIN nxt n ON n.src = l.cur"
     )
+
+
+HOUR_S = 3600
+
+
+def trending(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    min_prev: int = 1,
+) -> DataFrame:
+    """Hour-over-hour trend per event type: (event_type, epoch_hour,
+    n_events, prev_n, trend_ppm) with trend_ppm = ⌊10⁶·n / prev_n⌋
+    against the immediately PRECEDING hour (gap hours yield NULL
+    prev_n/trend_ppm — a burst after silence is "new", not an ∞
+    ratio). The spike/trending-topics primitive every crawl/feed
+    pipeline runs.
+
+    Epoch hours are ⌊epoch_seconds / 3600⌋ — exact integers, timezone-
+    free (the retention convention). The lag is a window function over
+    (type, hour): at scale that's one shuffle by type — same key as
+    the count agg, so AQE coalesces them; no driver-side state.
+
+    ``min_prev`` suppresses ratios over tiny bases (prev_n < min_prev
+    → NULL trend_ppm) — a 1-event hour "trending" 50× is noise."""
+    hourly = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.floor(
+                F.col(ts_col).cast("timestamp").cast("long") / HOUR_S
+            ).cast("long").alias("epoch_hour"),
+        )
+        .groupBy("event_type", "epoch_hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("epoch_hour")
+    prev = F.when(
+        F.lag("epoch_hour").over(w) == F.col("epoch_hour") - 1,
+        F.lag("n_events").over(w),
+    )
+    return hourly.select(
+        "event_type",
+        "epoch_hour",
+        "n_events",
+        prev.cast("long").alias("prev_n"),
+        F.when(
+            prev >= min_prev, F.expr("1000000 * n_events")
+        ).alias("_num"),
+        prev.alias("_den"),
+    ).select(
+        "event_type",
+        "epoch_hour",
+        "n_events",
+        "prev_n",
+        F.expr("_num div _den").cast("long").alias("trend_ppm"),
+    )
+
+
+def trending_sql(
+    table: str = "events", min_prev: int = 1
+) -> str:
+    """DuckDB twin of :func:`trending`."""
+    return (
+        "WITH hourly AS (SELECT event_type, "
+        f"CAST(FLOOR(epoch(ts)) AS BIGINT) // {HOUR_S} AS epoch_hour, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM "
+        f"{table} GROUP BY event_type, epoch_hour), "
+        "lagged AS (SELECT event_type, epoch_hour, n_events, "
+        "CASE WHEN LAG(epoch_hour) OVER w = epoch_hour - 1 "
+        "THEN LAG(n_events) OVER w END AS prev_n FROM hourly "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY epoch_hour)) "
+        "SELECT event_type, epoch_hour, n_events, "
+        "CAST(prev_n AS BIGINT) AS prev_n, "
+        f"CAST(CASE WHEN prev_n >= {min_prev} THEN"
+        " (1000000 * n_events) // prev_n END AS BIGINT) AS trend_ppm "
+        "FROM lagged"
+    )
