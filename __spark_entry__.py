@@ -2953,6 +2953,76 @@ def _url_depth_sql() -> str:
     return url_depth_stats_sql(ids, "url")
 
 
+def q_feature_prop(spark, sf_dir):
+    """2 rounds of GNN mean-with-self aggregation of the embeddings
+    table over a deterministic expander graph on vec_ids (edges
+    i→(3i+1)%N and i→(5i+2)%N) — the GCN/GraphSAGE feature-engineering
+    primitive in exact fixed-point (algorithms/featprop.py)."""
+    from drone_spark.algorithms.featprop import feature_propagation
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ids = emb.select(F.col("vec_id").alias("i"))
+    edges = (
+        ids.select(
+            F.col("i").alias("src"), ((3 * F.col("i") + 1) % n).alias("dst")
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((5 * F.col("i") + 2) % n).alias("dst"),
+            )
+        )
+    )
+    return feature_propagation(emb, edges, rounds=2)
+
+
+def _feature_prop_sql() -> str:
+    from drone_spark.algorithms.featprop import feature_propagation_sql
+
+    cte = (
+        "n AS (SELECT COUNT(*) AS n FROM embeddings), "
+        "edges AS (SELECT vec_id AS src, (3 * vec_id + 1) % n.n AS dst"
+        " FROM embeddings, n"
+        " UNION ALL SELECT vec_id, (5 * vec_id + 2) % n.n"
+        " FROM embeddings, n)"
+    )
+    return feature_propagation_sql(cte, rounds=2)
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) of the co-purchase graph at 8 degree
+    thresholds — do hubs link to each other more than chance?
+    (linkstats.rich_club)."""
+    from drone_spark.algorithms.linkstats import rich_club
+
+    return rich_club(_copurchase_edges(spark, sf_dir))
+
+
+def _rich_club_sql() -> str:
+    from drone_spark.algorithms.linkstats import rich_club_sql
+
+    return rich_club_sql(SQL_COPURCHASE)
+
+
+def q_robustness(spark, sf_dir):
+    """Targeted-attack robustness of the host graph: giant-component
+    size after removing the top-{0,5,20} hubs by degree
+    (algorithms/robustness.attack_robustness)."""
+    from drone_spark.algorithms.robustness import attack_robustness
+
+    return attack_robustness(
+        spark, _engine(spark), _spark_host_edges(spark, sf_dir),
+        budgets=(0, 5, 20), run_id="entry_rob",
+    )
+
+
+def _robustness_sql() -> str:
+    from drone_spark.algorithms.robustness import attack_robustness_sql
+
+    return attack_robustness_sql(_host_edges_rebound_cte(), budgets=(0, 5, 20))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2989,6 +3059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path2_reach": q_path2_reach,
         "trending": q_trending,
         "url_depth": q_url_depth,
+        "feature_prop": q_feature_prop,
+        "rich_club": q_rich_club,
+        "robustness": q_robustness,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -3000,11 +3073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_correlation": q_degree_correlation,
         "closeness": q_closeness,
         "distance_distribution": q_distance_distribution,
-        "curation_verdict": q_curation_verdict,
         "edge_support": q_edge_support,
         "ktruss": q_ktruss,
         "mis": q_mis,
-        "repeated_ngrams": q_repeated_ngrams,
         "contamination": q_contamination,
         "neighbor_sample": q_neighbor_sample,
         "anf3": q_anf3,
@@ -3022,7 +3093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "session_paths": q_session_paths,
         "null_rewire": q_null_rewire,
-        "motif_significance": q_motif_significance,
         "label_spread": q_label_spread,
         "harmonic": q_harmonic,
         "host_communities": q_host_communities,
@@ -3030,6 +3100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score": q_score,
         # ================= rotation tail (beyond the driver's 50) ======
         # r4 near-variants of r04-green families, deferred to r6
+        "curation_verdict": q_curation_verdict,
+        "repeated_ngrams": q_repeated_ngrams,
+        "motif_significance": q_motif_significance,
         "cc_warm_start": q_cc_warm_start,
         "sssp_warm_start": q_sssp_warm_start,
         "minhash_dedup_incremental": q_minhash_dedup_incremental,
@@ -3560,6 +3633,9 @@ def oracle_sql() -> dict[str, str]:
     out["path2_reach"] = _path2_reach_sql()
     out["trending"] = _trending_sql()
     out["url_depth"] = _url_depth_sql()
+    out["feature_prop"] = _feature_prop_sql()
+    out["rich_club"] = _rich_club_sql()
+    out["robustness"] = _robustness_sql()
     return out
 
 

@@ -511,8 +511,12 @@ def main() -> None:
                         exec_mem=os.environ.get("SPARK_GRAFT_EXEC_MEM", "14g"),
                         steps=SCALING_STEPS,
                         num_parts=32,
+                        # min-of-3: the pair runs LAST in a long bench
+                        # (hottest, noisiest window) — r4's in-bench
+                        # min-of-2 read 0.61 where the same binary in a
+                        # dedicated min-of-3 run read 0.806
                         repeats=int(
-                            os.environ.get("SPARK_GRAFT_STANDALONE_REPEATS", "2")
+                            os.environ.get("SPARK_GRAFT_STANDALONE_REPEATS", "3")
                         ),
                     ),
                     "n_vertices": standalone_vertices,

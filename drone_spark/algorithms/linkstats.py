@@ -720,3 +720,94 @@ def path2_reach_sql(edges_cte: str, k: int = 50, max_degree: int = 256) -> str:
         " JOIN e y ON y.src = x.dst WHERE x.src <> y.dst"
         f" GROUP BY x.src, y.dst ORDER BY n_paths DESC, a, b LIMIT {k}"
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    thresholds: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128),
+) -> DataFrame:
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004) over the
+    undirected simple graph at the given degree thresholds: among the
+    n_k vertices with degree > k, φ(k) = 2·E_k / (n_k·(n_k−1)) where
+    E_k counts edges with BOTH endpoints in the club — "do hubs link
+    to each other more than chance?", the webgraph core-periphery
+    diagnostic. Result: (k, n_club, club_edges, phi_ppm) with
+    phi_ppm = ⌊10⁶·2·E_k / (n_k(n_k−1))⌋; thresholds whose club has
+    <2 members report phi_ppm 0.
+
+    Plan: one degree agg, then a broadcast of the |thresholds|-row
+    threshold table against the degree and edge tables — O(V·K + E·K)
+    with K = 8, all partial-agg; no per-threshold job, no driver loop.
+    """
+    sym = _sym_edges(edges)
+    und = sym.where(F.col("src") < F.col("dst"))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    spark = edges.sparkSession
+    ks = spark.createDataFrame([(int(k),) for k in thresholds], "k long")
+    club_n = (
+        deg.join(F.broadcast(ks), F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_club"))
+    )
+    du = deg.select(F.col("id").alias("src"), F.col("deg").alias("ds"))
+    dv = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd"))
+    club_e = (
+        und.join(du, "src")
+        .join(dv, "dst")
+        .join(
+            F.broadcast(ks),
+            (F.col("ds") > F.col("k")) & (F.col("dd") > F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("club_edges"))
+    )
+    return (
+        F.broadcast(ks).join(club_n, "k", "left")
+        .join(club_e, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_club", F.lit(0)).cast("long").alias("n_club"),
+            F.coalesce("club_edges", F.lit(0)).cast("long")
+            .alias("club_edges"),
+        )
+        .withColumn(
+            "phi_ppm",
+            F.when(
+                F.col("n_club") >= 2,
+                F.expr(
+                    "(2000000 * club_edges) div (n_club * (n_club - 1))"
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
+def rich_club_sql(
+    edges_cte: str,
+    thresholds: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128),
+) -> str:
+    """DuckDB twin of :func:`rich_club`."""
+    ks = ", ".join(f"({int(k)})" for k in thresholds)
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "und AS (SELECT src, dst FROM sym WHERE src < dst), "
+        "deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src), "
+        f"ks(k) AS (VALUES {ks}), "
+        "cn AS (SELECT k, COUNT(*) AS n_club FROM deg JOIN ks"
+        " ON deg.deg > ks.k GROUP BY k), "
+        "ce AS (SELECT k, COUNT(*) AS club_edges FROM und"
+        " JOIN deg du ON du.id = und.src"
+        " JOIN deg dv ON dv.id = und.dst"
+        " JOIN ks ON du.deg > ks.k AND dv.deg > ks.k GROUP BY k) "
+        "SELECT CAST(ks.k AS BIGINT) AS k,"
+        " CAST(COALESCE(cn.n_club, 0) AS BIGINT) AS n_club,"
+        " CAST(COALESCE(ce.club_edges, 0) AS BIGINT) AS club_edges,"
+        " CAST(CASE WHEN COALESCE(cn.n_club, 0) >= 2 THEN"
+        " (2000000 * COALESCE(ce.club_edges, 0)) //"
+        " (cn.n_club * (cn.n_club - 1)) ELSE 0 END AS BIGINT) AS phi_ppm"
+        " FROM ks LEFT JOIN cn ON cn.k = ks.k LEFT JOIN ce ON ce.k = ks.k"
+    )

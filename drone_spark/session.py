@@ -30,13 +30,20 @@ def get_spark(
     """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cores
+    # AQE is right for ad-hoc analytics (skew splitting, runtime
+    # coalescing) but re-optimizes every shuffle stage on the DRIVER —
+    # in a superstep loop whose plan shape never changes that's pure
+    # per-superstep serial cost, the term executor scaling can't touch
+    # (BASELINE.md r4: ~2.7 s/superstep fixed). SPARK_GRAFT_AQE=0 lets
+    # the fixed-shape iterative jobs opt out; default stays on.
+    aqe = "false" if os.environ.get("SPARK_GRAFT_AQE", "1") in ("0", "false") else "true"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -33,13 +33,26 @@ def main() -> None:
     backend = sys.argv[5] if len(sys.argv) > 5 else "relational"
 
     # master/executor topology comes entirely from spark-submit; only
-    # SQL-layer confs are set here, mirroring drone_spark.session
+    # SQL-layer confs are set here, mirroring drone_spark.session.
+    # AQE default mirrors session.py's SPARK_GRAFT_AQE knob: in a
+    # fixed-shape superstep loop AQE's partition coalescing can shrink
+    # a small state shuffle below the executor count — serializing the
+    # reduce stage on the multi-executor side — and its per-stage
+    # re-optimization is pure driver-serial cost. The scaling pair
+    # measures the SAME conf at both sizes either way.
+    import os
+
+    aqe = (
+        "false"
+        if os.environ.get("SPARK_GRAFT_AQE", "1") in ("0", "false")
+        else "true"
+    )
     spark = (
         SparkSession.builder.appName(f"scaling-pr-{backend}")
         .config("spark.sql.shuffle.partitions", str(num_parts))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
