@@ -3005,6 +3005,59 @@ def _rich_club_sql() -> str:
     return rich_club_sql(SQL_COPURCHASE)
 
 
+CORENESS_ROUNDS = 4
+
+
+def q_coreness4(spark, sf_dir):
+    """CORENESS_ROUNDS H-operator iterations toward every vertex's core
+    number on the co-purchase graph (kcore.coreness_h — the whole
+    k-core hierarchy in one pass, vs q_kcore's single-k membership).
+    The H-operator is order-free, so the fixed-round prefix
+    hash-matches the unrolled window-CTE twin bit-for-bit."""
+    from drone_spark.algorithms.kcore import coreness_h
+
+    return coreness_h(_copurchase_edges(spark, sf_dir), rounds=CORENESS_ROUNDS)
+
+
+def _coreness4_sql() -> str:
+    from drone_spark.algorithms.kcore import coreness_h_sql
+
+    return coreness_h_sql(SQL_COPURCHASE, rounds=CORENESS_ROUNDS)
+
+
+def q_dag_levels(spark, sf_dir):
+    """Longest-path depth of every vertex's SCC in the condensation DAG
+    of the directed link graph (scc.condensation_levels: SCC contract +
+    max-plus flood under the engine). Sources are level 0; the oracle
+    recomputes levels from the DuckDB transitive-closure SCC via a
+    deduped recursive path walk."""
+    from drone_spark.algorithms.scc import condensation_levels
+
+    return condensation_levels(
+        spark, _engine(spark), _directed_edges(spark, sf_dir),
+        run_id="dag_levels_entry",
+    )
+
+
+def _dag_levels_sql() -> str:
+    return (
+        f"WITH RECURSIVE {SQL_DIRECTED}, {SQL_SCC}, "
+        "cedges AS (SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst "
+        "FROM edges e JOIN scc s1 ON s1.vid = e.src "
+        "JOIN scc s2 ON s2.vid = e.dst WHERE s1.scc_id <> s2.scc_id), "
+        "cnodes AS (SELECT DISTINCT scc_id AS id FROM scc), "
+        "lv(n, d) AS ("
+        "SELECT id, 0 FROM cnodes "
+        "WHERE id NOT IN (SELECT dst FROM cedges) "
+        "UNION "
+        "SELECT c.dst, lv.d + 1 FROM lv JOIN cedges c ON c.src = lv.n), "
+        "lvl AS (SELECT n, MAX(d) AS level FROM lv GROUP BY n) "
+        "SELECT s.vid, s.scc_id, CAST(COALESCE(l.level, 0) AS BIGINT)"
+        " AS level "
+        "FROM scc s LEFT JOIN lvl l ON l.n = s.scc_id"
+    )
+
+
 def q_robustness(spark, sf_dir):
     """Targeted-attack robustness of the host graph: giant-component
     size after removing the top-{0,5,20} hubs by degree
@@ -3062,6 +3115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_prop": q_feature_prop,
         "rich_club": q_rich_club,
         "robustness": q_robustness,
+        "coreness4": q_coreness4,
+        "dag_levels": q_dag_levels,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -3636,6 +3691,8 @@ def oracle_sql() -> dict[str, str]:
     out["feature_prop"] = _feature_prop_sql()
     out["rich_club"] = _rich_club_sql()
     out["robustness"] = _robustness_sql()
+    out["coreness4"] = _coreness4_sql()
+    out["dag_levels"] = _dag_levels_sql()
     return out
 
 

@@ -237,3 +237,84 @@ def s_core(
     )
     symw.unpersist()
     return out
+
+
+def coreness_h(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """``rounds`` iterations of the H-operator on the undirected simple
+    graph — the distributed *coreness* (core-number) computation of Lü
+    et al. 2016 ("The H-index of a network node", Nature Physics) and
+    Montresor et al. 2013: start from c₀(v) = deg(v) and repeat
+    c_{t+1}(v) = H{c_t(u) : u ~ v}, where H of a multiset is the
+    largest k such that at least k members are ≥ k. The sequence is
+    monotonically non-increasing and its fixpoint is exactly the core
+    number of v; a fixed ``rounds`` prefix is deterministic and
+    layout-independent (H is order-free), so Spark and the DuckDB twin
+    hash-match bit-for-bit — the katz_fixed convention for iterative
+    kernels whose full fixpoint depth is data-dependent.
+
+    Unlike :func:`k_core` (membership at ONE k via peeling), this
+    yields every vertex's core number in one pass over k — the whole
+    k-core hierarchy (web spam farms live at high coreness, tendril
+    pages at 1).
+
+    Plan shape per round: one scatter join (values ⋈ sym on dst — the
+    symmetric edge table is computed once and reused, only the |V|-row
+    value table moves), then H per vertex as a partitionBy(id) window
+    ``max(least(row_number over nval desc, nval))`` — a single
+    hash-shuffle on id with no Python anywhere. The window sort is per
+    neighborhood, so skew follows max-degree; at 100 TB the same
+    H-operator folds into the cogroup-CSR backend (numpy sort per
+    partition) if a hub's neighbor list outgrows a task — same
+    escalation seam as pagerank's two backends.
+
+    Result: (vid, coreness).
+    """
+    from pyspark.sql import Window
+
+    sym = symmetrize(edges)
+    vals = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("nv").desc())
+    for _ in range(rounds):
+        nb = sym.join(
+            vals.select(F.col("id").alias("dst"), F.col("c").alias("nv")),
+            "dst",
+        ).select(F.col("src").alias("id"), "nv")
+        vals = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("id")
+            .agg(
+                F.max(F.least(F.col("rn").cast("long"), F.col("nv")))
+                .alias("c")
+            )
+        )
+    return vals.select("id", F.col("c").cast("long").alias("coreness")).withColumnRenamed("id", "vid")
+
+
+def coreness_h_sql(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`coreness_h`: unrolled window-CTE chain
+    over an ``edges(src, dst)`` CTE. BIGINT-pinned throughout (the
+    pagerank5 oracle's HUGEINT type note)."""
+    ctes = [
+        f"WITH {edges_cte}",
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst))",
+        "c0 AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM sym GROUP BY src)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"n{t} AS (SELECT s.src AS id, c.c AS nv FROM sym s"
+            f" JOIN c{t-1} c ON c.id = s.dst)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT id, CAST(MAX(LEAST(rn, nv)) AS BIGINT) AS c"
+            f" FROM (SELECT id, nv, CAST(ROW_NUMBER() OVER ("
+            f"PARTITION BY id ORDER BY nv DESC) AS BIGINT) AS rn"
+            f" FROM n{t}) GROUP BY id)"
+        )
+    return (
+        ", ".join(ctes)
+        + f" SELECT id AS vid, c AS coreness FROM c{rounds}"
+    )

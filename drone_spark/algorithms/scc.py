@@ -445,3 +445,92 @@ def bowtie(
     e.unpersist()
     rev.unpersist()
     return out
+
+
+def condensation_levels(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    run_id: str = "dag_levels",
+    max_supersteps: int = 200,
+) -> DataFrame:
+    """Topological *depth* of every vertex in the condensation DAG:
+    contract each SCC to one node (the condensation is acyclic by
+    construction), then level(c) = length of the LONGEST path from any
+    source component to c — the "how many dependency layers deep is
+    this page cluster" analysis (crawl scheduling by layer, bowtie
+    depth profiling; Broder et al. 2000 measure exactly these IN/OUT
+    tendril depths). Sources sit at level 0.
+
+    Computation: :func:`strongly_connected_components` labels, then a
+    max-plus Bellman-Ford flood on the condensed edge table under the
+    engine — level'(v) = max(level(v), max over in-edges level(u)+1),
+    a fixpoint reached in (DAG depth) supersteps. Longest-path is
+    NP-hard on general graphs but linear on DAGs, and the condensation
+    is guaranteed acyclic, so the fixpoint is exact and deterministic
+    (max-plus is order-free — hash-matches the DuckDB recursive-CTE
+    twin).
+
+    Plan shape per superstep: the |C|-row level table joins the
+    condensed edge table on its existing src hash-partitioning, one
+    partial-agg MAX by dst, one join-back — the katz/pagerank
+    superstep shape on a graph that is usually orders of magnitude
+    smaller than the input (the giant SCC is one node). Result is one
+    row per ORIGINAL vertex: (vid, scc_id, level).
+    """
+    scc = strongly_connected_components(
+        spark, engine, edges, run_id=f"{run_id}/scc",
+        max_supersteps=max_supersteps,
+    )
+    lab_s = scc.select(F.col("vid").alias("src"), F.col("scc_id").alias("csrc"))
+    lab_d = scc.select(F.col("vid").alias("dst"), F.col("scc_id").alias("cdst"))
+    cond = (
+        edges.select("src", "dst")
+        .join(lab_s, "src")
+        .join(lab_d, "dst")
+        .where(F.col("csrc") != F.col("cdst"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    cnodes = scc.select(F.col("scc_id").alias("vid")).distinct()
+
+    def init() -> DataFrame:
+        return cnodes.select(
+            "vid", F.lit(0).cast("long").alias("level"),
+            F.lit(1.0).alias("delta"),
+        )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        best = (
+            state.select(F.col("vid").alias("src"), "level")
+            .join(cond, "src")
+            .groupBy("dst")
+            .agg((F.max("level") + F.lit(1)).alias("cand"))
+        )
+        return state.join(
+            best, state["vid"] == best["dst"], "left"
+        ).select(
+            "vid",
+            F.greatest(F.col("level"), F.coalesce("cand", F.lit(0)))
+            .cast("long").alias("level"),
+            (
+                F.greatest(F.col("level"), F.coalesce("cand", F.lit(0)))
+                - F.col("level")
+            ).cast("double").alias("delta"),
+        )
+
+    res = engine.run(
+        run_id, init, step, tol=0.0, max_supersteps=max_supersteps
+    )
+    out = (
+        scc.join(
+            res.state.select(F.col("vid").alias("scc_id"), "level"),
+            "scc_id",
+        )
+        .select("vid", "scc_id", "level")
+        .persist()
+    )
+    out.count()
+    cond.unpersist()
+    return out
