@@ -3025,6 +3025,33 @@ def _coreness4_sql() -> str:
     return coreness_h_sql(SQL_COPURCHASE, rounds=CORENESS_ROUNDS)
 
 
+SIMRANK_ITERS = 2
+SIMRANK_CAP = 32
+
+
+def q_simrank2(spark, sf_dir):
+    """SIMRANK_ITERS fixed SimRank iterations (Jeh & Widom 2002) on the
+    directed link graph in scaled-int64 (algorithms/simrank.py) —
+    pairwise 'linked-from-similar-pages' similarity with the
+    safe-by-default in-degree cap. Integer truncation doubles as the
+    deterministic epsilon-prune, so both engines carry identical sparse
+    pair states."""
+    from drone_spark.algorithms.simrank import simrank_fixed
+
+    return simrank_fixed(
+        _directed_edges(spark, sf_dir),
+        iters=SIMRANK_ITERS, max_in_degree=SIMRANK_CAP,
+    )
+
+
+def _simrank2_sql() -> str:
+    from drone_spark.algorithms.simrank import simrank_fixed_sql
+
+    return simrank_fixed_sql(
+        SQL_DIRECTED, iters=SIMRANK_ITERS, max_in_degree=SIMRANK_CAP
+    )
+
+
 def q_dag_levels(spark, sf_dir):
     """Longest-path depth of every vertex's SCC in the condensation DAG
     of the directed link graph (scc.condensation_levels: SCC contract +
@@ -3117,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustness": q_robustness,
         "coreness4": q_coreness4,
         "dag_levels": q_dag_levels,
+        "simrank2": q_simrank2,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -3693,6 +3721,7 @@ def oracle_sql() -> dict[str, str]:
     out["robustness"] = _robustness_sql()
     out["coreness4"] = _coreness4_sql()
     out["dag_levels"] = _dag_levels_sql()
+    out["simrank2"] = _simrank2_sql()
     return out
 
 
