@@ -3025,6 +3025,37 @@ def _coreness4_sql() -> str:
     return coreness_h_sql(SQL_COPURCHASE, rounds=CORENESS_ROUNDS)
 
 
+def q_embeddedness(spark, sf_dir):
+    """Edge embeddedness + local-bridge flags on the co-purchase graph
+    (linkstats.edge_embeddedness: common neighbors per edge counted as
+    triangles through the degree-ordered orientation — O(#triangles)
+    rows, never the quadratic neighbor join)."""
+    from drone_spark.algorithms.linkstats import edge_embeddedness
+
+    return edge_embeddedness(_copurchase_edges(spark, sf_dir))
+
+
+def _embeddedness_sql() -> str:
+    from drone_spark.algorithms.linkstats import edge_embeddedness_sql
+
+    return edge_embeddedness_sql(SQL_COPURCHASE)
+
+
+def q_knn_degree(spark, sf_dir):
+    """Average nearest-neighbor degree knn(v) in exact ppm quotients —
+    the per-vertex disassortativity diagnostic
+    (linkstats.avg_neighbor_degree)."""
+    from drone_spark.algorithms.linkstats import avg_neighbor_degree
+
+    return avg_neighbor_degree(_copurchase_edges(spark, sf_dir))
+
+
+def _knn_degree_sql() -> str:
+    from drone_spark.algorithms.linkstats import avg_neighbor_degree_sql
+
+    return avg_neighbor_degree_sql(SQL_COPURCHASE)
+
+
 SIMRANK_ITERS = 2
 SIMRANK_CAP = 32
 
@@ -3145,6 +3176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness4": q_coreness4,
         "dag_levels": q_dag_levels,
         "simrank2": q_simrank2,
+        "embeddedness": q_embeddedness,
+        "knn_degree": q_knn_degree,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -3722,6 +3755,8 @@ def oracle_sql() -> dict[str, str]:
     out["coreness4"] = _coreness4_sql()
     out["dag_levels"] = _dag_levels_sql()
     out["simrank2"] = _simrank2_sql()
+    out["embeddedness"] = _embeddedness_sql()
+    out["knn_degree"] = _knn_degree_sql()
     return out
 
 

@@ -811,3 +811,121 @@ def rich_club_sql(
         " (cn.n_club * (cn.n_club - 1)) ELSE 0 END AS BIGINT) AS phi_ppm"
         " FROM ks LEFT JOIN cn ON cn.k = ks.k LEFT JOIN ce ON ce.k = ks.k"
     )
+
+
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """Embeddedness of every undirected edge — |N(u) ∩ N(v)|, the
+    number of common neighbors of its endpoints — plus the *local
+    bridge* flag (embeddedness 0): Granovetter's tie-strength
+    structure (Easley & Kleinberg ch. 3). On a web/link graph local
+    bridges are the cross-community links — removing one raises its
+    endpoints' distance above 2 — so this is the edge-level complement
+    of the vertex-level clustering coefficient above.
+
+    Computation: common neighbors of (u,v) = triangles THROUGH the
+    edge, counted on the degree-ordered orientation (each triangle
+    found exactly once as a wedge a<b<c, then credited to all three of
+    its edges) — the row count is O(#triangles) + O(E), never the
+    quadratic common-neighbor join. A left join back to the undirected
+    edge list keeps zero-embeddedness edges (the bridges).
+
+    Result: (src, dst, embeddedness, is_local_bridge) with src < dst.
+    """
+    sym = _sym_edges(edges)
+    und = sym.where(F.col("src") < F.col("dst"))
+    fwd = _oriented(sym)
+    a = fwd.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    b = fwd.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    # both (b,c) orders are wedge-enumerated; the closing-edge join
+    # keeps exactly one (fwd is a DAG orientation — one direction of
+    # every undirected edge exists), so each triangle lands once
+    wedges = a.join(b, F.col("a") == F.col("a2"))
+    closing = fwd.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    # credit each triangle to its three edges, canonical (lo, hi)
+    per_edge = (
+        tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
+        .unionAll(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+        .select(
+            F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("emb"))
+    )
+    return und.join(per_edge, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce("emb", F.lit(0)).cast("long").alias("embeddedness"),
+        (F.coalesce("emb", F.lit(0)) == 0).alias("is_local_bridge"),
+    )
+
+
+def edge_embeddedness_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`edge_embeddedness` (the oracle counts
+    common neighbors directly — same numbers, simpler plan at oracle
+    scale)."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "und AS (SELECT src, dst FROM sym WHERE src < dst), "
+        "cn AS (SELECT u.src, u.dst, COUNT(*) AS emb FROM und u "
+        "JOIN sym x ON x.src = u.src JOIN sym y ON y.src = u.dst "
+        "AND y.dst = x.dst GROUP BY u.src, u.dst) "
+        "SELECT u.src, u.dst, "
+        "CAST(COALESCE(cn.emb, 0) AS BIGINT) AS embeddedness, "
+        "COALESCE(cn.emb, 0) = 0 AS is_local_bridge "
+        "FROM und u LEFT JOIN cn ON cn.src = u.src AND cn.dst = u.dst"
+    )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Average nearest-neighbor degree knn(v) (Pastor-Satorras et al.
+    2001) in exact integer quotients — the per-vertex form of degree
+    assortativity (:func:`degree_correlation` is the global scalar):
+    knn_ppm(v) = ⌊10⁶ · Σ_{u~v} deg(u) / deg(v)⌋ on the undirected
+    simple graph. Hub-avoiding webgraphs (disassortative) show knn
+    falling with deg — the classic k vs knn(k) diagnostic.
+
+    One degree agg + one scatter join + one partial-agg sum — the
+    pagerank superstep shape, run once. Result: (vid, deg, knn_ppm).
+    """
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nsum = (
+        sym.join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("nd")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("nd").alias("s"))
+    )
+    return (
+        deg.join(nsum, "id")
+        .select(
+            F.col("id").alias("vid"),
+            F.col("deg").cast("long").alias("deg"),
+            F.expr("(1000000 * s) div deg").cast("long").alias("knn_ppm"),
+        )
+    )
+
+
+def avg_neighbor_degree_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`avg_neighbor_degree`."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM sym GROUP BY src), "
+        "nsum AS (SELECT s.src AS id, CAST(SUM(d.deg) AS BIGINT) AS s"
+        " FROM sym s JOIN deg d ON d.id = s.dst GROUP BY s.src) "
+        "SELECT deg.id AS vid, deg.deg, "
+        "CAST((1000000 * nsum.s) // deg.deg AS BIGINT) AS knn_ppm "
+        "FROM deg JOIN nsum ON nsum.id = deg.id"
+    )
