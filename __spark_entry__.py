@@ -297,6 +297,27 @@ def q_connected_components(spark, sf_dir):
     return res.state.select("vid", "label")
 
 
+def q_component_sizes(spark, sf_dir):
+    """Connected-component size distribution — (component size,
+    number of components of that size), the giant-component /
+    fragmentation profile every web-crawl health check reads first
+    (Broder et al. 2000 report exactly this table). Two partial-agg
+    group-bys on top of the engine's CC fixpoint; the oracle stacks
+    the same two GROUP BYs on the recursive min-label walk."""
+    from drone_spark.algorithms.cc import connected_components
+
+    res = connected_components(
+        spark, _engine(spark), _copurchase_edges(spark, sf_dir),
+        run_id="entry_csize", backend="relational",
+    )
+    return (
+        res.state.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").cast("long").alias("component_size"))
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
 def q_connected_components_subgraph(spark, sf_dir):
     """Same fixpoint through the subgraph-centric backend: vertex-cut
     partitioning + the vectorized numpy scatter-min kernel with the
@@ -3056,6 +3077,50 @@ def _knn_degree_sql() -> str:
     return avg_neighbor_degree_sql(SQL_COPURCHASE)
 
 
+STRESS_SOURCES = 16
+STRESS_DEPTH = 8
+
+
+def q_stress(spark, sf_dir):
+    """Sampled-source stress centrality (Shimbel 1953 — the
+    integer-exact betweenness family member) on the directed link
+    graph: STRESS_SOURCES md5-uniform sources, two level-synchronous
+    sweeps to depth STRESS_DEPTH (centrality.stress_centrality)."""
+    from drone_spark.algorithms.centrality import stress_centrality
+
+    return stress_centrality(
+        _directed_edges(spark, sf_dir),
+        n_sources=STRESS_SOURCES, max_depth=STRESS_DEPTH,
+    )
+
+
+def _stress_sql() -> str:
+    from drone_spark.algorithms.centrality import stress_centrality_sql
+
+    return stress_centrality_sql(
+        SQL_DIRECTED, n_sources=STRESS_SOURCES, max_depth=STRESS_DEPTH
+    )
+
+
+def q_bipartite(spark, sf_dir):
+    """Per-component bipartiteness (odd-cycle-freeness) of the link
+    graph via ONE CC engine run on the bipartite double cover
+    (cc.bipartite_check — component label recovered for free as
+    min(l0,l1) div 2)."""
+    from drone_spark.algorithms.cc import bipartite_check
+
+    return bipartite_check(
+        spark, _engine(spark), _directed_edges(spark, sf_dir),
+        run_id="bipartite_entry",
+    )
+
+
+def _bipartite_sql() -> str:
+    from drone_spark.algorithms.cc import bipartite_check_sql
+
+    return bipartite_check_sql(SQL_DIRECTED)
+
+
 SIMRANK_ITERS = 2
 SIMRANK_CAP = 32
 
@@ -3178,6 +3243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank2": q_simrank2,
         "embeddedness": q_embeddedness,
         "knn_degree": q_knn_degree,
+        "component_sizes": q_component_sizes,
+        "stress": q_stress,
+        "bipartite": q_bipartite,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -3757,6 +3825,20 @@ def oracle_sql() -> dict[str, str]:
     out["simrank2"] = _simrank2_sql()
     out["embeddedness"] = _embeddedness_sql()
     out["knn_degree"] = _knn_degree_sql()
+    out["stress"] = _stress_sql()
+    out["bipartite"] = _bipartite_sql()
+    out["component_sizes"] = (
+        f"WITH RECURSIVE {SQL_COPURCHASE}, {SQL_SYM}, "
+        "walk(id, lab) AS ("
+        " SELECT id, id FROM v"
+        " UNION"
+        " SELECT s.dst, w.lab FROM walk w JOIN sym s ON s.src = w.id"
+        " WHERE w.lab < s.dst), "
+        "cc AS (SELECT id AS vid, MIN(lab) AS label FROM walk GROUP BY id), "
+        "szs AS (SELECT label, COUNT(*) AS sz FROM cc GROUP BY label) "
+        "SELECT CAST(sz AS BIGINT) AS component_size, "
+        "CAST(COUNT(*) AS BIGINT) AS n_components FROM szs GROUP BY sz"
+    )
     return out
 
 

@@ -394,3 +394,98 @@ def label_propagation(
         spark, engine, edges, label_expr or (lambda c: F.xxhash64(c)),
         run_id, backend, max_supersteps, resume, **kw,
     )
+
+
+def bipartite_check(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    run_id: str = "bipartite",
+    backend: str = "relational",
+    max_supersteps: int = 100,
+) -> DataFrame:
+    """Per-component bipartiteness via the **bipartite double cover**:
+    lift every vertex v to (v,0)/(v,1) — encoded 2v and 2v+1 — and
+    every undirected edge u~v to the two cross-parity cover edges
+    (u,0)~(v,1) and (u,1)~(v,0). A classical fact (see e.g. Godsil &
+    Royle, *Algebraic Graph Theory* §6.4): a connected component is
+    bipartite iff its double cover splits into TWO components — any
+    odd cycle walks the cover from (v,0) back to (v,1) and fuses the
+    halves. So ONE run of the engine's existing CC fixpoint on the
+    cover graph answers odd-cycle-freeness for every component at
+    once; no new iteration machinery, the same min-label superstep
+    discipline (and the same cost shape: 2|E| cover edges, labels
+    converge in the same number of supersteps as plain CC ± 1).
+
+    Web use: link graphs that should be bipartite by construction
+    (page↔asset, query↔click, order↔part) get a structural integrity
+    check; a non-bipartite component pinpoints odd-cycle
+    contamination.
+
+    Per vertex v, with cover labels l0 = label(2v), l1 = label(2v+1):
+    component(v) = min(l0, l1) div 2 (the component's min vid — the
+    plain CC label, recovered for free), and the component is
+    bipartite iff l0 ≠ l1 for every member. Result: one row per
+    component, (component, n_vertices, is_bipartite).
+    """
+    sym = _sym_edges(edges)
+    cover = sym.select(
+        (F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst")
+    )
+    # sym already holds both directions, so one cross-parity lift per
+    # directed row covers both (u,0)~(v,1) and (u,1)~(v,0).
+    res = connected_components(
+        spark, engine, cover, run_id=run_id, backend=backend,
+        max_supersteps=max_supersteps,
+    )
+    lab = res.state.select("vid", "label")
+    # integer div, not float `/`: 64-bit hashed ids exceed float64's
+    # 2^53 exact range (the 2v encoding itself asks ids < 2^62)
+    l0 = lab.where(F.col("vid") % 2 == 0).select(
+        F.expr("vid div 2").alias("v"), F.col("label").alias("l0")
+    )
+    l1 = lab.where(F.col("vid") % 2 == 1).select(
+        F.expr("(vid - 1) div 2").alias("v"), F.col("label").alias("l1")
+    )
+    return (
+        l0.join(l1, "v")
+        .select(
+            "v",
+            F.expr("least(l0, l1) div 2").alias("component"),
+            (F.col("l0") != F.col("l1")).alias("two_sided"),
+        )
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min(F.col("two_sided").cast("int")).cast("boolean")
+            .alias("is_bipartite"),
+        )
+    )
+
+
+def bipartite_check_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`bipartite_check` — the recursive min-label
+    walk (the connected_components oracle) run on the double cover."""
+    return (
+        f"WITH RECURSIVE {edges_cte}, "
+        "symb AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "cov AS (SELECT 2 * src AS src, 2 * dst + 1 AS dst FROM symb), "
+        "csym AS (SELECT src, dst FROM cov"
+        " UNION SELECT dst, src FROM cov), "
+        "cv AS (SELECT DISTINCT src AS id FROM csym), "
+        "walk(id, lab) AS ("
+        " SELECT id, id FROM cv"
+        " UNION"
+        " SELECT s.dst, w.lab FROM walk w JOIN csym s ON s.src = w.id"
+        " WHERE w.lab < s.dst), "
+        "clab AS (SELECT id, MIN(lab) AS lab FROM walk GROUP BY id), "
+        "pairs AS (SELECT e.id // 2 AS v, e.lab AS l0, o.lab AS l1"
+        " FROM clab e JOIN clab o ON o.id = e.id + 1"
+        " WHERE e.id % 2 = 0) "
+        "SELECT LEAST(l0, l1) // 2 AS component,"
+        " CAST(COUNT(*) AS BIGINT) AS n_vertices,"
+        " CAST(MIN(CASE WHEN l0 <> l1 THEN 1 ELSE 0 END) AS BOOLEAN)"
+        " AS is_bipartite "
+        "FROM pairs GROUP BY 1"
+    )

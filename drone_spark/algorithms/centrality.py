@@ -293,3 +293,188 @@ def katz_fixed_sql(
         ", ".join(ctes)
         + f" SELECT id AS vid, CAST(katz AS BIGINT) AS katz_fx FROM k{iters}"
     )
+
+
+def stress_centrality(
+    edges: DataFrame,
+    n_sources: int = 4,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Sampled-source *stress centrality* (Shimbel 1953) — the
+    integer-exact member of the betweenness family: stress(v) =
+    Σ_{s,t} σ_st(v), the number of shortest paths passing THROUGH v,
+    restricted to ``n_sources`` deterministic sources and paths of
+    ≤ ``max_depth`` hops. Brandes-style betweenness needs σ-ratio
+    *divisions* (floats — summation-order hazards this repo bans from
+    oracle-checked kernels); stress is the same two-sweep dependency
+    accumulation with every quantity a path COUNT, so Spark and the
+    unrolled DuckDB twin hash-match bit-for-bit.
+
+    Sources: the ``n_sources`` vertices minimizing md5(id) — the
+    repo's standard deterministic-uniform sample (same device as
+    ops/sampling.sample_bucket; id-order sampling would bias toward
+    old/low-id pages).
+
+    Two sweeps per source, both level-synchronous on the directed
+    graph (Brandes 2001's structure):
+
+    1. forward BFS to ``max_depth``: visited(s, v, level, σ_sv) where
+       σ is the shortest-path count — frontier ⋈ edges, partial-agg
+       SUM(σ) by (s, dst), anti-join against visited. All sources
+       advance in the SAME per-level job (state is keyed by s), so the
+       sweep costs max_depth jobs total, not per source.
+    2. backward path-count accumulation on the implied BFS DAG
+       (edges u→w with level(w) = level(u)+1): N(v) = Σ_{w∈succ}
+       (1 + N(w)) — the number of shortest paths STARTING at v, an
+       integer recurrence evaluated from the deepest level up.
+
+    stress(v) = Σ_s σ_sv · N_s(v) over non-source rows — σ_sv paths
+    arrive, each extends along N_s(v) downstream continuations, and
+    every (s,t)-shortest-path-through-v is counted exactly once.
+    Result: (vid, stress) for vertices with stress > 0.
+
+    At-scale shape: per level one edge join against the |frontier|-row
+    state (the SSSP frontier discipline) and one partial agg; the
+    backward sweep touches each DAG edge once per level band. σ and N
+    are path counts — int64 headroom is the caller's contract for
+    depth × branching (katz_fixed's convention).
+    """
+    from ..graph.builder import vertices
+
+    spark = edges.sparkSession
+    srcs = (
+        vertices(edges)
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_sources)
+        .select(F.col("id").alias("s"))
+    )
+    # localCheckpoint per level (the engine's own superstep discipline,
+    # superstep.py:386): the union/anti-join lineage otherwise grows
+    # with depth and Catalyst re-analysis dominates past ~5 levels
+    frontier = srcs.select(
+        "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [frontier]  # levels[l]: (s, v, sigma) at depth l
+    visited = frontier.select("s", "v").localCheckpoint(eager=True)
+    for _ in range(max_depth):
+        nxt = (
+            levels[-1]
+            .join(edges, F.col("v") == F.col("src"))
+            .groupBy("s", F.col("dst").alias("nv"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("nv", "v")
+            .join(visited, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionAll(nxt.select("s", "v")).localCheckpoint(
+            eager=True
+        )
+
+    # BFS-DAG edges between consecutive levels, computed per band so
+    # each band's backward pass joins only its own rows.
+    n_next = levels[-1].select(
+        "s", "v", F.lit(0).cast("long").alias("n")
+    )
+    acc = None  # (s, v, sigma*n) contributions, non-source levels only
+    for lu in range(len(levels) - 2, -1, -1):
+        nxt_ren = n_next.select(
+            F.col("s").alias("s2"),
+            F.col("v").alias("w"),
+            F.col("n").alias("nw"),
+        )
+        band = (
+            levels[lu]
+            .select("s", F.col("v").alias("u"))
+            .join(edges, F.col("u") == F.col("src"))
+            .join(
+                nxt_ren,
+                (F.col("dst") == F.col("w")) & (F.col("s") == F.col("s2")),
+            )
+            .groupBy("s", "u")
+            .agg(F.sum(F.lit(1) + F.col("nw")).alias("n"))
+        )
+        n_cur = (
+            levels[lu]
+            .select("s", "v")
+            .join(
+                band.select("s", F.col("u").alias("v"), "n"),
+                ["s", "v"],
+                "left",
+            )
+            .select("s", "v", F.coalesce("n", F.lit(0)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if lu > 0:
+            contrib = (
+                levels[lu]
+                .join(n_cur, ["s", "v"])
+                .select("s", "v", (F.col("sigma") * F.col("n")).alias("c"))
+            )
+            acc = contrib if acc is None else acc.unionAll(contrib)
+        n_next = n_cur
+    if acc is None:
+        return spark.createDataFrame([], "vid long, stress long")
+    return (
+        acc.groupBy(F.col("v").alias("vid"))
+        .agg(F.sum("c").cast("long").alias("stress"))
+        .where(F.col("stress") > 0)
+    )
+
+
+def stress_centrality_sql(
+    edges_cte: str,
+    n_sources: int = 4,
+    max_depth: int = 8,
+) -> str:
+    """DuckDB twin of :func:`stress_centrality` — unrolled level CTEs
+    both directions, BIGINT-pinned."""
+    d = max_depth
+    ctes = [
+        f"WITH {edges_cte}",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst FROM edges))",
+        f"srcs AS (SELECT id AS s FROM verts"
+        f" ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_sources})",
+        "b0 AS (SELECT s, s AS v, 1::BIGINT AS sigma FROM srcs)",
+        "vis0 AS (SELECT s, v FROM b0)",
+    ]
+    # MATERIALIZED throughout: b{l}/vis{l} are each referenced twice
+    # downstream, so DuckDB's default CTE inlining would re-expand the
+    # chain 2^depth times (the kcore oracle's same footgun)
+    for l in range(1, d + 1):
+        ctes.append(
+            f"b{l} AS MATERIALIZED (SELECT f.s, f.v, f.sigma FROM ("
+            f"SELECT b.s, e.dst AS v, CAST(SUM(b.sigma) AS BIGINT)"
+            f" AS sigma FROM b{l-1} b JOIN edges e ON e.src = b.v"
+            f" GROUP BY b.s, e.dst) f LEFT JOIN vis{l-1} x"
+            f" ON x.s = f.s AND x.v = f.v WHERE x.v IS NULL)"
+        )
+        ctes.append(
+            f"vis{l} AS MATERIALIZED (SELECT s, v FROM vis{l-1}"
+            f" UNION ALL SELECT s, v FROM b{l})"
+        )
+    ctes.append(f"n{d} AS (SELECT s, v, 0::BIGINT AS n FROM b{d})")
+    contribs = []
+    for lu in range(d - 1, -1, -1):
+        ctes.append(
+            f"n{lu} AS MATERIALIZED (SELECT b.s, b.v,"
+            f" CAST(COALESCE(g.n, 0) AS BIGINT) AS n FROM b{lu} b"
+            f" LEFT JOIN (SELECT u.s, u.v, SUM(1 + nn.n) AS n"
+            f" FROM b{lu} u JOIN edges e ON e.src = u.v"
+            f" JOIN n{lu+1} nn ON nn.s = u.s AND nn.v = e.dst"
+            f" GROUP BY u.s, u.v) g ON g.s = b.s AND g.v = b.v)"
+        )
+        if lu > 0:
+            contribs.append(
+                f"SELECT b.s, b.v, b.sigma * n.n AS c FROM b{lu} b"
+                f" JOIN n{lu} n ON n.s = b.s AND n.v = b.v"
+            )
+    union = " UNION ALL ".join(contribs)
+    return (
+        ", ".join(ctes)
+        + f" SELECT v AS vid, CAST(SUM(c) AS BIGINT) AS stress"
+        f" FROM ({union}) GROUP BY v HAVING SUM(c) > 0"
+    )
