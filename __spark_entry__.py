@@ -3102,6 +3102,60 @@ def _stress_sql() -> str:
     )
 
 
+SSSP_W_CAP = 64  # report weighted distances < this bound
+
+
+def q_sssp_weighted(spark, sf_dir):
+    """Distance-bounded WEIGHTED SSSP on the directed link graph —
+    integer weights (src+dst) mod 3 + 1, source = the max-out-degree
+    vertex (ties → smallest id), output = exact Dijkstra distances
+    < SSSP_W_CAP. The reference parses-then-discards edge weights
+    (graph.go:357-362 comments the parser out); this is the weighted
+    path the engine honors end-to-end, driver-verified (the unweighted
+    q_sssp was; the `weight` column path was pytest-only until now).
+    The cap is the semantics, not a shortcut: the oracle's recursive
+    walk enumerates path weights < cap (UNION-deduped (v,d) state,
+    ≤ cap·|V| rows), and bounded-radius search is also the sane
+    at-scale form of the query."""
+    from drone_spark.algorithms.sssp import reached, sssp
+
+    edges = _directed_edges(spark, sf_dir).withColumn(
+        "weight",
+        ((F.col("src") + F.col("dst")) % 3 + 1).cast("double"),
+    )
+    source = (
+        edges.groupBy("src").count()
+        .orderBy(F.desc("count"), F.asc("src"))
+        .first()["src"]
+    )
+    res = sssp(
+        spark, _engine(spark), edges, source=int(source),
+        run_id="entry_sssp_w",
+    )
+    return (
+        reached(res.state)
+        .where(F.col("dist") < SSSP_W_CAP)
+        .select("vid", F.col("dist").cast("long").alias("dist"))
+    )
+
+
+def _sssp_weighted_sql() -> str:
+    return (
+        f"WITH RECURSIVE {SQL_DIRECTED}, "
+        "src0 AS (SELECT src AS s FROM (SELECT src, COUNT(*) AS c"
+        " FROM edges GROUP BY src) ORDER BY c DESC, src ASC LIMIT 1), "
+        "wedges AS (SELECT src, dst, (src + dst) % 3 + 1 AS w"
+        " FROM edges), "
+        "walk(id, d) AS ("
+        " SELECT s, 0 FROM src0"
+        " UNION"
+        " SELECT e.dst, w.d + e.w FROM walk w JOIN wedges e"
+        f" ON e.src = w.id WHERE w.d + e.w < {SSSP_W_CAP}) "
+        "SELECT id AS vid, CAST(MIN(d) AS BIGINT) AS dist"
+        " FROM walk GROUP BY id"
+    )
+
+
 def q_bipartite(spark, sf_dir):
     """Per-component bipartiteness (odd-cycle-freeness) of the link
     graph via ONE CC engine run on the bipartite double cover
@@ -3246,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": q_component_sizes,
         "stress": q_stress,
         "bipartite": q_bipartite,
+        "sssp_weighted": q_sssp_weighted,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -3827,6 +3882,7 @@ def oracle_sql() -> dict[str, str]:
     out["knn_degree"] = _knn_degree_sql()
     out["stress"] = _stress_sql()
     out["bipartite"] = _bipartite_sql()
+    out["sssp_weighted"] = _sssp_weighted_sql()
     out["component_sizes"] = (
         f"WITH RECURSIVE {SQL_COPURCHASE}, {SQL_SYM}, "
         "walk(id, lab) AS ("
