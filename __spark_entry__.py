@@ -717,6 +717,52 @@ def q_top_hosts(spark, sf_dir):
     return top_hosts(_url_edges(spark, sf_dir), k=20)
 
 
+# Anchor-text vocabulary for the deterministic link-occurrence table:
+# each link carries two words picked by modular arithmetic over
+# (src, dst), so the DuckDB twin rebuilds the identical anchors with a
+# list-literal index (SQL_ANCHOR_VOCAB below).
+_ANCHOR_VOCAB = (
+    "graph", "vertex", "edge", "rank", "crawl", "web",
+    "link", "node", "spark", "shuffle", "partition", "iterate",
+)
+SQL_ANCHOR_VOCAB = "[" + ", ".join(f"'{w}'" for w in _ANCHOR_VOCAB) + "]"
+
+
+def _anchor_edges(spark, sf_dir):
+    """Deterministic (src_url, dst_url, anchor) link-occurrence table —
+    the synthetic twin of extraction.anchors_from_pages output (the
+    HTML extraction itself is pytest-covered end-to-end in
+    tests/test_extraction.py; the corpus generator emits constant
+    anchor text, so the driver query feeds the aggregation a vocabulary
+    rebuildable in SQL instead)."""
+    n = len(_ANCHOR_VOCAB)
+    arr = F.array(*[F.lit(w) for w in _ANCHOR_VOCAB])
+    mk = lambda c: F.concat(  # noqa: E731
+        F.lit("http://site"),
+        (F.col(c) % 199).cast("string"),
+        F.lit(".example/p"),
+        F.col(c).cast("string"),
+    )
+    w1 = F.element_at(arr, ((F.col("src") + F.col("dst")) % n + 1).cast("int"))
+    w2 = F.element_at(
+        arr, ((F.col("src") * 3 + F.col("dst")) % n + 1).cast("int")
+    )
+    return _bipartite_edges(spark, sf_dir).select(
+        mk("src").alias("src_url"),
+        mk("dst").alias("dst_url"),
+        F.concat_ws(" ", w1, w2).alias("anchor"),
+    )
+
+
+def q_anchor_terms(spark, sf_dir):
+    """Per-target anchor-term profile (top-3 terms per dst_url) — the
+    classic IR use of link structure (anchor text describes the target;
+    see extraction.anchor_text_summary)."""
+    from drone_spark.extraction import anchor_text_summary
+
+    return anchor_text_summary(_anchor_edges(spark, sf_dir), k=3, min_count=1)
+
+
 def q_ppr5(spark, sf_dir):
     """5 supersteps of *fixed-point personalized* PageRank: teleport
     mass concentrated on the seed set {id % 50 == 0, order side} —
@@ -3393,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "host_graph": q_host_graph,
         "top_hosts": q_top_hosts,
+        "anchor_terms": q_anchor_terms,
         "ppr5": q_ppr5,
         "host_rank5": q_host_rank5,
         "kcore": q_kcore,
@@ -3652,6 +3699,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT dst_host AS host, COUNT(*) AS in_links FROM hosts "
             "WHERE src_host <> dst_host GROUP BY dst_host "
             "ORDER BY in_links DESC, host LIMIT 20"
+        ),
+        "anchor_terms": (
+            f"WITH {SQL_BIPARTITE}, "
+            "anchors AS (SELECT "
+            "'http://site' || CAST(src % 199 AS VARCHAR) ||"
+            " '.example/p' || CAST(src AS VARCHAR) AS src_url, "
+            "'http://site' || CAST(dst % 199 AS VARCHAR) ||"
+            " '.example/p' || CAST(dst AS VARCHAR) AS dst_url, "
+            f"{SQL_ANCHOR_VOCAB}[CAST((src + dst) % 12 AS INT) + 1] AS w1, "
+            f"{SQL_ANCHOR_VOCAB}[CAST((src * 3 + dst) % 12 AS INT) + 1] AS w2 "
+            "FROM edges), "
+            "occ AS (SELECT dst_url, w1 AS term FROM anchors"
+            " WHERE dst_url <> src_url"
+            " UNION ALL SELECT dst_url, w2 FROM anchors"
+            " WHERE dst_url <> src_url), "
+            "counts AS (SELECT dst_url, term, COUNT(*) AS n FROM occ"
+            " GROUP BY dst_url, term), "
+            "ranked AS (SELECT dst_url, term, n, CAST(ROW_NUMBER() OVER"
+            " (PARTITION BY dst_url ORDER BY n DESC, term) AS INT) AS rank"
+            " FROM counts) "
+            "SELECT dst_url, term, n, rank FROM ranked WHERE rank <= 3"
         ),
         "ppr5": _ppr5_sql(),
         "host_rank5": _host_rank5_sql(),
