@@ -558,6 +558,65 @@ def q_cosine_topk_lsh(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_kmeans2(spark, sf_dir):
+    """Two Lloyd iterations of k=10 k-means over the embeddings table →
+    (vec_id, cluster). Deterministic md5-ordered init; the DuckDB twin
+    (_kmeans2_sql) unrolls the same two assign/update rounds as CTEs."""
+    from drone_spark.ops.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(
+        _read(spark, sf_dir, "embeddings"), k=10, iters=2
+    ).select("vec_id", "cluster")
+
+
+def _kmeans2_sql(k: int = 10, dim: int = 64, iters: int = 2,
+                 salt: str = "km0") -> str:
+    """DuckDB twin of q_kmeans2: the ||a||² − 2a·b + ||b||² squared
+    distance (list_inner_product) is algebraically the Spark side's
+    Σ(a−b)² — float rounding differs in the last ulps, which cannot flip
+    an assignment on blob-separated data; ties break toward the lower
+    cluster index in both engines (lexicographic [dist, c] min)."""
+
+    def dist(e: str, c: str) -> str:
+        return (
+            f"list_inner_product({e}.v, {e}.v)"
+            f" - 2 * list_inner_product({e}.v, {c}.v)"
+            f" + list_inner_product({c}.v, {c}.v)"
+        )
+
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "ord0 AS (SELECT v, ROW_NUMBER() OVER (ORDER BY"
+        f" md5('{salt}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c"
+        " FROM emb)",
+        f"c0 AS (SELECT c, v FROM ord0 WHERE c < {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it} AS (SELECT e.vec_id, e.v, CAST(MIN([{dist('e', 'c')},"
+            f" CAST(c.c AS DOUBLE)])[2] AS INT) AS cluster"
+            f" FROM emb e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v)"
+        )
+        parts.append(
+            f"u{it} AS (SELECT a.cluster, t.i AS pos, AVG(a.v[t.i]) AS m"
+            f" FROM a{it} a, range(1, {dim + 1}) t(i)"
+            " GROUP BY a.cluster, t.i)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cluster AS c, list(m ORDER BY pos) AS v"
+            f" FROM u{it} GROUP BY cluster)"
+        )
+        prev = f"c{it}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT e.vec_id, CAST(MIN([{dist('e', 'c')},"
+        " CAST(c.c AS DOUBLE)])[2] AS INT) AS cluster"
+        f" FROM emb e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v"
+    )
+
+
 def q_graph_simulation(spark, sf_dir):
     """Dual-simulation pattern match on the co-purchase graph with the
     reference's id%100 attrs (Sim.go parity; fixpoint not expressible in
@@ -3432,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "cosine_topk_ivf": q_cosine_topk_ivf,
+        "kmeans2": q_kmeans2,
         "pricing_summary": q_pricing_summary,
         "top_spenders": q_top_spenders,
         "events_hourly": q_events_hourly,
@@ -3770,6 +3830,7 @@ def oracle_sql() -> dict[str, str]:
         # top-k, so the brute-force SQL gates the whole IVF pipeline —
         # see q_cosine_topk_ivf docstring; pruned recall is pytest's.
         "cosine_topk_ivf": _cosine_bruteforce_oracle(),
+        "kmeans2": _kmeans2_sql(),
         "ngram_jaccard_capped": _ngram_jaccard_capped_oracle(),
         "minhash_dedup_capped": _minhash_capped_oracle(),
         "scc": (

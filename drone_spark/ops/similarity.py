@@ -496,3 +496,99 @@ def cosine_topk_ivf(
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cosine")
     )
+
+
+def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
+    """Expression: index of the squared-L2-nearest centroid (ties →
+    lowest index, via lexicographic struct min). Centroids are inlined
+    as literals, so assignment is a pure projection — whole-stage
+    codegen, zero shuffle, no join-back to re-attach the vector."""
+    elems = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(ci).alias("c"),
+        )
+        for ci, cent in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*elems))["c"]
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km0",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column → per-vector
+    cluster assignment (``id_col``, ``cluster``) after ``iters``
+    centroid updates — the document-clustering step of a corpus
+    curation pipeline (topic balancing, per-cluster sampling quotas).
+
+    Deterministic throughout: init picks the ``k`` vectors with the
+    smallest ``md5(salt:id)`` (uniform over the corpus, layout- and
+    partitioning-independent — the same fix ivf_assign got for its
+    id-ordered sample bias, VERDICT r3 #6); cluster index = position in
+    that md5 order; ties in assignment break toward the lower index.
+
+    Scale shape (the part that matters at 10^12 vectors):
+
+    - assignment is a literal-centroid projection (``_nearest_centroid``)
+      — no shuffle, no Python; the k×d centroid matrix rides the
+      closure exactly like IVF's broadcast centroids;
+    - the centroid update is ``posexplode → groupBy(cluster, pos) avg``
+      — map-side partial agg reduces each task to ≤ k·d rows before the
+      shuffle, so the exchange moves O(k·d·n_parts), not O(N·d);
+    - per iteration the driver receives only the k×d means
+      (centroids-only driver traffic, same budget as ivf_assign).
+
+    An empty cluster keeps its previous centroid (only possible with
+    adversarial init at tiny N; the DuckDB twin in __spark_entry__
+    assumes it away and the driver data never triggers it).
+
+    Reference parity note: the reference engine has no numeric
+    clustering at all — this op exists for the LLM-data-pipeline tier
+    (SURVEY §2 additions), like the rest of ops/similarity.py."""
+    emb = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    order_key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    init_rows = (
+        emb.orderBy(order_key, F.col(id_col)).limit(k).select("v").collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
+    cents: list[list[float]] = [list(r["v"]) for r in init_rows]
+    for _ in range(iters):
+        assigned = emb.withColumn("cluster", _nearest_centroid("v", cents))
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cluster[ci][p] for p in range(len(cents[ci]))]
+            if ci in by_cluster
+            else cents[ci]
+            for ci in range(k)
+        ]
+    return emb.select(
+        F.col(id_col),
+        _nearest_centroid("v", cents).alias("cluster"),
+    )

@@ -262,3 +262,55 @@ def test_ivf_init_sample_is_hash_uniform(spark):
     # lowest ids = 3000 cluster-1 + 1096 cluster-2; make it strict:)
     near_c2 = (np.abs(centroids - np.array([0.0, 10.0])).sum(1) < 2).sum()
     assert near_c2 >= 1, centroids
+
+
+def test_kmeans_lloyd_matches_numpy(spark, emb, emb_pd):
+    """Two Lloyd rounds in Spark == the same rounds in NumPy (same
+    md5-ordered init, same tie rule), and the result is layout-
+    independent under repartitioning."""
+    import hashlib
+
+    from drone_spark.ops.similarity import kmeans_lloyd
+
+    k, iters = 10, 2
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd(emb, k=k, iters=iters).collect()
+    }
+
+    ids = emb_pd["vec_id"].to_numpy()
+    mat = np.vstack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(f"km0:{ids[i]}".encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    cents = mat[order[:k]].copy()
+
+    def assign(c):
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # argmin ties -> lowest index, same rule
+
+    for _ in range(iters):
+        a = assign(cents)
+        for ci in range(k):
+            if (a == ci).any():
+                cents[ci] = mat[a == ci].mean(axis=0)
+    want = assign(cents)
+    exp = {int(ids[i]): int(want[i]) for i in range(len(ids))}
+    assert got == exp
+
+    got2 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd(emb.repartition(13), k=k, iters=iters).collect()
+    }
+    assert got2 == got
+
+
+def test_kmeans_lloyd_k_exceeds_corpus_raises(spark, emb):
+    from drone_spark.ops.similarity import kmeans_lloyd
+
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        kmeans_lloyd(emb.limit(3), k=10)
