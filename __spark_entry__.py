@@ -3079,6 +3079,43 @@ def _url_depth_sql() -> str:
     return url_depth_stats_sql(ids, "url")
 
 
+def q_url_templates(spark, sf_dir):
+    """URL template mining (digit runs → '#') over the deterministic
+    deep-URL space — (template, n_urls, n_hosts, max_host_urls), the
+    spider-trap / template-dedup signal (extraction.url_templates)."""
+    from drone_spark.extraction import url_templates
+
+    edges = _bipartite_edges(spark, sf_dir)
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    vid = F.col("id")
+    url = F.concat(
+        _deep_url_expr("id"),
+        F.when(
+            vid % 7 == 0,
+            F.concat(F.lit("?page="), (vid % 50).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return url_templates(ids.select(url.alias("url")), "url")
+
+
+def _url_templates_sql() -> str:
+    from drone_spark.extraction import url_templates_sql
+
+    ids = (
+        f"{SQL_BIPARTITE}, "
+        "ids AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges)), "
+        f"u AS (SELECT {_DEEP_URL_SQL.format(c='id')} || "
+        "CASE WHEN id % 7 = 0 THEN '?page=' || CAST(id % 50 AS VARCHAR)"
+        " ELSE '' END AS url FROM ids)"
+    )
+    return url_templates_sql(ids, "url")
+
+
 def q_feature_prop(spark, sf_dir):
     """2 rounds of GNN mean-with-self aggregation of the embeddings
     table over a deterministic expander graph on vec_ids (edges
@@ -3394,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path2_reach": q_path2_reach,
         "trending": q_trending,
         "url_depth": q_url_depth,
+        "url_templates": q_url_templates,
         "feature_prop": q_feature_prop,
         "rich_club": q_rich_club,
         "robustness": q_robustness,
@@ -4001,6 +4039,7 @@ def oracle_sql() -> dict[str, str]:
     out["path2_reach"] = _path2_reach_sql()
     out["trending"] = _trending_sql()
     out["url_depth"] = _url_depth_sql()
+    out["url_templates"] = _url_templates_sql()
     out["feature_prop"] = _feature_prop_sql()
     out["rich_club"] = _rich_club_sql()
     out["robustness"] = _robustness_sql()

@@ -384,3 +384,53 @@ def url_depth_stats_sql(urls_cte: str, url_col: str = "url") -> str:
         "CAST((1000000 * SUM(d)) // COUNT(*) AS BIGINT) AS avg_depth_ppm "
         "FROM d GROUP BY host"
     )
+
+
+def url_templates(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL template mining: collapse every digit run to ``#`` and
+    aggregate (template, n_urls, n_hosts, max_host_urls) — the
+    crawl-frontier primitive behind spider-trap detection and
+    template-level dedup (a calendar/faceted-search URL space shows up
+    as one template with an enormous per-host URL count; Mercator-style
+    frontiers cap fetches per template, and near-dup pipelines drop
+    boilerplate at template granularity).
+
+    ``max_host_urls`` is the largest single-host URL count under the
+    template: the trap signal proper (many hosts sharing a template is
+    normal platform reuse; one host minting millions of URLs of one
+    template is a trap).
+
+    Plan shape: one projection (two regexp_replace + host extract) →
+    partial-agg groupBy(template, host) → groupBy(template) — both
+    aggregations map-side combine, COUNT(DISTINCT host) rewritten as
+    the two-level rollup so no distinct-expansion hits the shuffle."""
+    col = F.col(url_col)
+    per_host = (
+        urls.select(
+            F.regexp_replace(col, "[0-9]+", "#").alias("template"),
+            host_col(col).alias("host"),
+        )
+        .groupBy("template", "host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return per_host.groupBy("template").agg(
+        F.sum("n").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.max("n").cast("long").alias("max_host_urls"),
+    )
+
+
+def url_templates_sql(urls_cte: str, url_col: str = "url") -> str:
+    """DuckDB twin of :func:`url_templates` over a CTE chain whose
+    final table ``u(url)`` holds one row per url."""
+    return (
+        f"WITH {urls_cte}, "
+        f"t AS (SELECT regexp_replace({url_col}, '[0-9]+', '#', 'g')"
+        f" AS template, {HOST_SQL.format(u=url_col)} AS host FROM u), "
+        "ph AS (SELECT template, host, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM t GROUP BY template, host) "
+        "SELECT template, CAST(SUM(n) AS BIGINT) AS n_urls, "
+        "CAST(COUNT(*) AS BIGINT) AS n_hosts, "
+        "CAST(MAX(n) AS BIGINT) AS max_host_urls "
+        "FROM ph GROUP BY template"
+    )
