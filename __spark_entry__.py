@@ -558,6 +558,24 @@ def q_cosine_topk_lsh(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest of the co-purchase graph with
+    deterministic synthetic weights — (u, v, w), u < v, unique under the
+    (w, u, v) total order. Log-round fixpoint with pointer-doubling
+    contraction: not SQL-expressible (like graph CC it needs iteration,
+    but unlike CC the per-round min-edge choice depends on the evolving
+    contraction, which a recursive CTE cannot carry) — rows-only driver
+    check; exact-match pytest oracle vs Kruskal in tests/test_msf.py."""
+    from drone_spark.algorithms.msf import minimum_spanning_forest
+
+    e = _copurchase_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        ((F.col("src") * 31 + F.col("dst") * 7) % 1000).cast("double").alias("w"),
+    )
+    return minimum_spanning_forest(e)
+
+
 def q_kmeans2(spark, sf_dir):
     """Two Lloyd iterations of k=10 k-means over the embeddings table →
     (vec_id, cluster). Deterministic md5-ordered init; the DuckDB twin
@@ -3424,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "sssp": q_sssp,
         "graph_simulation": q_graph_simulation,
+        "msf": q_msf,
         # ---- round-5 additions
         "katz4": q_katz4,
         "link_prediction": q_link_prediction,
