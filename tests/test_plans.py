@@ -350,3 +350,44 @@ def test_funnel_stage_filter_pushed_to_scan(spark):
     plan = _plan(funnel(ev, ["view", "click"]))
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
     assert "EqualTo(event_type,click)" in plan
+
+
+def test_round5_new_ops_no_python(spark, small_edges):
+    """kmeans assignment, url templates and anchor summaries are pure
+    JVM; kmeans assignment is a projection (no Exchange at all)."""
+    from drone_spark.extraction import anchor_text_summary, url_templates
+    from drone_spark.ops.similarity import _nearest_centroid
+
+    docs = spark.createDataFrame(
+        [("http://a.example/p1x2",), ("http://b.example/p9",)], ["url"]
+    )
+    plan = _plan(url_templates(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    anchors = spark.createDataFrame(
+        [("http://a.example/1", "http://b.example/2", "web graph")],
+        ["src_url", "dst_url", "anchor"],
+    )
+    plan = _plan(anchor_text_summary(anchors, k=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double") for i in range(4)]).alias("v"),
+    )
+    assigned = emb.select(_nearest_centroid("v", [[0.0] * 4, [3.0] * 4]).alias("c"))
+    plan = _plan(assigned)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # assignment is projection-only
+
+
+def test_msf_round_no_python(spark, small_edges):
+    """one Borůvka relabel+min-pick round stays JVM-side."""
+    from drone_spark.algorithms.msf import _canonical_edges
+
+    e = _canonical_edges(small_edges.withColumn("w", F.rand(7)), "src", "dst", "w")
+    inc = e.select(F.col("u").alias("c"), F.struct("w", "u", "v").alias("pick"))
+    sel = inc.groupBy("c").agg(F.min("pick").alias("pick"))
+    plan = _plan(sel)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
