@@ -2957,6 +2957,25 @@ def _katz4_sql() -> str:
     return katz_fixed_sql(SQL_BIPARTITE, iters=4)
 
 
+def q_eigen4(spark, sf_dir):
+    """4 supersteps of max-normalized power iteration on the bipartite
+    graph — eigenvector centrality in scaled-int64, completing the
+    degree/Katz/PageRank/eigenvector centrality quartet
+    (algorithms/centrality.eigenvector_fixed)."""
+    from drone_spark.algorithms.centrality import eigenvector_fixed
+
+    return eigenvector_fixed(
+        spark, _engine(spark), _bipartite_edges(spark, sf_dir),
+        iters=4, run_id="entry_eigen",
+    )
+
+
+def _eigen4_sql() -> str:
+    from drone_spark.algorithms.centrality import eigenvector_fixed_sql
+
+    return eigenvector_fixed_sql(SQL_BIPARTITE, iters=4)
+
+
 def q_link_prediction(spark, sf_dir):
     """Top-50 link predictions on the co-purchase graph with the three
     classic neighbor-overlap scores side by side (common / jaccard /
@@ -3445,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         # ---- round-5 additions
         "katz4": q_katz4,
+        "eigen4": q_eigen4,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4053,6 +4073,7 @@ def oracle_sql() -> dict[str, str]:
     out["sssp_warm_start"] = out["sssp"]
     # round-5 additions (SQL twins live next to their Spark ops)
     out["katz4"] = _katz4_sql()
+    out["eigen4"] = _eigen4_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

@@ -478,3 +478,109 @@ def stress_centrality_sql(
         + f" SELECT v AS vid, CAST(SUM(c) AS BIGINT) AS stress"
         f" FROM ({union}) GROUP BY v HAVING SUM(c) > 0"
     )
+
+
+EIG_SCALE = 10**6  # fixed-point scale: max-normalized eigen 1.0 == 10^6
+
+
+def eigenvector_fixed(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    iters: int = 4,
+    run_id: str = "eigen",
+) -> DataFrame:
+    """Eigenvector centrality (Bonacich 1972) by ``iters`` supersteps of
+    max-normalized power iteration in scaled-integer arithmetic:
+    x_k = Aᵀ x_{k-1}, then x_k ← ⌊EIG_SCALE · x_k / max(x_k)⌋. Unlike
+    the L2 norm (HITS, hits.py — float, 9-sig-fig canonicalization),
+    the L∞ norm keeps every round a single integer floor division by a
+    global scalar, so Spark and the DuckDB oracle hash-match
+    bit-for-bit (the pagerank5/katz4 convention) while still converging
+    to the principal eigenvector direction (scaled to max = EIG_SCALE).
+
+    The global max is one 1-row aggregate broadcast back via crossJoin
+    — the same ≤1-row exchange HITS pays for its norm (hits.py:38-46),
+    Spark's reduce+broadcast idiom. Everything else per superstep is
+    the standard scatter shape: state ⋈ edges on src, partial-agg SUM
+    by dst, join-back — so the bucketed zero-edge-shuffle path applies
+    unchanged.
+
+    int64 headroom: x ≤ EIG_SCALE, so acc ≤ indeg_max · EIG_SCALE and
+    the pre-division product EIG_SCALE · acc needs
+    indeg_max < 2^63 / EIG_SCALE² ≈ 9.2·10⁶ — beyond that, drop
+    EIG_SCALE (overflow is the caller's contract, the katz_fixed
+    convention). Vertices with no in-edges read 0 after round 1 —
+    eigenvector centrality's standard sink behavior on directed graphs.
+
+    Result: (vid, eig_fx). The reference has no eigen kernel (its set
+    is PR/CC/SSSP/Sim — PageRank.go:18-111 is the nearest relative);
+    this completes the classic centrality quartet (degree / Katz /
+    PageRank / eigenvector) the link-analysis literature treats as one
+    family.
+    """
+    from ..graph.builder import vertices
+
+    def init() -> DataFrame:
+        return vertices(edges).select(
+            F.col("id").alias("vid"),
+            F.lit(EIG_SCALE).cast("long").alias("eig_fx"),
+            F.lit(1.0).alias("delta"),
+        )
+
+    def step(state: DataFrame, _k: int) -> DataFrame:
+        acc = (
+            state.select("vid", "eig_fx")
+            .join(edges, F.col("vid") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("eig_fx").alias("acc"))
+        )
+        mx = acc.agg(F.max("acc").alias("_m"))
+        new_fx = F.when(
+            F.col("_m") > 0,
+            F.expr(f"({EIG_SCALE} * coalesce(acc, 0L)) div _m"),
+        ).otherwise(F.lit(0))
+        return (
+            state.join(acc, state["vid"] == acc["dst"], "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "vid",
+                new_fx.cast("long").alias("eig_fx"),
+                F.abs(new_fx - F.col("eig_fx")).cast("double").alias("delta"),
+            )
+        )
+
+    res = engine.run(run_id, init, step, tol=0.0, max_supersteps=iters)
+    return res.state.select("vid", "eig_fx")
+
+
+def eigenvector_fixed_sql(edges_cte: str, iters: int = 4) -> str:
+    """DuckDB twin of :func:`eigenvector_fixed`: unrolled CTE chain
+    over an ``edges(src, dst)`` CTE, one (acc, max, renorm) triple per
+    round. Every column pinned to BIGINT (DuckDB widens SUM/MAX to
+    HUGEINT — the pagerank5 oracle's type note)."""
+    ctes = [
+        f"WITH {edges_cte}",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        f"x0 AS (SELECT id, {EIG_SCALE}::BIGINT AS eig FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"a{k} AS (SELECT e.dst AS id, CAST(SUM(p.eig) AS BIGINT)"
+            f" AS acc FROM x{k-1} p JOIN edges e ON e.src = p.id"
+            f" GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"m{k} AS (SELECT CAST(MAX(acc) AS BIGINT) AS m FROM a{k})"
+        )
+        ctes.append(
+            f"x{k} AS (SELECT v.id, CAST(CASE WHEN m.m > 0 THEN"
+            f" ({EIG_SCALE} * COALESCE(a.acc, 0)) // m.m ELSE 0 END"
+            f" AS BIGINT) AS eig FROM v LEFT JOIN a{k} a ON v.id = a.id"
+            f" CROSS JOIN m{k} m)"
+        )
+    return (
+        ", ".join(ctes)
+        + f" SELECT id AS vid, CAST(eig AS BIGINT) AS eig_fx FROM x{iters}"
+    )

@@ -222,3 +222,84 @@ def test_round5_relational_ops_stay_jvm_side(spark, kite):
         for marker in ("BatchEvalPython", "ArrowEvalPython",
                        "FlatMapGroupsInPandas", "MapInPandas"):
             assert marker not in plan
+
+
+# ---------------------------------------------------------- eigenvector
+def test_eigenvector_fixed_hand_oracle(spark, engine):
+    """Star 1→3, 2→3, 3→4 at scale 10⁶.
+    r1: acc(3)=2S, acc(4)=S; max=2S → x = (S·acc)//max:
+        x(3)=S, x(4)=S//2, x(1)=x(2)=0
+    r2: acc(3)=0, acc(4)=x(3)=S; max=S → x(4)=S, rest 0.
+    """
+    from drone_spark.algorithms.centrality import EIG_SCALE, eigenvector_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    s = EIG_SCALE
+    out1 = {
+        r["vid"]: r["eig_fx"]
+        for r in eigenvector_fixed(
+            spark, engine, edges, iters=1, run_id="t_eig1"
+        ).collect()
+    }
+    assert out1 == {1: 0, 2: 0, 3: s, 4: s // 2}
+    out2 = {
+        r["vid"]: r["eig_fx"]
+        for r in eigenvector_fixed(
+            spark, engine, edges, iters=2, run_id="t_eig2"
+        ).collect()
+    }
+    assert out2 == {1: 0, 2: 0, 3: 0, 4: s}
+
+
+def test_eigenvector_converges_to_principal_direction(spark, engine):
+    """On a strongly-connected graph the max-normalized iterate tracks
+    the NumPy principal eigenvector (scaled to max = 1) within the
+    integer quantization error after enough rounds."""
+    np = pytest.importorskip("numpy")
+    from drone_spark.algorithms.centrality import EIG_SCALE, eigenvector_fixed
+
+    rows = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 2), (2, 1)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["vid"]: r["eig_fx"] / EIG_SCALE
+        for r in eigenvector_fixed(
+            spark, engine, edges, iters=25, run_id="t_eig3"
+        ).collect()
+    }
+    ids = sorted(got)
+    a = np.zeros((len(ids), len(ids)))
+    idx = {v: i for i, v in enumerate(ids)}
+    for u, w in rows:
+        a[idx[w], idx[u]] = 1.0  # acc[v] = sum over in-edges
+    x = np.ones(len(ids))
+    for _ in range(200):
+        x = a @ x
+        x = x / x.max()
+    for v in ids:
+        assert abs(got[v] - x[idx[v]]) < 1e-4
+
+
+def test_eigenvector_sql_twin_matches_spark(spark, engine):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.algorithms.centrality import (
+        eigenvector_fixed, eigenvector_fixed_sql,
+    )
+
+    rows = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 4)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["vid"]: r["eig_fx"]
+        for r in eigenvector_fixed(
+            spark, engine, edges, iters=4, run_id="t_eig4"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", rows)
+    sql = "WITH " + eigenvector_fixed_sql(
+        "edges AS (SELECT src, dst FROM base)", iters=4
+    ).removeprefix("WITH ")
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
