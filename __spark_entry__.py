@@ -2976,6 +2976,42 @@ def _eigen4_sql() -> str:
     return eigenvector_fixed_sql(SQL_BIPARTITE, iters=4)
 
 
+def q_host_conductance(spark, sf_dir):
+    """Per-host conductance over the page graph — the host-locality
+    audit (how much of a site's link volume leaves the site), the
+    string-keyed community-quality readout partition_quality's
+    docstring names (graph/quality.community_conductance). Host labels
+    come through the real URL parser (extraction.host_col) over the
+    deterministic urlified vertex set."""
+    from drone_spark.extraction import host_col
+    from drone_spark.graph.builder import vertices
+    from drone_spark.graph.quality import community_conductance
+
+    edges = _bipartite_edges(spark, sf_dir)
+    mk_url = F.concat(
+        F.lit("http://site"),
+        (F.col("id") % 199).cast("string"),
+        F.lit(".example/p"),
+        F.col("id").cast("string"),
+    )
+    assign = vertices(edges).select(
+        "id", host_col(mk_url).alias("community")
+    )
+    return community_conductance(edges, assign)
+
+
+def _host_conductance_sql() -> str:
+    from drone_spark.graph.quality import community_conductance_sql
+
+    assign = (
+        "v0 AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges)), "
+        "assign AS (SELECT id, 'site' || CAST(id % 199 AS VARCHAR)"
+        " || '.example' AS community FROM v0)"
+    )
+    return community_conductance_sql(SQL_BIPARTITE, assign)
+
+
 def q_link_prediction(spark, sf_dir):
     """Top-50 link predictions on the co-purchase graph with the three
     classic neighbor-overlap scores side by side (common / jaccard /
@@ -3465,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-5 additions
         "katz4": q_katz4,
         "eigen4": q_eigen4,
+        "host_conductance": q_host_conductance,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4074,6 +4111,7 @@ def oracle_sql() -> dict[str, str]:
     # round-5 additions (SQL twins live next to their Spark ops)
     out["katz4"] = _katz4_sql()
     out["eigen4"] = _eigen4_sql()
+    out["host_conductance"] = _host_conductance_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

@@ -303,3 +303,56 @@ def test_eigenvector_sql_twin_matches_spark(spark, engine):
     ).removeprefix("WITH ")
     want = dict(con.execute(sql).fetchall())
     assert got == want
+
+
+# ------------------------------------------------- community conductance
+def test_community_conductance_hand_oracle(spark):
+    """Kite with communities A = {1,2,3}, B = {4,5}. Undirected edges:
+    (1,2),(1,3),(2,3),(2,4),(3,4),(4,5); 2|E| = 12.
+    A: n=3, vol = 2+3+3 = 8, internal 3, cut 2 → ppm = 2e6//min(8,4)=500000
+    B: n=2, vol = 3+1 = 4, internal 1, cut 2 → ppm = 2e6//4 = 500000
+    """
+    from drone_spark.graph.quality import community_conductance
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    assign = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B")],
+        "id long, community string",
+    )
+    rows = {r["community"]: r for r in community_conductance(edges, assign).collect()}
+    a, b = rows["A"], rows["B"]
+    assert (a["n_vertices"], a["volume"], a["internal_edges"],
+            a["cut_edges"], a["conductance_ppm"]) == (3, 8, 3, 2, 500000)
+    assert (b["n_vertices"], b["volume"], b["internal_edges"],
+            b["cut_edges"], b["conductance_ppm"]) == (2, 4, 1, 2, 500000)
+
+
+def test_community_conductance_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.graph.quality import (
+        community_conductance, community_conductance_sql,
+    )
+
+    rows = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    assign = spark.createDataFrame(
+        [(i, f"c{i % 3}") for i in range(1, 8)], "id long, community string"
+    )
+    got = sorted(
+        tuple(r) for r in community_conductance(edges, assign).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", rows)
+    sql = community_conductance_sql(
+        "edges AS (SELECT src, dst FROM base)",
+        "v0 AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges)), "
+        "assign AS (SELECT id, 'c' || CAST(id % 3 AS VARCHAR)"
+        " AS community FROM v0)",
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
