@@ -3012,6 +3012,24 @@ def _host_conductance_sql() -> str:
     return community_conductance_sql(SQL_BIPARTITE, assign)
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Per-document content-defined-chunking duplication profile —
+    storage-style sub-document dedup (LBFS/FastCDC boundaries) over
+    the corpus; catches boilerplate/template mass that fixed-width
+    shingling re-aligns away (ops/dedup.cdc_chunk_stats)."""
+    from drone_spark.ops.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(
+        _read(spark, sf_dir, "documents"), window=8, divisor=32
+    )
+
+
+def _cdc_dedup_sql() -> str:
+    from drone_spark.ops.dedup import cdc_chunk_stats_sql
+
+    return cdc_chunk_stats_sql(window=8, divisor=32)
+
+
 def q_link_prediction(spark, sf_dir):
     """Top-50 link predictions on the co-purchase graph with the three
     classic neighbor-overlap scores side by side (common / jaccard /
@@ -3502,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz4": q_katz4,
         "eigen4": q_eigen4,
         "host_conductance": q_host_conductance,
+        "cdc_dedup": q_cdc_dedup,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4112,6 +4131,7 @@ def oracle_sql() -> dict[str, str]:
     out["katz4"] = _katz4_sql()
     out["eigen4"] = _eigen4_sql()
     out["host_conductance"] = _host_conductance_sql()
+    out["cdc_dedup"] = _cdc_dedup_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

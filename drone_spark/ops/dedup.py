@@ -11,7 +11,7 @@ in these plans, pinned by tests/test_plans.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .textstats import norm_text
 
@@ -1037,4 +1037,182 @@ def duplicate_verdict_sql(
         f"UNION ALL SELECT a, b, {DUP_CONTAIN} FROM "
         f"({ngram_containment_sql(threshold_ppm=containment_ppm, doc_table=doc_table, max_doc_freq=max_doc_freq)})"
         ") GROUP BY a, b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — storage-style sub-document dedup
+# ---------------------------------------------------------------------------
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 32,
+) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al., LBFS SOSP'01;
+    FastCDC ATC'16 is the production descendant): split each document
+    at positions where a rolling window hash ≡ 0 (mod ``divisor``), so
+    chunk boundaries follow CONTENT, not offsets — an insertion shifts
+    bytes but reproduces every boundary downstream, which is why CDC
+    catches sub-document duplication that fixed-width shingling
+    (ngram_* above) re-aligns away. The mechanism the storage-dedup
+    world uses verbatim, applied to corpus curation: boilerplate
+    paragraphs, quoted reposts and template fragments share chunk
+    hashes across documents no matter where they sit in the page.
+
+    Boundary rule (both engines, bit-identical): position p ≥ 2 of the
+    normalized text is a chunk START iff
+    ``hash60(md5('cdcb:' ‖ substr(t, p, window))) % divisor == 0``;
+    position 1 always starts a chunk. Expected chunk length ≈
+    ``divisor`` chars (geometric). A true Rabin rolling hash saves the
+    per-position md5 at equal semantics; md5-per-window is the
+    engine-portable form (the _hash60_md5 convention) and stays
+    whole-stage-codegen JVM work.
+
+    Result: (doc_id, start, chunk_len, chunk_h) — one row per chunk,
+    ``chunk_h`` the 60-bit hash of the chunk text. Documents whose
+    normalized text is empty yield no rows.
+
+    Scale shape: the position explode is O(total chars) rows — the
+    honest cost of CDC, every byte is hashed exactly once in any
+    implementation; the boundary→chunk assembly is ONE window function
+    partitioned by doc_id (per-doc state bounded by doc length), and
+    everything downstream is uniform-key hash aggregation. No Python.
+    """
+    w = int(window)
+    t = docs.select(
+        "doc_id", norm_text(text_col).alias("t")
+    ).where(F.length("t") > 0)
+    bounds = (
+        t.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.when(
+                    F.length("t") - w + 1 >= 2,
+                    F.sequence(F.lit(2), F.length("t") - w + 1),
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("p"),
+        )
+        .where(
+            _hash60_md5(F.expr(f"substring(t, p, {w})"), "cdcb:") % divisor
+            == 0
+        )
+        .select("doc_id", F.col("p").alias("start"))
+    )
+    starts = t.select("doc_id", F.lit(1).alias("start")).unionAll(bounds)
+    win = Window.partitionBy("doc_id").orderBy("start")
+    ch = (
+        starts.join(t, "doc_id")
+        .withColumn(
+            "end_excl",
+            F.coalesce(
+                F.lead("start").over(win), F.length("t") + F.lit(1)
+            ),
+        )
+        .withColumn("chunk_len", F.col("end_excl") - F.col("start"))
+        .where(F.col("chunk_len") > 0)
+    )
+    return ch.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        _hash60_md5(F.expr("substring(t, start, chunk_len)"), "cdc:")
+        .cast("long")
+        .alias("chunk_h"),
+    )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 32,
+) -> DataFrame:
+    """Per-document CDC duplication profile: how much of each document
+    is made of chunks that also appear in OTHER documents — the
+    sub-document analogue of exact_dedup's verdict, and the curation
+    signal CDC exists to compute (template/boilerplate mass).
+
+    Result: (doc_id, n_chunks, dup_chunks, dup_chars, dup_ppm) where a
+    chunk is duplicated iff its hash occurs in ≥ 2 distinct documents,
+    dup_chars sums those chunks' lengths, and
+    dup_ppm = ⌊10⁶ · dup_chars / doc_len⌋ (integer — the harmonic_ppm
+    convention, so Spark and DuckDB hash-match bit-for-bit).
+
+    Plan: chunks → distinct (h, doc) → count by h (uniform 60-bit keys,
+    partial-agg) → join back → per-doc agg. Two shuffles beyond the
+    chunker's one window."""
+    ch = cdc_chunks(docs, text_col=text_col, window=window, divisor=divisor)
+    n_docs_per_h = (
+        ch.select("chunk_h", "doc_id")
+        .distinct()
+        .groupBy("chunk_h")
+        .agg(F.count(F.lit(1)).alias("h_docs"))
+    )
+    doc_len = docs.select(
+        "doc_id", F.length(norm_text(text_col)).alias("doc_len")
+    ).where(F.col("doc_len") > 0)
+    return (
+        ch.join(n_docs_per_h, "chunk_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("h_docs") > 1).cast("long")).alias("dup_chunks"),
+            F.sum(
+                F.when(F.col("h_docs") > 1, F.col("chunk_len")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dup_chars"),
+        )
+        .join(doc_len, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            "dup_chars",
+            F.expr("(1000000 * dup_chars) div doc_len")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )
+
+
+def cdc_chunk_stats_sql(
+    window: int = 8,
+    divisor: int = 32,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`cdc_chunk_stats` — identical boundary
+    rule, chunk hashes and integer quotients."""
+    w = int(window)
+    return (
+        f"WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM {doc_table}"
+        f" WHERE length({_SQL_NORM}) > 0), "
+        f"b AS (SELECT n.doc_id, g.p AS start FROM norm n,"
+        f" UNNEST(range(2, length(n.t) - {w} + 2)) AS g(p)"
+        f" WHERE ('0x' || substr(md5('cdcb:' ||"
+        f" substr(n.t, g.p::INT, {w})), 1, 15))::BIGINT % {divisor} = 0), "
+        "starts AS (SELECT doc_id, 1 AS start FROM norm"
+        " UNION ALL SELECT doc_id, start FROM b), "
+        "ch AS (SELECT s.doc_id, s.start, n.t,"
+        " COALESCE(LEAD(s.start) OVER (PARTITION BY s.doc_id"
+        " ORDER BY s.start), length(n.t) + 1) - s.start AS chunk_len"
+        " FROM starts s JOIN norm n USING (doc_id)), "
+        "chunks AS (SELECT doc_id, start, chunk_len,"
+        " ('0x' || substr(md5('cdc:' ||"
+        " substr(t, start::INT, chunk_len::INT)), 1, 15))::BIGINT AS h"
+        " FROM ch WHERE chunk_len > 0), "
+        "hd AS (SELECT h, COUNT(DISTINCT doc_id) AS h_docs"
+        " FROM chunks GROUP BY h) "
+        "SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,"
+        " CAST(SUM(CASE WHEN hd.h_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS dup_chunks,"
+        " CAST(SUM(CASE WHEN hd.h_docs > 1 THEN c.chunk_len ELSE 0 END)"
+        " AS BIGINT) AS dup_chars,"
+        " CAST((1000000 * SUM(CASE WHEN hd.h_docs > 1 THEN c.chunk_len"
+        " ELSE 0 END)) // MAX(length(n.t)) AS BIGINT) AS dup_ppm"
+        " FROM chunks c JOIN hd ON hd.h = c.h"
+        " JOIN norm n ON n.doc_id = c.doc_id"
+        " GROUP BY c.doc_id"
     )

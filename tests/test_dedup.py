@@ -499,3 +499,106 @@ def test_duplicate_verdict_matches_duckdb_twin(spark):
     want = sorted(map(tuple, con.execute(
         duplicate_verdict_sql(max_doc_freq=None)).fetchall()))
     assert got == want
+
+
+# --------------------------------------------------------------- CDC
+def _py_cdc_chunks(text, window=8, divisor=32):
+    """Pure-python replay of the boundary rule for oracle tests."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text.strip().lower())
+    if not t:
+        return []
+    starts = [1]
+    for p in range(2, len(t) - window + 2):
+        win = t[p - 1 : p - 1 + window]
+        h = int(hashlib.md5(("cdcb:" + win).encode()).hexdigest()[:15], 16)
+        if h % divisor == 0:
+            starts.append(p)
+    starts.append(len(t) + 1)
+    return [t[a - 1 : b - 1] for a, b in zip(starts, starts[1:]) if b > a]
+
+
+def test_cdc_chunks_match_python_replay(spark):
+    from drone_spark.ops.dedup import cdc_chunks
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "key agg row scan slow fast table value part hash " * 3),
+        (3, "short"),
+        (4, "   "),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(docs, divisor=8).collect():
+        got.setdefault(r["doc_id"], []).append((r["start"], r["chunk_len"]))
+    for did, text in texts:
+        want = _py_cdc_chunks(text, divisor=8)
+        have = sorted(got.get(did, []))
+        assert len(have) == len(want)
+        # chunk lengths and contiguity
+        assert [ln for _, ln in have] == [len(c) for c in want]
+        pos = 1
+        for st, ln in have:
+            assert st == pos
+            pos += ln
+
+
+def test_cdc_boundaries_shift_invariant(spark):
+    """The defining CDC property: prepending text changes offsets but
+    reproduces every downstream chunk hash — fixed-width shingles
+    cannot do this."""
+    from drone_spark.ops.dedup import cdc_chunks
+
+    base = "key agg row scan slow fast table value part hash " * 6
+    shifted = "zz qq " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    ch = cdc_chunks(docs, divisor=8).collect()
+    h1 = [r["chunk_h"] for r in sorted(
+        (r for r in ch if r["doc_id"] == 1), key=lambda r: r["start"])]
+    h2 = [r["chunk_h"] for r in sorted(
+        (r for r in ch if r["doc_id"] == 2), key=lambda r: r["start"])]
+    # all but the first chunk(s) of the shifted doc re-appear verbatim
+    shared = set(h1) & set(h2)
+    assert len(shared) >= len(set(h1)) - 2 and len(shared) >= 1
+
+
+def test_cdc_stats_hand_case(spark):
+    """Two identical docs + one unique: the twins read 100% dup mass,
+    the unique doc 0 (no chunk shared)."""
+    from drone_spark.ops.dedup import cdc_chunk_stats
+
+    a = "key agg row scan slow fast table value part hash " * 4
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, "completely different words only here xyz")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in cdc_chunk_stats(docs, divisor=8).collect()}
+    assert rows[1]["dup_ppm"] == 1000000 and rows[2]["dup_ppm"] == 1000000
+    assert rows[1]["dup_chunks"] == rows[1]["n_chunks"]
+    assert rows[3]["dup_chunks"] == 0 and rows[3]["dup_ppm"] == 0
+
+
+def test_cdc_stats_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.ops.dedup import cdc_chunk_stats, cdc_chunk_stats_sql
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog " * 5),
+        (2, "the quick brown fox jumps over the lazy dog " * 5),
+        (3, "key agg row scan slow fast table value part hash " * 3),
+        (4, "one two three four five six seven eight nine ten " * 2),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(tuple(r) for r in cdc_chunk_stats(docs, divisor=8).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(cdc_chunk_stats_sql(divisor=8)).fetchall()
+    )
+    assert got == want
