@@ -3012,6 +3012,21 @@ def _host_conductance_sql() -> str:
     return community_conductance_sql(SQL_BIPARTITE, assign)
 
 
+def q_onion(spark, sf_dir):
+    """Onion decomposition (12-round exact prefix) of the bipartite
+    graph — per-vertex peel round, the center/periphery refinement of
+    coreness (algorithms/kcore.onion_layers)."""
+    from drone_spark.algorithms.kcore import onion_layers
+
+    return onion_layers(_bipartite_edges(spark, sf_dir), rounds=12)
+
+
+def _onion_sql() -> str:
+    from drone_spark.algorithms.kcore import onion_layers_sql
+
+    return onion_layers_sql(SQL_BIPARTITE, rounds=12)
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Per-document content-defined-chunking duplication profile —
     storage-style sub-document dedup (LBFS/FastCDC boundaries) over
@@ -3521,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigen4": q_eigen4,
         "host_conductance": q_host_conductance,
         "cdc_dedup": q_cdc_dedup,
+        "onion": q_onion,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4132,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
     out["eigen4"] = _eigen4_sql()
     out["host_conductance"] = _host_conductance_sql()
     out["cdc_dedup"] = _cdc_dedup_sql()
+    out["onion"] = _onion_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

@@ -318,3 +318,121 @@ def coreness_h_sql(edges_cte: str, rounds: int = 4) -> str:
         ", ".join(ctes)
         + f" SELECT id AS vid, c AS coreness FROM c{rounds}"
     )
+
+
+def onion_layers(
+    edges: DataFrame,
+    rounds: int = 16,
+) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard, Sci.
+    Rep. 2016) — the refinement of coreness that k-core peeling throws
+    away: each vertex gets the PEEL ROUND at which it leaves the graph.
+    Round r: k ← max(k, min current degree); remove every vertex with
+    degree ≤ k; layer(v) = r. Layers order the inside of each k-shell
+    (low layer = the shell's loosely-attached periphery, high = its
+    structural center) — the center/periphery profile used on webgraphs
+    to separate tendril pages from spam-farm cores at the SAME
+    coreness.
+
+    ``rounds`` bounds the peel to a fixed prefix — the katz_fixed /
+    coreness_h convention for kernels whose full fixpoint depth is
+    data-dependent: layers 1..rounds are EXACT (identical to the
+    unbounded decomposition), vertices outliving round ``rounds`` are
+    simply absent from the result (they are the deep core; a caller
+    wanting the full onion raises ``rounds``). Peeling is inherently
+    round-sequential — a bounded prefix is also what keeps the job's
+    round count, and the DuckDB twin's recursion, independent of a
+    pathological graph's layer count at 100 TB.
+
+    Deterministic and layout-independent (each round's removal set is
+    a pure degree predicate — no tie-breaking), so the recursive-CTE
+    twin (:func:`onion_layers_sql`) hash-matches exactly.
+
+    Plan: the frontier-DECREMENT formulation k_core's A/B measured 11×
+    over recounting (tools/ab_kcore_formulation.py): the symmetric edge
+    table is scanned only through the removed-set join (hash/broadcast
+    on the small frontier — AQE picks), degrees update by subtraction,
+    lineage is truncated with an eager localCheckpoint EVERY round
+    (the stress_centrality discipline) — peeling re-references the
+    degree table three times per round, so without truncation the
+    LOGICAL plan triples per round and Catalyst analysis time goes
+    exponential (measured: round 4 of the persist-only form cost 70 s
+    on a 2k-edge graph; checkpointed, milliseconds).
+    Result: (vid, layer), 1-based, only vertices peeled within
+    ``rounds``.
+    """
+    sym = symmetrize(edges).persist()
+    deg = (
+        sym.groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist()
+    )
+    deg.count()
+    out: list[DataFrame] = []
+    spark = edges.sparkSession
+    k = 0
+    for layer in range(1, rounds + 1):
+        row = deg.agg(F.min("deg").alias("m"), F.count(F.lit(1))).collect()[0]
+        if row[1] == 0:
+            break
+        k = max(k, int(row["m"]))
+        removed = deg.where(F.col("deg") <= k).select("vid").persist()
+        removed.count()
+        out.append(
+            removed.select("vid", F.lit(layer).cast("long").alias("layer"))
+        )
+        dec = (
+            sym.join(removed.withColumnRenamed("vid", "dst"), "dst")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.count(F.lit(1)).cast("long").alias("dec"))
+        )
+        deg_new = (
+            deg.join(removed, "vid", "left_anti")
+            .join(dec, "vid", "left")
+            .select(
+                "vid",
+                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0)))
+                .cast("long")
+                .alias("deg"),
+            )
+            .localCheckpoint()  # eager: truncates plan AND caches
+        )
+        deg.unpersist()
+        deg = deg_new
+    sym.unpersist()
+    if not out:
+        return spark.createDataFrame([], "vid long, layer long")
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionAll(part)
+    return res
+
+
+def onion_layers_sql(edges_cte: str, rounds: int = 16) -> str:
+    """DuckDB twin of :func:`onion_layers`: a recursive CTE carrying
+    (id, k, round) — per round the degree subquery re-joins the carried
+    vertex set, the global min arrives via a window over the round's
+    rows, recursion stops at ``rounds``, and layer(v) = last round v
+    survived + 1 (capped rows excluded, as in the Spark prefix)."""
+    return (
+        f"WITH RECURSIVE {edges_cte}, "
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "walk(id, k, r) AS ("
+        " SELECT DISTINCT src AS id, 0::BIGINT AS k, 0::BIGINT AS r FROM sym"
+        " UNION ALL"
+        " SELECT id, k2 AS k, r + 1 FROM ("
+        "  SELECT w.id, w.r,"
+        "   GREATEST(w.k, MIN(COALESCE(d.deg, 0)) OVER ()) AS k2,"
+        "   COALESCE(d.deg, 0) AS deg"
+        f"  FROM walk w LEFT JOIN ("
+        "   SELECT s.src AS id, COUNT(*) AS deg FROM sym s"
+        "   JOIN walk w2 ON w2.id = s.dst GROUP BY s.src"
+        "  ) d ON d.id = w.id"
+        f"  WHERE w.r < {rounds}"
+        " ) WHERE deg > k2) "
+        "SELECT vid, layer FROM ("
+        " SELECT id AS vid, CAST(MAX(r) + 1 AS BIGINT) AS layer"
+        " FROM walk GROUP BY id)"
+        f" WHERE layer <= {rounds}"
+    )

@@ -102,3 +102,51 @@ def test_s_core_weighted_peel_hand_computed(spark):
     assert {v: pinned[v] for v in (3, 4)} == {3: (True, 10), 4: (True, 10)}
     # s above every strength empties the core in one cascade
     assert s_core(e, s=100, weight_col="w").where("in_core").count() == 0
+
+
+# ------------------------------------------------------ onion layers
+def test_onion_layers_hand_oracle(spark):
+    """Kite + tail (1-2,1-3,2-3,2-4,3-4,4-5,5-6):
+    r1: k=1 removes {6}; r2: 5 drops to deg1 → {5};
+    r3: k=2 removes {1,4}; r4: 2-3 alone → {2,3}."""
+    from drone_spark.algorithms.kcore import onion_layers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = sorted(tuple(r) for r in onion_layers(edges, rounds=16).collect())
+    assert got == [(1, 3), (2, 4), (3, 4), (4, 3), (5, 2), (6, 1)]
+
+
+def test_onion_layers_bounded_prefix_is_exact(spark):
+    """rounds=R returns exactly the unbounded decomposition's layers
+    ≤ R — the prefix never relabels."""
+    from drone_spark.algorithms.kcore import onion_layers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = sorted(tuple(r) for r in onion_layers(edges, rounds=2).collect())
+    assert got == [(5, 2), (6, 1)]
+
+
+def test_onion_layers_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.algorithms.kcore import onion_layers, onion_layers_sql
+
+    rows = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 4), (4, 5),
+            (5, 6), (6, 7), (7, 5), (3, 8)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(tuple(r) for r in onion_layers(edges, rounds=10).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            onion_layers_sql("edges AS (SELECT src, dst FROM base)", rounds=10)
+        ).fetchall()
+    )
+    assert got == want
