@@ -3027,6 +3027,40 @@ def _onion_sql() -> str:
     return onion_layers_sql(SQL_BIPARTITE, rounds=12)
 
 
+def q_ecc_landmarks(spark, sf_dir):
+    """Sampled eccentricities from the 8 md5-smallest sources on the
+    directed graph — max(ecc) is a diameter lower bound (2-sweep/iFUB
+    ingredient); shares the closeness BFS machinery
+    (algorithms/centrality.landmark_eccentricity)."""
+    from drone_spark.algorithms.centrality import landmark_eccentricity
+
+    return landmark_eccentricity(
+        spark, _engine(spark), _directed_edges(spark, sf_dir),
+        n_landmarks=8, max_dist=64, run_id="ecc_entry",
+    )
+
+
+def _ecc_landmarks_sql() -> str:
+    return (
+        # same landmark BFS as `closeness` (see that entry's note on
+        # the DISTINCT-built verts), aggregated per landmark
+        f"WITH RECURSIVE {SQL_DIRECTED}, "
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)), "
+        "lm AS (SELECT id FROM verts "
+        "ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 8), "
+        "walk(lm, vid, d) AS ("
+        "SELECT id, id, 0 FROM lm "
+        "UNION "
+        "SELECT w.lm, e.dst, w.d + 1 FROM walk w "
+        "JOIN edges e ON e.src = w.vid WHERE w.d < 64), "
+        "dist AS (SELECT lm, vid, MIN(d) AS d FROM walk GROUP BY lm, vid) "
+        "SELECT lm AS landmark, CAST(MAX(d) AS BIGINT) AS ecc, "
+        "CAST(COUNT(*) AS BIGINT) AS n_reached, "
+        "CAST(SUM(d) AS BIGINT) AS sum_dist FROM dist GROUP BY lm"
+    )
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Per-document content-defined-chunking duplication profile —
     storage-style sub-document dedup (LBFS/FastCDC boundaries) over
@@ -3537,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_conductance": q_host_conductance,
         "cdc_dedup": q_cdc_dedup,
         "onion": q_onion,
+        "ecc_landmarks": q_ecc_landmarks,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4149,6 +4184,7 @@ def oracle_sql() -> dict[str, str]:
     out["host_conductance"] = _host_conductance_sql()
     out["cdc_dedup"] = _cdc_dedup_sql()
     out["onion"] = _onion_sql()
+    out["ecc_landmarks"] = _ecc_landmarks_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

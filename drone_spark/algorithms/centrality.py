@@ -584,3 +584,42 @@ def eigenvector_fixed_sql(edges_cte: str, iters: int = 4) -> str:
         ", ".join(ctes)
         + f" SELECT id AS vid, CAST(eig AS BIGINT) AS eig_fx FROM x{iters}"
     )
+
+
+def landmark_eccentricity(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    n_landmarks: int = 8,
+    max_dist: int = 64,
+    run_id: str = "ecc",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Sampled eccentricities — the classic 2-sweep/iFUB ingredient for
+    diameter estimation (Magnien, Latapy & Habib 2009; Crescenzi et al.
+    2013): ecc(s) = max_v d(s, v) over reachable v, from the
+    ``n_landmarks`` md5-smallest sources, distances bounded at
+    ``max_dist`` hops. max(ecc) over any source set is a DIAMETER LOWER
+    BOUND, and the per-source (ecc, n_reached, sum_dist) triple is the
+    standard sampled profile of a webgraph's reach structure.
+
+    One aggregation over :func:`landmark_distances`' final state — the
+    multi-source frontier BFS is shared machinery (same cost shape:
+    per level one frontier ⋈ edges join, anti-join dedup), so this adds
+    ZERO new supersteps beyond the BFS itself. All-integer output:
+    (landmark, ecc, n_reached, sum_dist) hash-matches the
+    recursive-CTE twin bit-for-bit.
+    """
+    res = landmark_distances(
+        spark, engine, edges,
+        n_landmarks=n_landmarks, max_dist=max_dist,
+        run_id=run_id, num_parts=num_parts,
+    )
+    return (
+        res.state.groupBy(F.col("lm").alias("landmark"))
+        .agg(
+            F.max("dist").cast("long").alias("ecc"),
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+        )
+    )

@@ -125,3 +125,42 @@ def test_harmonic_centrality_exact_quotients(spark, engine):
                spark, engine, edges, n_landmarks=3, max_dist=8,
                run_id="harm_t").collect()}
     assert got == {1: (1, 1_000_000), 2: (2, 1_500_000)}
+
+
+def test_landmark_eccentricity_exact(spark, engine):
+    """All vertices as landmarks on 1→2→3→4 (+5→2): ecc from 1 is 3,
+    from 5 is 3, from 2 is 2, 3 is 1, 4 is 0."""
+    from drone_spark.algorithms.centrality import landmark_eccentricity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 2)], "src long, dst long"
+    )
+    rows = {
+        r["landmark"]: (r["ecc"], r["n_reached"], r["sum_dist"])
+        for r in landmark_eccentricity(
+            spark, engine, edges, n_landmarks=5, max_dist=10,
+            run_id="t_ecc",
+        ).collect()
+    }
+    # n_reached includes the self row at dist 0
+    assert rows[1] == (3, 4, 6)   # 1:0, 2:1, 3:2, 4:3
+    assert rows[5] == (3, 4, 6)
+    assert rows[2] == (2, 3, 3)
+    assert rows[3] == (1, 2, 1)
+    assert rows[4] == (0, 1, 0)
+
+
+def test_landmark_eccentricity_respects_max_dist(spark, engine):
+    from drone_spark.algorithms.centrality import landmark_eccentricity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {
+        r["landmark"]: r["ecc"]
+        for r in landmark_eccentricity(
+            spark, engine, edges, n_landmarks=4, max_dist=2,
+            run_id="t_ecc2",
+        ).collect()
+    }
+    assert rows[1] == 2  # bounded below true ecc 3
