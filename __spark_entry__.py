@@ -3061,6 +3061,21 @@ def _ecc_landmarks_sql() -> str:
     )
 
 
+def q_bot_flags(spark, sf_dir):
+    """Rate-based automation screening over the event log — per-user
+    burstiness (max events in any minute, events per active minute)
+    with an integer bot verdict (ops/events.bot_flags)."""
+    from drone_spark.ops.events import bot_flags
+
+    return bot_flags(_read(spark, sf_dir, "events"), max_per_minute=4)
+
+
+def _bot_flags_sql() -> str:
+    from drone_spark.ops.events import bot_flags_sql
+
+    return bot_flags_sql(max_per_minute=4)
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Per-document content-defined-chunking duplication profile —
     storage-style sub-document dedup (LBFS/FastCDC boundaries) over
@@ -3572,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "onion": q_onion,
         "ecc_landmarks": q_ecc_landmarks,
+        "bot_flags": q_bot_flags,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4185,6 +4201,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_dedup"] = _cdc_dedup_sql()
     out["onion"] = _onion_sql()
     out["ecc_landmarks"] = _ecc_landmarks_sql()
+    out["bot_flags"] = _bot_flags_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

@@ -325,3 +325,74 @@ def trending_sql(
         " (1000000 * n_events) // prev_n END AS BIGINT) AS trend_ppm "
         "FROM lagged"
     )
+
+
+def bot_flags(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_per_minute: int = 10,
+) -> DataFrame:
+    """Rate-based automation screening — the crawl-log/abuse primitive
+    (robotic clients burst far above human event rates; cf. Heritrix /
+    server-log analytics practice): per user, how bursty is the
+    busiest minute, and how dense is activity across active minutes.
+
+    Result: (user_id, n_events, active_minutes, max_minute_events,
+    rate_ppm, is_bot) where active_minutes counts distinct epoch
+    minutes with ≥1 event, rate_ppm = ⌊10⁶·n_events/active_minutes⌋
+    (mean events per ACTIVE minute — idle gaps don't dilute it, so a
+    returning bot can't hide behind a long lifetime), and is_bot = 1
+    iff max_minute_events ≥ ``max_per_minute``. All-integer output
+    (epoch-minute buckets, ppm quotients — the trending/retention
+    conventions) so the DuckDB twin hash-matches bit-for-bit.
+
+    Plan: one partial-agg count by (user, minute), one agg by user —
+    two shuffles on uniform keys, no windows, no Python."""
+    per_min = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.floor(F.col(ts_col).cast("timestamp").cast("long") / 60)
+            .cast("long")
+            .alias("epoch_min"),
+        )
+        .groupBy("user_id", "epoch_min")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        per_min.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("active_minutes"),
+            F.max("n").cast("long").alias("max_minute_events"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "active_minutes",
+            "max_minute_events",
+            F.expr("(1000000 * n_events) div active_minutes")
+            .cast("long")
+            .alias("rate_ppm"),
+            (F.col("max_minute_events") >= max_per_minute)
+            .cast("long")
+            .alias("is_bot"),
+        )
+    )
+
+
+def bot_flags_sql(table: str = "events", max_per_minute: int = 10) -> str:
+    """DuckDB twin of :func:`bot_flags`."""
+    return (
+        "WITH per_min AS (SELECT user_id, "
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) // 60 AS epoch_min, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {table} GROUP BY user_id, epoch_min) "
+        "SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events, "
+        "CAST(COUNT(*) AS BIGINT) AS active_minutes, "
+        "CAST(MAX(n) AS BIGINT) AS max_minute_events, "
+        "CAST((1000000 * SUM(n)) // COUNT(*) AS BIGINT) AS rate_ppm, "
+        f"CAST(CASE WHEN MAX(n) >= {max_per_minute} THEN 1 ELSE 0 END "
+        "AS BIGINT) AS is_bot "
+        "FROM per_min GROUP BY user_id"
+    )

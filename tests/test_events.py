@@ -128,3 +128,48 @@ def test_resolve_redirects_matches_duckdb_twin(spark):
     want = sorted(map(tuple, con.execute(resolve_redirects_sql(
         "redirects AS (SELECT src, dst FROM r)", max_hops=16)).fetchall()))
     assert got == want
+
+
+def test_bot_flags_hand_case(spark):
+    """User 1: 3 events in one minute + 1 later (max 3, 2 active
+    minutes, rate 2e6); user 2: 1 event (max 1, not bot)."""
+    import datetime as dt
+
+    from drone_spark.ops.events import bot_flags
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base), (1, base + dt.timedelta(seconds=10)),
+        (1, base + dt.timedelta(seconds=50)),
+        (1, base + dt.timedelta(minutes=5)),
+        (2, base),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["user_id"]: r for r in bot_flags(ev, max_per_minute=3).collect()}
+    r1 = got[1]
+    assert (r1["n_events"], r1["active_minutes"], r1["max_minute_events"],
+            r1["rate_ppm"], r1["is_bot"]) == (4, 2, 3, 2000000, 1)
+    r2 = got[2]
+    assert (r2["n_events"], r2["is_bot"]) == (1, 0)
+
+
+def test_bot_flags_sql_twin(spark):
+    import datetime as dt
+
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.ops.events import bot_flags, bot_flags_sql
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (i % 3, base + dt.timedelta(seconds=7 * i)) for i in range(40)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(tuple(r) for r in bot_flags(ev, max_per_minute=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(bot_flags_sql(max_per_minute=5)).fetchall()
+    )
+    assert got == want
