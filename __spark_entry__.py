@@ -3076,6 +3076,58 @@ def _bot_flags_sql() -> str:
     return bot_flags_sql(max_per_minute=4)
 
 
+def q_temporal_reach(spark, sf_dir):
+    """Time-respecting ≤3-hop reachability on the directed graph with
+    deterministic md5-derived edge timestamps — the chronological
+    correction to static path composition (crawl-frontier/citation
+    propagation; algorithms/linkstats.temporal_reach)."""
+    from drone_spark.algorithms.linkstats import temporal_reach
+
+    e = _directed_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ts:"),
+                            F.col("src").cast("string"),
+                            F.lit(":"),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ).alias("ts"),
+    )
+    return temporal_reach(e, hops=3, max_degree=256)
+
+
+def _temporal_reach_sql() -> str:
+    from drone_spark.algorithms.linkstats import temporal_reach_sql
+
+    tsed = (
+        f"base AS (SELECT src, dst FROM ({_directed_edges_inner_sql()})), "
+        "edges AS (SELECT src, dst,"
+        " ('0x' || substr(md5('ts:' || CAST(src AS VARCHAR) || ':' ||"
+        " CAST(dst AS VARCHAR)), 1, 15))::BIGINT % 1000 AS ts FROM base)"
+    )
+    return temporal_reach_sql(tsed, hops=3, max_degree=256)
+
+
+def _directed_edges_inner_sql() -> str:
+    """SQL_DIRECTED's edge SELECT as a subquery body (SQL_DIRECTED owns
+    the name ``edges``, which temporal_reach's twin rebinds to the
+    timestamped table)."""
+    return SQL_DIRECTED.split("edges AS (", 1)[1].rsplit(")", 1)[0]
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Per-document content-defined-chunking duplication profile —
     storage-style sub-document dedup (LBFS/FastCDC boundaries) over
@@ -3588,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion": q_onion,
         "ecc_landmarks": q_ecc_landmarks,
         "bot_flags": q_bot_flags,
+        "temporal_reach": q_temporal_reach,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4202,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
     out["onion"] = _onion_sql()
     out["ecc_landmarks"] = _ecc_landmarks_sql()
     out["bot_flags"] = _bot_flags_sql()
+    out["temporal_reach"] = _temporal_reach_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

@@ -929,3 +929,118 @@ def avg_neighbor_degree_sql(edges_cte: str) -> str:
         "CAST((1000000 * nsum.s) // deg.deg AS BIGINT) AS knn_ppm "
         "FROM deg JOIN nsum ON nsum.id = deg.id"
     )
+
+
+def temporal_reach(
+    edges: DataFrame,
+    hops: int = 3,
+    max_degree: int = 256,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-respecting reachability (Kempe, Kleinberg & Kumar 2000;
+    Holme & Saramäki's temporal-network reach): vertex b is reachable
+    from a within ``hops`` steps iff a path a→…→b exists whose edge
+    timestamps are NON-DECREASING — links can only relay information
+    forward in time. On webgraphs this is citation/crawl-frontier
+    propagation: a page discovered at time t can only lead the crawler
+    to links that still exist at ≥ t. The static composition
+    (path2_reach) overcounts exactly the pairs whose connecting path is
+    chronologically impossible.
+
+    Exactness device: earliest-arrival DOMINATES — if b is reachable
+    with some arrival time, it is reachable with its minimal one, and
+    any extension legal from a later arrival is legal from an earlier
+    one. So the state is one (src, v, arrival) row per reached vertex
+    with arrival = MIN, a pure min-combine fixpoint (the CC/SSSP
+    convention) unrolled to ``hops`` levels — deterministic, integral,
+    hash-exact vs the unrolled-CTE twin.
+
+    ``max_degree`` caps relay vertices on BOTH degrees before the walk
+    (path2_reach's safe-by-default hub contract — a 10⁶-degree hub
+    as a relay step is a candidate-set bomb at 100 TB).
+
+    Result: (src, n_reached) — distinct vertices reachable in 1..hops
+    time-respecting steps (self excluded unless on a cycle).
+
+    Plan per hop: frontier ⋈ capped edges on the relay key, partial-agg
+    MIN per (src, v) — the landmark-BFS shape with a timestamp
+    predicate; nothing touches Python.
+    """
+    e = (
+        edges.select("src", "dst", F.col(ts_col).cast("long").alias("ts"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("ts").alias("ts"))
+    )
+    ecnt = e.select("src", "dst")
+    degs = (
+        ecnt.groupBy(F.col("dst").alias("m")).agg(F.count(F.lit(1)).alias("ind"))
+        .join(
+            ecnt.groupBy(F.col("src").alias("m")).agg(
+                F.count(F.lit(1)).alias("outd")
+            ),
+            "m",
+        )
+        .where((F.col("ind") <= max_degree) & (F.col("outd") <= max_degree))
+        .select("m")
+    )
+    # hop 1: every (src, dst, ts) edge row is a reach with arrival ts
+    state = e.groupBy("src", F.col("dst").alias("v")).agg(
+        F.min("ts").alias("arrival")
+    )
+    for _ in range(1, hops):
+        ext = (
+            state.join(degs, state["v"] == degs["m"]).drop("m")
+            .join(e.select(F.col("src").alias("v"), F.col("dst").alias("w"), "ts"), "v")
+            .where(F.col("ts") >= F.col("arrival"))
+            .select("src", F.col("w").alias("v"), F.col("ts").alias("arrival"))
+        )
+        state = (
+            state.unionAll(ext)
+            .groupBy("src", "v")
+            .agg(F.min("arrival").alias("arrival"))
+        )
+    return (
+        state.where(F.col("src") != F.col("v"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+    )
+
+
+def temporal_reach_sql(
+    edges_cte: str,
+    hops: int = 3,
+    max_degree: int = 256,
+) -> str:
+    """DuckDB twin of :func:`temporal_reach` — unrolled min-combine
+    levels over an ``edges(src, dst, ts)`` CTE."""
+    ctes = [
+        f"WITH {edges_cte}",
+        "e AS (SELECT src, dst, CAST(MIN(ts) AS BIGINT) AS ts FROM edges"
+        " WHERE src <> dst GROUP BY src, dst)",
+        "mid AS (SELECT i.m FROM"
+        " (SELECT dst AS m, COUNT(*) AS ind FROM e GROUP BY dst) i"
+        " JOIN (SELECT src AS m, COUNT(*) AS outd FROM e GROUP BY src) o"
+        f" ON o.m = i.m WHERE i.ind <= {max_degree}"
+        f" AND o.outd <= {max_degree})",
+    ]
+    ctes.append(
+        "s1 AS (SELECT src, dst AS v, CAST(MIN(ts) AS BIGINT) AS arrival"
+        " FROM e GROUP BY src, dst)"
+    )
+    for h in range(2, hops + 1):
+        ctes.append(
+            f"s{h} AS (SELECT src, v, CAST(MIN(arrival) AS BIGINT)"
+            f" AS arrival FROM ("
+            f" SELECT src, v, arrival FROM s{h-1}"
+            f" UNION ALL"
+            f" SELECT p.src, e.dst AS v, e.ts AS arrival FROM s{h-1} p"
+            f" JOIN mid ON mid.m = p.v"
+            f" JOIN e ON e.src = p.v WHERE e.ts >= p.arrival"
+            f") GROUP BY src, v)"
+        )
+    return (
+        ", ".join(ctes)
+        + f" SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached FROM s{hops}"
+        " WHERE src <> v GROUP BY src"
+    )

@@ -298,3 +298,66 @@ def test_bibliographic_coupling_is_cocitation_transpose(spark):
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     assert got == [tuple(r) for r in cocitation(
         rev, min_common=2, max_out_degree=None).collect()]
+
+
+# ----------------------------------------------------- temporal reach
+def test_temporal_reach_hand_case(spark):
+    """1→2 (t=5), 2→3 (t=3): chronologically impossible — 3 is NOT
+    reachable from 1. With 2→4 (t=7) it is. 2 reaches {3,4}."""
+    from drone_spark.algorithms.linkstats import temporal_reach
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 4, 7)], "src long, dst long, ts long"
+    )
+    got = {r["src"]: r["n_reached"] for r in temporal_reach(e, hops=3).collect()}
+    assert got == {1: 2, 2: 2}  # 1 reaches {2,4}; 2 reaches {3,4}
+
+
+def test_temporal_reach_equal_ts_allowed(spark):
+    """Non-decreasing, not strictly increasing: equal timestamps relay."""
+    from drone_spark.algorithms.linkstats import temporal_reach
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5)], "src long, dst long, ts long"
+    )
+    got = {r["src"]: r["n_reached"] for r in temporal_reach(e, hops=2).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_temporal_reach_earliest_arrival_dominates(spark):
+    """Two routes into 3 (arrivals 9 and 2); only the EARLY one can
+    extend over 3→4 (t=4). A last-arrival formulation would miss 4."""
+    from drone_spark.algorithms.linkstats import temporal_reach
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (1, 3, 9), (3, 4, 4)],
+        "src long, dst long, ts long",
+    )
+    got = {r["src"]: r["n_reached"] for r in temporal_reach(e, hops=3).collect()}
+    assert got[1] == 3  # {2, 3, 4}
+
+
+def test_temporal_reach_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.algorithms.linkstats import (
+        temporal_reach, temporal_reach_sql,
+    )
+
+    rows = [
+        (1, 2, 5), (2, 3, 3), (2, 4, 7), (4, 5, 8), (5, 1, 9),
+        (3, 1, 10), (1, 3, 1), (3, 4, 2),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, ts long")
+    got = sorted(tuple(r) for r in temporal_reach(e, hops=3).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (src BIGINT, dst BIGINT, ts BIGINT)")
+    con.executemany("INSERT INTO base VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            temporal_reach_sql(
+                "edges AS (SELECT src, dst, ts FROM base)", hops=3
+            )
+        ).fetchall()
+    )
+    assert got == want
