@@ -3128,6 +3128,22 @@ def _directed_edges_inner_sql() -> str:
     return SQL_DIRECTED.split("edges AS (", 1)[1].rsplit(")", 1)[0]
 
 
+def q_pack_bins(spark, sf_dir):
+    """Sequence packing / token-offset sharding: deterministic md5
+    corpus order, exclusive token prefix sums via the two-level scan
+    (never a single-task global window), bins of 2048 tokens
+    (ops/sampling.pack_bins)."""
+    from drone_spark.ops.sampling import pack_bins
+
+    return pack_bins(_read(spark, sf_dir, "documents"), budget_tokens=2048)
+
+
+def _pack_bins_sql() -> str:
+    from drone_spark.ops.sampling import pack_bins_sql
+
+    return pack_bins_sql(budget_tokens=2048)
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Per-document content-defined-chunking duplication profile —
     storage-style sub-document dedup (LBFS/FastCDC boundaries) over
@@ -3641,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc_landmarks": q_ecc_landmarks,
         "bot_flags": q_bot_flags,
         "temporal_reach": q_temporal_reach,
+        "pack_bins": q_pack_bins,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4256,6 +4273,7 @@ def oracle_sql() -> dict[str, str]:
     out["ecc_landmarks"] = _ecc_landmarks_sql()
     out["bot_flags"] = _bot_flags_sql()
     out["temporal_reach"] = _temporal_reach_sql()
+    out["pack_bins"] = _pack_bins_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

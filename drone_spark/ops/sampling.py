@@ -20,7 +20,7 @@ with file layout, and never shuffles anything.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 BUCKETS = 1_000_000  # ppm resolution
 
@@ -123,4 +123,105 @@ def group_cap_sql(
         f"SELECT {out_cols} FROM ("
         f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {group_expr} "
         f"ORDER BY {h}, {key_col}) AS _rn FROM {table}) WHERE _rn <= {k}"
+    )
+
+
+def pack_bins(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Token-offset sharding — the sequence-packing preprocessing step
+    of LLM training pipelines (concatenate the corpus in a fixed
+    deterministic order, then cut every ``budget_tokens``): each doc is
+    assigned the bin that contains its FIRST token. Result: (doc_id,
+    n_tokens, bin_id, bin_offset) with bin_id = ⌊cum_before/budget⌋ and
+    bin_offset = cum_before mod budget, where cum_before is the
+    exclusive prefix sum of token counts in md5(doc_id) order (the
+    repo's deterministic-uniform order — id order would pack crawl
+    batches together, md5 interleaves sources).
+
+    The global prefix sum is the classic single-task window trap: a
+    bare ``SUM OVER (ORDER BY …)`` with no PARTITION BY drags the whole
+    corpus through ONE task. This computes it as the textbook two-level
+    scan instead: (1) per-bucket cumsum windowed inside ``n_buckets``
+    md5-prefix buckets (parallel, each bucket ~N/buckets rows), (2) an
+    ``n_buckets``-row bucket-total table cumsum'd and broadcast back —
+    O(N) work, O(buckets) driver-free coordination, the same plan at
+    100 TB with n_buckets raised to match the cluster. Values are
+    IDENTICAL to the naive global window (the twin uses DuckDB's
+    single-node global window to prove it).
+
+    Empty docs (0 tokens) still get a position (they consume no
+    budget). Token counts use the shared normalizer's whitespace
+    tokens (textstats.token_count).
+    """
+    from .textstats import token_count
+
+    keyed = docs.select(
+        "doc_id",
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring("k", 1, 4), 16, 10).cast("long") % n_buckets,
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = keyed.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = keyed.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("btotal")
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("btotal").over(w_b), F.lit(0)).alias("boffset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            ((F.col("boffset") + F.col("local_before")) / budget_tokens)
+            .cast("long")
+            .alias("bin_id"),
+            ((F.col("boffset") + F.col("local_before")) % budget_tokens)
+            .cast("long")
+            .alias("bin_offset"),
+        )
+    )
+
+
+def pack_bins_sql(
+    budget_tokens: int = 2048,
+    doc_table: str = "documents",
+    n_buckets: int = 256,
+) -> str:
+    """DuckDB twin of :func:`pack_bins` — the NAIVE single-node global
+    window over the same md5 order, proving the two-level scan computes
+    identical values. Token counts mirror token_count (0 for blank)."""
+    from .textstats import NORM_SQL
+
+    return (
+        f"WITH keyed AS (SELECT doc_id, CAST(CASE WHEN {NORM_SQL} = ''"
+        f" THEN 0 ELSE length({NORM_SQL}) -"
+        f" length(replace({NORM_SQL}, ' ', '')) + 1 END AS BIGINT)"
+        " AS n_tokens, md5(CAST(doc_id AS VARCHAR)) AS k"
+        f" FROM {doc_table}), "
+        "cum AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+        "ORDER BY ('0x' || substr(k, 1, 4))::BIGINT % "
+        f"{n_buckets}, k"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS before FROM keyed) "
+        "SELECT doc_id, n_tokens,"
+        f" CAST(before // {budget_tokens} AS BIGINT) AS bin_id,"
+        f" CAST(before % {budget_tokens} AS BIGINT) AS bin_offset FROM cum"
     )

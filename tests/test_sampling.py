@@ -149,3 +149,50 @@ def test_group_cap_two_phase_equals_global_window_twin(spark):
     want = sorted(map(tuple, con.execute(group_cap_sql(
         "source", "doc_id", k=3, out_cols="doc_id, source")).fetchall()))
     assert got == want
+
+
+# --------------------------------------------------------- pack_bins
+def test_pack_bins_matches_naive_prefix_sum(spark):
+    """The two-level scan equals a driver-side replay of the naive
+    global prefix sum in (md5-bucket, md5) order."""
+    import hashlib
+
+    from drone_spark.ops.sampling import pack_bins
+
+    texts = [(i, "tok " * (i % 7)) for i in range(60)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in pack_bins(docs, budget_tokens=10, n_buckets=16).collect()
+    }
+    def key(i):
+        k = hashlib.md5(str(i).encode()).hexdigest()
+        return (int(k[:4], 16) % 16, k)
+    order = sorted(range(60), key=key)
+    cum = 0
+    for i in order:
+        n = i % 7  # "tok " * n has n tokens (trailing space trimmed)
+        assert got[i] == (n, cum // 10, cum % 10), (i, got[i], cum)
+        cum += n
+
+
+def test_pack_bins_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.ops.sampling import pack_bins, pack_bins_sql
+
+    texts = [(i, ("w%d " % i) * (i % 11)) for i in range(80)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in pack_bins(docs, budget_tokens=32, n_buckets=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            pack_bins_sql(budget_tokens=32, n_buckets=8)
+        ).fetchall()
+    )
+    assert got == want
