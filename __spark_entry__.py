@@ -3144,6 +3144,23 @@ def _pack_bins_sql() -> str:
     return pack_bins_sql(budget_tokens=2048)
 
 
+def q_butterflies(spark, sf_dir):
+    """Top-50 part vertices by butterfly (2×2 biclique) count on the
+    bipartite order-part graph — the bipartite triangle analogue
+    (algorithms/linkstats.butterflies)."""
+    from drone_spark.algorithms.linkstats import butterflies
+
+    return butterflies(
+        _bipartite_edges(spark, sf_dir), k=50, max_left_degree=64
+    )
+
+
+def _butterflies_sql() -> str:
+    from drone_spark.algorithms.linkstats import butterflies_sql
+
+    return butterflies_sql(SQL_BIPARTITE, k=50, max_left_degree=64)
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Per-document content-defined-chunking duplication profile —
     storage-style sub-document dedup (LBFS/FastCDC boundaries) over
@@ -3658,6 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bot_flags": q_bot_flags,
         "temporal_reach": q_temporal_reach,
         "pack_bins": q_pack_bins,
+        "butterflies": q_butterflies,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4274,6 +4292,7 @@ def oracle_sql() -> dict[str, str]:
     out["bot_flags"] = _bot_flags_sql()
     out["temporal_reach"] = _temporal_reach_sql()
     out["pack_bins"] = _pack_bins_sql()
+    out["butterflies"] = _butterflies_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

@@ -1044,3 +1044,74 @@ def temporal_reach_sql(
         + f" SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached FROM s{hops}"
         " WHERE src <> v GROUP BY src"
     )
+
+
+def butterflies(
+    edges: DataFrame,
+    k: int = 50,
+    max_left_degree: int = 64,
+) -> DataFrame:
+    """Per-right-vertex butterfly counts on a bipartite graph — the
+    butterfly (2×2 biclique, C₄) is the bipartite analogue of the
+    triangle and the base motif of bipartite clustering/community
+    metrics (Sanei-Mehri, Sariyüce & Tirthapura, KDD 2018). For right
+    vertices p ≠ q sharing m left neighbors, the pair closes C(m,2)
+    butterflies; bf(p) = Σ_q C(m_pq, 2).
+
+    ``max_left_degree`` caps LEFT-side wedge generators before the
+    pair join (a left vertex of degree d emits C(d,2) right pairs —
+    the candidate-set bomb; same safe-by-default contract as the
+    capped n-gram/cocitation paths — and the cap is the standard
+    practice for this motif at web scale).
+
+    Result: top-``k`` (vid, n_butterflies) by count desc then vid.
+    Plan: degree cap semi-join → one self-join keyed by the left
+    vertex (never right×right all-pairs) → partial-agg pair counts →
+    per-vertex agg → TakeOrderedAndProject. Integer throughout.
+    """
+    e = edges.select("src", "dst").distinct()
+    keep = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") <= max_left_degree)
+        .select("src")
+    )
+    ec = e.join(keep, "src")
+    pairs = (
+        ec.select("src", F.col("dst").alias("p"))
+        .join(ec.select("src", F.col("dst").alias("q")), "src")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+        .select("p", "q", F.expr("(m * (m - 1)) div 2").cast("long").alias("bf"))
+    )
+    per_vertex = (
+        pairs.select(F.col("p").alias("vid"), "bf")
+        .unionAll(pairs.select(F.col("q").alias("vid"), "bf"))
+        .groupBy("vid")
+        .agg(F.sum("bf").cast("long").alias("n_butterflies"))
+    )
+    return per_vertex.orderBy(F.desc("n_butterflies"), "vid").limit(k)
+
+
+def butterflies_sql(
+    edges_cte: str, k: int = 50, max_left_degree: int = 64
+) -> str:
+    """DuckDB twin of :func:`butterflies`."""
+    return (
+        f"WITH {edges_cte}, "
+        "e0 AS (SELECT DISTINCT src, dst FROM edges), "
+        "keep AS (SELECT src FROM (SELECT src, COUNT(*) AS d FROM e0"
+        f" GROUP BY src) WHERE d <= {max_left_degree}), "
+        "ec AS (SELECT e0.src, e0.dst FROM e0 JOIN keep ON keep.src = e0.src), "
+        "pairs AS (SELECT a.dst AS p, b.dst AS q, COUNT(*) AS m"
+        " FROM ec a JOIN ec b ON a.src = b.src AND a.dst < b.dst"
+        " GROUP BY a.dst, b.dst HAVING COUNT(*) >= 2), "
+        "bf AS (SELECT p, q, CAST(m * (m - 1) // 2 AS BIGINT) AS bf"
+        " FROM pairs), "
+        "pv AS (SELECT vid, CAST(SUM(bf) AS BIGINT) AS n_butterflies FROM"
+        " (SELECT p AS vid, bf FROM bf UNION ALL SELECT q, bf FROM bf)"
+        " GROUP BY vid) "
+        f"SELECT vid, n_butterflies FROM pv"
+        f" ORDER BY n_butterflies DESC, vid LIMIT {k}"
+    )

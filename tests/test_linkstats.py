@@ -361,3 +361,61 @@ def test_temporal_reach_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------------------------- butterflies
+def test_butterflies_hand_case(spark):
+    """K_{2,2} on orders {1,2} × parts {10,11} is exactly one
+    butterfly (each part gets 1); part 12 hangs off order 1 only and
+    closes nothing."""
+    from drone_spark.algorithms.linkstats import butterflies
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (1, 12)],
+        "src long, dst long",
+    )
+    got = {r["vid"]: r["n_butterflies"] for r in butterflies(e).collect()}
+    assert got == {10: 1, 11: 1}
+
+
+def test_butterflies_choose_two(spark):
+    """Three orders sharing the same two parts: C(3,2)=3 butterflies."""
+    from drone_spark.algorithms.linkstats import butterflies
+
+    e = spark.createDataFrame(
+        [(o, p) for o in (1, 2, 3) for p in (10, 11)],
+        "src long, dst long",
+    )
+    got = {r["vid"]: r["n_butterflies"] for r in butterflies(e).collect()}
+    assert got == {10: 3, 11: 3}
+
+
+def test_butterflies_left_degree_cap(spark):
+    """An order with degree above the cap generates no wedges."""
+    from drone_spark.algorithms.linkstats import butterflies
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11)],
+        "src long, dst long",
+    )
+    got = butterflies(e, max_left_degree=2).collect()
+    assert got == []  # order 1 capped out; order 2 alone closes nothing
+
+
+def test_butterflies_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.algorithms.linkstats import butterflies, butterflies_sql
+
+    rows = [(o, 10 + (o * 7 + j) % 5) for o in range(1, 9) for j in range(3)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = [tuple(r) for r in butterflies(e, k=10).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(
+            butterflies_sql("edges AS (SELECT src, dst FROM base)", k=10)
+        ).fetchall()
+    ]
+    assert got == want
