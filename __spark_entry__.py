@@ -3161,6 +3161,21 @@ def _butterflies_sql() -> str:
     return butterflies_sql(SQL_BIPARTITE, k=50, max_left_degree=64)
 
 
+def q_matching(spark, sf_dir):
+    """4 rounds of salted mutual-proposal matching on the co-purchase
+    graph — the METIS-coarsening primitive (algorithms/mis.
+    maximal_matching), bounded-prefix exact in both engines."""
+    from drone_spark.algorithms.mis import maximal_matching
+
+    return maximal_matching(_copurchase_edges(spark, sf_dir), rounds=4)
+
+
+def _matching_sql() -> str:
+    from drone_spark.algorithms.mis import maximal_matching_sql
+
+    return maximal_matching_sql(SQL_COPURCHASE, rounds=4)
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Per-document content-defined-chunking duplication profile —
     storage-style sub-document dedup (LBFS/FastCDC boundaries) over
@@ -3676,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach": q_temporal_reach,
         "pack_bins": q_pack_bins,
         "butterflies": q_butterflies,
+        "matching": q_matching,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4293,6 +4309,7 @@ def oracle_sql() -> dict[str, str]:
     out["temporal_reach"] = _temporal_reach_sql()
     out["pack_bins"] = _pack_bins_sql()
     out["butterflies"] = _butterflies_sql()
+    out["matching"] = _matching_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

@@ -110,3 +110,129 @@ def maximal_independent_set(
     if winners_acc is None:  # empty graph
         return sym.select(F.col("src").alias("vid")).limit(0)
     return winners_acc.select("vid")
+
+
+def maximal_matching(
+    edges: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Distributed matching by salted mutual proposals — the Israeli-
+    Itai symmetry-breaking pattern, and THE coarsening primitive of
+    multilevel graph partitioners (METIS collapses a maximal matching
+    per level — the very preprocessing the reference consumes, SURVEY
+    §2.2). Each round r, every unmatched vertex proposes to its
+    unmatched neighbor with the smallest (md5(r‖u), u) pair; mutual
+    proposals match, both endpoints retire. The per-round salt
+    re-randomizes the priority order, so stalls like a path graph's
+    one-pair-per-round min-ID pathology don't persist: a constant
+    fraction of proposal chains close per round in expectation
+    (Israeli & Itai 1986's analysis shape).
+
+    ``rounds`` is a fixed prefix (the onion_layers/katz convention —
+    kernels whose fixpoint depth is data-dependent run a deterministic
+    bounded prefix for cross-engine exactness): the result is a valid
+    (not necessarily maximal) matching after ``rounds`` rounds,
+    identical in both engines; maximality is approached geometrically.
+
+    Result: (a, b, round) with a < b — the matched pairs and the round
+    that closed them.
+
+    Scale shape per round: one semi-join to restrict the edge list to
+    unmatched endpoints (the live edge set shrinks monotonically), one
+    partial-agg MIN(struct) per vertex for the proposal, one self-join
+    on the proposal table for mutuality — all hash joins on vertex
+    keys; matched state is localCheckpointed per round (flat lineage,
+    the onion_layers lesson).
+    """
+    sym = symmetrize(edges).persist()
+    sym.count()
+    spark = edges.sparkSession
+    matched_pairs: list[DataFrame] = []
+    matched_verts = spark.createDataFrame([], "vid long")
+    live = sym
+    for r in range(1, rounds + 1):
+        if r > 1:
+            live = (
+                live.join(
+                    matched_verts.withColumnRenamed("vid", "src"),
+                    "src",
+                    "left_anti",
+                )
+                .join(
+                    matched_verts.withColumnRenamed("vid", "dst"),
+                    "dst",
+                    "left_anti",
+                )
+                .localCheckpoint()
+            )
+        pri = _priority(F.concat(F.lit(f"m{r}:"), F.col("dst").cast("string")))
+        prop = (
+            live.select("src", "dst", pri.alias("h"))
+            .groupBy("src")
+            .agg(F.min(F.struct("h", "dst")).alias("pick"))
+            .select("src", F.col("pick.dst").alias("to"))
+        )
+        mutual = (
+            prop.alias("x")
+            .join(
+                prop.alias("y"),
+                (F.col("x.to") == F.col("y.src"))
+                & (F.col("y.to") == F.col("x.src")),
+            )
+            .where(F.col("x.src") < F.col("x.to"))
+            .select(
+                F.col("x.src").alias("a"),
+                F.col("x.to").alias("b"),
+                F.lit(r).cast("long").alias("round"),
+            )
+            .localCheckpoint()
+        )
+        matched_pairs.append(mutual)
+        matched_verts = (
+            matched_verts.unionAll(mutual.select(F.col("a").alias("vid")))
+            .unionAll(mutual.select(F.col("b").alias("vid")))
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    res = matched_pairs[0]
+    for part in matched_pairs[1:]:
+        res = res.unionAll(part)
+    return res
+
+
+def maximal_matching_sql(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`maximal_matching`: unrolled round CTEs —
+    per round a ROW_NUMBER proposal pick over the live edge set and a
+    mutuality self-join, matched vertices accumulated by UNION."""
+    ctes = [
+        f"WITH {edges_cte}",
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst))",
+        "mv0 AS (SELECT NULL::BIGINT AS vid WHERE FALSE)",
+    ]
+    pairs = []
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"live{r} AS MATERIALIZED (SELECT s.src, s.dst FROM sym s"
+            f" WHERE s.src NOT IN (SELECT vid FROM mv{r-1})"
+            f" AND s.dst NOT IN (SELECT vid FROM mv{r-1}))"
+        )
+        ctes.append(
+            f"prop{r} AS MATERIALIZED (SELECT src, dst AS t FROM ("
+            f"SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src"
+            f" ORDER BY ('0x' || substr(md5('m{r}:' ||"
+            f" CAST(dst AS VARCHAR)), 1, 15))::BIGINT, dst) AS rn"
+            f" FROM live{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"mm{r} AS MATERIALIZED (SELECT x.src AS a, x.t AS b,"
+            f" CAST({r} AS BIGINT) AS round FROM prop{r} x"
+            f" JOIN prop{r} y ON x.t = y.src AND y.t = x.src"
+            f" WHERE x.src < x.t)"
+        )
+        ctes.append(
+            f"mv{r} AS MATERIALIZED (SELECT vid FROM mv{r-1} UNION ALL"
+            f" SELECT a FROM mm{r} UNION ALL SELECT b FROM mm{r})"
+        )
+        pairs.append(f"SELECT a, b, round FROM mm{r}")
+    return ", ".join(ctes) + " " + " UNION ALL ".join(pairs)
