@@ -3176,6 +3176,21 @@ def _matching_sql() -> str:
     return maximal_matching_sql(SQL_COPURCHASE, rounds=4)
 
 
+def q_source_scorecard(spark, sf_dir):
+    """Per-source corpus health rollup — doc counts, mean quality,
+    corpus-wide duplicate exposure, language concentration; the
+    mixture-weighting dashboard (ops/curation.source_scorecard)."""
+    from drone_spark.ops.curation import source_scorecard
+
+    return source_scorecard(_read(spark, sf_dir, "documents"))
+
+
+def _source_scorecard_sql() -> str:
+    from drone_spark.ops.curation import source_scorecard_sql
+
+    return source_scorecard_sql()
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Per-document content-defined-chunking duplication profile —
     storage-style sub-document dedup (LBFS/FastCDC boundaries) over
@@ -3692,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "butterflies": q_butterflies,
         "matching": q_matching,
+        "source_scorecard": q_source_scorecard,
         "link_prediction": q_link_prediction,
         "partition_quality": q_partition_quality,
         "path2_reach": q_path2_reach,
@@ -4310,6 +4326,7 @@ def oracle_sql() -> dict[str, str]:
     out["pack_bins"] = _pack_bins_sql()
     out["butterflies"] = _butterflies_sql()
     out["matching"] = _matching_sql()
+    out["source_scorecard"] = _source_scorecard_sql()
     out["link_prediction"] = _link_prediction_sql()
     out["partition_quality"] = _partition_quality_sql()
     out["path2_reach"] = _path2_reach_sql()

@@ -40,8 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .textstats import (
+    NORM_SQL as _NORM,
     lang_id,
     lang_id_sql,
+    norm_text,
     quality_score,
     repetition_stats,
     repetition_stats_sql,
@@ -240,4 +242,126 @@ def curation_verdict_sql(
         "CAST(reasons AS BIGINT) AS reasons, "
         "CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep "
         "FROM bits"
+    )
+
+
+def source_scorecard(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus health dashboard — the aggregation every
+    curation pipeline reports before deciding source mixture weights
+    (which crawls/feeds to up/down-sample): document count, mean
+    quality, exact-duplicate exposure, and language concentration, per
+    ``source`` column value.
+
+    Result: (source, n_docs, mean_quality, n_dup_docs, top_lang,
+    top_lang_share_ppm) where mean_quality = ⌊Σquality/n⌋ (integer —
+    the scorecard convention everywhere here), n_dup_docs counts
+    documents whose normalized-text fingerprint occurs ≥2 times
+    CORPUS-WIDE (cross-source duplication charges every copy — the
+    mixture-weighting view, unlike exact_dedup's keep-one view), and
+    top_lang is the modal lang_id prediction (ties → lexicographically
+    smallest, deterministic).
+
+    Pure composition of the tier's own primitives (quality_score,
+    lang_id, fingerprint grouping) — one pass each, partial-agg
+    rollups keyed by the low-cardinality source column; the fingerprint
+    group sizes are the only corpus-keyed shuffle, on uniform md5 keys.
+    """
+    base = docs.select("doc_id", "source")
+    q = quality_score(docs, text_col)
+    lang = lang_id(docs, text_col)
+    fp = docs.select(
+        "doc_id", "source", F.md5(norm_text(text_col)).alias("fprint")
+    )
+    gsz = fp.groupBy("fprint").agg(F.count(F.lit(1)).alias("gsz"))
+    dup = (
+        fp.join(gsz, "fprint")
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("gsz") >= 2).cast("long")).cast("long")
+            .alias("n_dup_docs")
+        )
+    )
+    agg = (
+        base.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("quality").alias("sumq"),
+        )
+    )
+    lcounts = (
+        base.join(lang, "doc_id")
+        .groupBy("source", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lmode = (
+        lcounts.withColumn(
+            "pick", F.struct((-F.col("n")).alias("negn"), "lang_pred")
+        )
+        .groupBy("source")
+        .agg(F.min("pick").alias("pick"))
+        .select(
+            "source",
+            F.col("pick.lang_pred").alias("top_lang"),
+            (-F.col("pick.negn")).cast("long").alias("top_n"),
+        )
+    )
+    return (
+        agg.join(dup, "source")
+        .join(lmode, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.expr("sumq div n_docs").cast("long").alias("mean_quality"),
+            "n_dup_docs",
+            "top_lang",
+            F.expr("(1000000 * top_n) div n_docs")
+            .cast("long")
+            .alias("top_lang_share_ppm"),
+        )
+    )
+
+
+def source_scorecard_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`source_scorecard` — composes the
+    quality/lang oracles this module already mirrors."""
+    quality = (
+        "SELECT doc_id, GREATEST(0, 100 "
+        "- LEAST(40, (n_punct * 100) // GREATEST(n_chars, 1)) "
+        "- LEAST(30, (n_digits * 100) // GREATEST(n_chars, 1)) "
+        "- CASE WHEN n_tokens < 10 THEN 30 ELSE 0 END) AS quality FROM "
+        "(SELECT doc_id, length(text) AS n_chars, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+        "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))"
+        " AS n_punct, "
+        "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))"
+        f" AS n_digits FROM {doc_table})"
+    )
+    return (
+        f"WITH q AS ({quality}), "
+        f"l AS ({lang_id_sql(doc_table)}), "
+        f"fp AS (SELECT doc_id, source, md5({_NORM}) AS fprint"
+        f" FROM {doc_table}), "
+        "gs AS (SELECT fprint, COUNT(*) AS gsz FROM fp GROUP BY fprint), "
+        "dup AS (SELECT f.source, CAST(SUM(CASE WHEN gs.gsz >= 2 THEN 1"
+        " ELSE 0 END) AS BIGINT) AS n_dup_docs FROM fp f"
+        " JOIN gs ON gs.fprint = f.fprint GROUP BY f.source), "
+        f"base AS (SELECT doc_id, source FROM {doc_table}), "
+        "agg AS (SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(q.quality) AS BIGINT) AS sumq FROM base b"
+        " JOIN q ON q.doc_id = b.doc_id GROUP BY b.source), "
+        "lc AS (SELECT b.source, l.lang_pred, CAST(COUNT(*) AS BIGINT)"
+        " AS n FROM base b JOIN l ON l.doc_id = b.doc_id"
+        " GROUP BY b.source, l.lang_pred), "
+        "lm AS (SELECT source, lang_pred, n FROM (SELECT source,"
+        " lang_pred, n, ROW_NUMBER() OVER (PARTITION BY source"
+        " ORDER BY n DESC, lang_pred) AS rn FROM lc) WHERE rn = 1) "
+        "SELECT a.source, a.n_docs,"
+        " CAST(a.sumq // a.n_docs AS BIGINT) AS mean_quality,"
+        " dup.n_dup_docs, lm.lang_pred AS top_lang,"
+        " CAST((1000000 * lm.n) // a.n_docs AS BIGINT)"
+        " AS top_lang_share_ppm"
+        " FROM agg a JOIN dup ON dup.source = a.source"
+        " JOIN lm ON lm.source = a.source"
     )

@@ -92,3 +92,52 @@ def test_verdict_matches_duckdb_twin(spark):
     s = sdf[cols].sort_values("doc_id").reset_index(drop=True)
     d = ddf[cols].sort_values("doc_id").reset_index(drop=True)
     assert s.astype(str).equals(d.astype(str))
+
+
+# ------------------------------------------------------ source scorecard
+def test_source_scorecard_hand_case(spark):
+    """Source A: two identical docs (both dup-flagged) + one unique;
+    source B: one doc duplicating A's text corpus-wide (cross-source
+    dup charged to BOTH sides)."""
+    from drone_spark.ops.curation import source_scorecard
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, t, "A"),
+            (2, t, "A"),
+            (3, "completely different words forty one two three four five six", "A"),
+            (4, t, "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in source_scorecard(docs).collect()}
+    a, b = rows["A"], rows["B"]
+    assert a["n_docs"] == 3 and a["n_dup_docs"] == 2
+    assert b["n_docs"] == 1 and b["n_dup_docs"] == 1
+    # doc 3 has no language markers → 'und'; A is 2×en + 1×und
+    assert a["top_lang"] == "en" and a["top_lang_share_ppm"] == 666666
+    assert b["top_lang"] == "en" and b["top_lang_share_ppm"] == 1000000
+    # quality: all docs ≥10 tokens, no punct/digits → 100
+    assert a["mean_quality"] == 100 and b["mean_quality"] == 100
+
+
+def test_source_scorecard_sql_twin(spark):
+    from drone_spark.ops.curation import (
+        source_scorecard, source_scorecard_sql,
+    )
+
+    texts = [
+        (i, ("word%d " % (i % 5)) * (3 + i % 9) + ("1, 2! " * (i % 3)),
+         "s%d" % (i % 4))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string, source string")
+    got = sorted(tuple(r) for r in source_scorecard(docs).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", texts)
+    want = sorted(tuple(r) for r in con.execute(source_scorecard_sql()).fetchall())
+    assert got == want
