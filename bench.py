@@ -338,14 +338,14 @@ def main() -> None:
             generate_edges_direct(spark, SCALING_VERTICES, seed=42)
             .write.mode("overwrite").parquet(scaling_edges_dir)
         )
-        # the standalone (executor-JVM) pair measures on a 2× graph by
+        # the standalone (executor-JVM) pair measures on a 4× graph by
         # default: the 2M-vertex probe leaves a fixed ≈2.7 s/superstep
         # driver-serial term un-amortized (measured 0.61-0.82 efficiency
-        # spread at 13.4M edges vs a stable 0.806 at 26.8M — BASELINE.md
-        # round-4 replications), and at 100 TB per-superstep work
-        # dominates that term by orders of magnitude
+        # spread at 13.4M edges vs 0.806 at 26.8M and 0.862 at 53.7M —
+        # BASELINE.md round-4/5 replications), and at 100 TB
+        # per-superstep work dominates that term by orders of magnitude
         standalone_vertices = int(
-            os.environ.get("SPARK_GRAFT_STANDALONE_VERTICES", "4000000")
+            os.environ.get("SPARK_GRAFT_STANDALONE_VERTICES", "8000000")
         )
         if standalone_vertices == SCALING_VERTICES:
             standalone_edges_dir = scaling_edges_dir
@@ -524,8 +524,8 @@ def main() -> None:
                         "1→4 executor JVMs (one worker JVM per executor), "
                         "spark-submit --py-files, identical input/partitions"
                         " — the N→4N executor pair run as separate processes"
-                        " instead of threads; 2× graph so per-superstep "
-                        "driver-serial time is amortized (BASELINE.md r4)"
+                        " instead of threads; 4× graph so per-superstep "
+                        "driver-serial time is amortized (BASELINE.md r4/r5)"
                     ),
                 }
             except Exception as exc:  # never fail the bench on the proxy
