@@ -391,3 +391,44 @@ def test_msf_round_no_python(spark, small_edges):
     plan = _plan(sel)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_round5_cont_ops_no_python(spark):
+    """CDC chunking, conductance, butterflies, temporal reach,
+    bot screening and sequence packing are pure JVM plans — no
+    BatchEvalPython / ArrowEvalPython anywhere."""
+    import datetime as dt
+
+    from drone_spark.algorithms.linkstats import butterflies, temporal_reach
+    from drone_spark.graph.quality import community_conductance
+    from drone_spark.ops.dedup import cdc_chunk_stats
+    from drone_spark.ops.events import bot_flags
+    from drone_spark.ops.sampling import pack_bins
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 4), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    tedges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 7)], "src long, dst long, ts long"
+    )
+    assign = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, community string"
+    )
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1))], "user_id long, ts timestamp"
+    )
+    for df in (
+        cdc_chunk_stats(docs),
+        pack_bins(docs, budget_tokens=8),
+        community_conductance(edges, assign),
+        butterflies(edges),
+        temporal_reach(tedges, hops=2),
+        bot_flags(ev),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
