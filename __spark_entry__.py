@@ -417,6 +417,53 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_read(spark, sf_dir, "documents"), k=100)
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Zipf fit over the top-1000 vocabulary head (ops/corpusstats.py —
+    TakeOrderedAndProject head, one ≤k-row regression agg)."""
+    from drone_spark.ops.corpusstats import zipf_slope
+
+    return zipf_slope(_read(spark, sf_dir, "documents"), k=1000)
+
+
+def q_heaps_law(spark, sf_dir):
+    """Vocabulary-growth checkpoints in corpus order (ops/corpusstats.py
+    — two-level distributed prefix scan; the oracle is the naive global
+    window, proving value identity)."""
+    from drone_spark.ops.corpusstats import heaps_law
+
+    return heaps_law(_read(spark, sf_dir, "documents"), stride=10)
+
+
+def q_posting_gaps(spark, sf_dir):
+    """Posting-list delta-gap compression profile (ops/corpusstats.py —
+    token-partitioned lag window, exact-integer varint sizing)."""
+    from drone_spark.ops.corpusstats import posting_gaps
+
+    return posting_gaps(_read(spark, sf_dir, "documents"), min_df=5)
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Top PMI collocations with df-band + per-doc cap blowup control
+    (ops/corpusstats.py). The synthetic corpus draws from a ~31-word
+    head vocabulary where every token clears a natural-language
+    stopword share, so the registered query opens the upper df band
+    (max_df_den=1) and raises min_pair instead; the library defaults
+    keep the band (df ≤ N/5) for real crawls."""
+    from drone_spark.ops.corpusstats import pmi_pairs
+
+    return pmi_pairs(
+        _read(spark, sf_dir, "documents"), max_df_den=1, min_pair=25
+    )
+
+
+def q_degree_gini(spark, sf_dir):
+    """Gini coefficient of the out-degree distribution via the degree
+    histogram's closed-form rank sums (algorithms/linkstats.py)."""
+    from drone_spark.algorithms.linkstats import degree_gini
+
+    return degree_gini(_bipartite_edges(spark, sf_dir))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from drone_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -3799,6 +3846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
+        "zipf_slope": q_zipf_slope,
+        "heaps_law": q_heaps_law,
+        "posting_gaps": q_posting_gaps,
+        "pmi_pairs": q_pmi_pairs,
+        "degree_gini": q_degree_gini,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -4138,6 +4190,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))"
         ),
         "vocab_topk": _vocab_topk_oracle(),
+        "zipf_slope": _zipf_slope_oracle(),
+        "heaps_law": _heaps_law_oracle(),
+        "posting_gaps": _posting_gaps_oracle(),
+        "pmi_pairs": _pmi_pairs_oracle(),
+        "degree_gini": _degree_gini_oracle(),
         "lang_id": _lang_id_oracle(),
         "embedding_near_dups_exact": _embedding_exact_oracle(),
         "minhash_dedup": _minhash_oracle(),
@@ -4457,6 +4514,36 @@ def _winnow_oracle() -> str:
     from drone_spark.ops.textstats import winnow_fingerprints_sql
 
     return winnow_fingerprints_sql(k=3, w=4)
+
+
+def _zipf_slope_oracle() -> str:
+    from drone_spark.ops.corpusstats import zipf_slope_sql
+
+    return zipf_slope_sql(k=1000)
+
+
+def _heaps_law_oracle() -> str:
+    from drone_spark.ops.corpusstats import heaps_law_sql
+
+    return heaps_law_sql(stride=10)
+
+
+def _posting_gaps_oracle() -> str:
+    from drone_spark.ops.corpusstats import posting_gaps_sql
+
+    return posting_gaps_sql(min_df=5)
+
+
+def _pmi_pairs_oracle() -> str:
+    from drone_spark.ops.corpusstats import pmi_pairs_sql
+
+    return pmi_pairs_sql(max_df_den=1, min_pair=25)
+
+
+def _degree_gini_oracle() -> str:
+    from drone_spark.algorithms.linkstats import degree_gini_sql
+
+    return degree_gini_sql(SQL_BIPARTITE)
 
 
 def _ngram_containment_oracle() -> str:

@@ -1115,3 +1115,74 @@ def butterflies_sql(
         f"SELECT vid, n_butterflies FROM pv"
         f" ORDER BY n_butterflies DESC, vid LIMIT {k}"
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """Hub-concentration audit: the Gini coefficient of the out-degree
+    distribution over ALL vertices (sinks count with out-degree 0) →
+    one row (n_vertices, total_degree, gini), gini rounded to 6. Web
+    link graphs run extremely unequal (gini → 1 as hubs dominate); a
+    crawl shard whose gini collapses toward 0 is usually a spider trap
+    emitting uniform synthetic pages, so this pairs with
+    url_templates as a crawl-health gate.
+
+    Computed from the DEGREE HISTOGRAM, never a per-vertex global
+    sort-rank: vertices with degree d occupy the consecutive ascending
+    ranks (cum_before, cum], whose rank-sum is closed-form
+    (lo+hi)·cnt/2 — so the only window runs over the tiny (degree →
+    count) histogram, O(distinct degrees) rows at any graph size. All
+    terms stay exact integers until the final two IEEE divides."""
+    from pyspark.sql import Window
+
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    v = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = v.join(outdeg, "id", "left").select(
+        F.coalesce("d", F.lit(0)).cast("long").alias("d")
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("m").over(w))
+    # ranks of the degree-d block: (cum-m, cum]; sum = (lo+hi)*cnt/2
+    rank_sum = F.expr("((cum - m + 1 + cum) * m) div 2")
+    agg = cum.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("d") * F.col("m")).cast("long").alias("total"),
+        F.sum(F.col("d") * rank_sum).cast("long").alias("weighted"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("weighted").cast("double")
+        / (F.col("n") * F.col("total")).cast("double")
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return agg.select(
+        F.col("n").alias("n_vertices"),
+        F.col("total").alias("total_degree"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def degree_gini_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`degree_gini` — same histogram closed form."""
+    return (
+        f"WITH {edges_cte}, "
+        "outdeg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src), "
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges "
+        "UNION ALL SELECT dst FROM edges)), "
+        "deg AS (SELECT CAST(COALESCE(o.d, 0) AS BIGINT) AS d "
+        "FROM v LEFT JOIN outdeg o ON v.id = o.id), "
+        "hist AS (SELECT d, COUNT(*) AS m FROM deg GROUP BY d), "
+        "cums AS (SELECT d, m, SUM(m) OVER (ORDER BY d) AS cum FROM hist), "
+        "agg AS (SELECT CAST(SUM(m) AS BIGINT) AS n, "
+        "CAST(SUM(d * m) AS BIGINT) AS total, "
+        "CAST(SUM(d * ((cum - m + 1 + cum) * m // 2)) AS BIGINT) AS weighted "
+        "FROM cums) "
+        "SELECT n AS n_vertices, total AS total_degree, "
+        "ROUND(2.0 * CAST(weighted AS DOUBLE) / CAST(n * total AS DOUBLE) "
+        "- CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini FROM agg"
+    )

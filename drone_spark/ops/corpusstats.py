@@ -1,0 +1,383 @@
+"""Corpus-level statistical laws and index-compression estimates.
+
+Web-corpus curation pipelines sanity-check a crawl against the two
+classic power laws — Zipf (token frequency vs rank) and Heaps
+(vocabulary growth vs tokens seen) — and size their inverted index
+from the posting-list delta-gap distribution. PMI pairs surface the
+collocations a tokenizer-vocab or stopword pass should know about.
+None of these exist in the reference (it ships no text tier at all —
+SURVEY §2.3); all four are pure relational plans with exact DuckDB
+twins in ``__spark_entry__.py``.
+
+At-scale shape notes:
+
+- ``zipf_slope`` regresses over the TOP-K vocabulary head only, so the
+  global ordering is TakeOrderedAndProject (per-partition heap, k rows
+  to the driver-side merge) — never a full vocabulary sort. The
+  regression itself is one aggregate over ≤k rows.
+- ``heaps_law`` needs a global prefix sum in corpus (doc_id) order —
+  the classic single-task window trap. Like sampling.pack_bins it runs
+  the textbook two-level scan: range-bucketed per-bucket window (all
+  buckets in parallel) + an n_buckets-row offset table broadcast back.
+  Values are identical to the naive global window (the DuckDB twin IS
+  the naive global window, proving it).
+- ``posting_gaps`` windows are PARTITIONED by token — per-term state
+  only, embarrassingly parallel; hot terms are bounded by the corpus'
+  own df. All outputs are exact integers (varint byte estimate uses
+  integer CASE thresholds, not float log2) so the oracle hash-matches
+  bitwise.
+- ``pmi_pairs`` is the canonical pair-blowup op, handled like dedup's
+  n-gram pass: df band (min_df, max df share) drops hapaxes and
+  stopwords BEFORE the self-join, and a deterministic per-doc cap
+  bounds the join at cap² pairs per document. PMI denominators use the
+  capped df so the statistic is self-consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textstats import NORM_SQL, norm_text, token_count
+
+ROUND = 6
+
+
+def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's law
+# ---------------------------------------------------------------------------
+def zipf_slope(docs: DataFrame, k: int = 1000, text_col: str = "text") -> DataFrame:
+    """Least-squares fit of ln(freq) ~ ln(rank) over the top-``k``
+    vocabulary head → one row (n_terms, slope, intercept, r2), rounded
+    to 6 decimals. A healthy natural-language crawl fits slope ≈ −1;
+    spam/boilerplate-heavy shards drift far from it, so this is a
+    per-shard corpus-health gate.
+
+    Ranks tie-break by token so both engines rank identically; the
+    top-k is TakeOrderedAndProject, the regression one agg over ≤k
+    rows (regr_slope/intercept/r2 are built-in on both engines)."""
+    counts = (
+        _tokens(docs, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    y = F.ln(F.col("n").cast("double"))
+    x = F.ln(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(y, x), ROUND).alias("slope"),
+        F.round(F.regr_intercept(y, x), ROUND).alias("intercept"),
+        F.round(F.regr_r2(y, x), ROUND).alias("r2"),
+    )
+
+
+def zipf_slope_sql(k: int = 1000, doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`zipf_slope`."""
+    return (
+        f"WITH norm AS (SELECT {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT UNNEST(string_split(nt, ' ')) AS token FROM norm), "
+        "counts AS (SELECT token, COUNT(*) AS n FROM toks "
+        "WHERE length(token) > 0 GROUP BY token), "
+        "ranked AS (SELECT n, ROW_NUMBER() OVER "
+        "(ORDER BY n DESC, token) AS rank FROM counts) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, "
+        "ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS slope, "
+        "ROUND(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS intercept, "
+        "ROUND(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2 "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law
+# ---------------------------------------------------------------------------
+def heaps_law(
+    docs: DataFrame,
+    stride: int = 10,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Vocabulary-growth curve in corpus (doc_id) order: for every
+    ``stride``-th doc_id, (doc_id, cum_tokens, cum_vocab) — total
+    tokens and distinct tokens over all docs with id ≤ this one.
+    Heaps' law predicts cum_vocab ≈ K·cum_tokensᵝ; a shard whose curve
+    flattens early is duplicate-heavy (dedup finds the same shards).
+
+    Per-doc new-vocabulary counts come from each token's
+    FIRST-occurrence doc (min doc_id per token) — one groupBy, no
+    cross-doc set union. The two prefix sums run as two-level scans:
+    doc_ids are range-bucketed into ``n_buckets`` contiguous spans (one
+    tiny max(doc_id) scalar job sizes the spans), each span cumsums in
+    parallel under a PARTITIONed window, and an n_buckets-row offset
+    table is broadcast back — identical values to a naive global
+    window at any scale."""
+    per_doc = docs.select(
+        "doc_id", token_count(text_col).cast("long").alias("tc")
+    )
+    firsts = (
+        _tokens(docs, text_col)
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    joined = per_doc.join(firsts, "doc_id", "left").select(
+        "doc_id", "tc", F.coalesce("nv", F.lit(0)).cast("long").alias("nv")
+    )
+    max_id = joined.agg(F.max("doc_id").alias("m"))
+    span = F.col("m") / n_buckets + 1
+    keyed = joined.join(F.broadcast(max_id)).withColumn(
+        "bucket", (F.col("doc_id") / span).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = keyed.select(
+        "doc_id",
+        "bucket",
+        F.sum("tc").over(w_in).alias("tc_loc"),
+        F.sum("nv").over(w_in).alias("nv_loc"),
+    )
+    totals = keyed.groupBy("bucket").agg(
+        F.sum("tc").alias("tc_tot"), F.sum("nv").alias("nv_tot")
+    )
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("tc_tot").over(w_b), F.lit(0)).alias("tc_off"),
+        F.coalesce(F.sum("nv_tot").over(w_b), F.lit(0)).alias("nv_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .where(F.col("doc_id") % stride == 0)
+        .select(
+            "doc_id",
+            (F.col("tc_off") + F.col("tc_loc")).cast("long").alias("cum_tokens"),
+            (F.col("nv_off") + F.col("nv_loc")).cast("long").alias("cum_vocab"),
+        )
+    )
+
+
+def heaps_law_sql(stride: int = 10, doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`heaps_law` — the NAIVE single-node global
+    window over doc_id order, proving the two-level scan's values."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "per_doc AS (SELECT doc_id, CAST(CASE WHEN nt = '' THEN 0 ELSE "
+        "length(nt) - length(replace(nt, ' ', '')) + 1 END AS BIGINT) AS tc "
+        "FROM norm), "
+        "toks AS (SELECT doc_id, UNNEST(string_split(nt, ' ')) AS token "
+        "FROM norm), "
+        "firsts AS (SELECT MIN(doc_id) AS doc_id FROM toks "
+        "WHERE length(token) > 0 GROUP BY token), "
+        "nvs AS (SELECT doc_id, COUNT(*) AS nv FROM firsts GROUP BY doc_id), "
+        "cum AS (SELECT p.doc_id, "
+        "SUM(p.tc) OVER (ORDER BY p.doc_id) AS cum_tokens, "
+        "SUM(COALESCE(n.nv, 0)) OVER (ORDER BY p.doc_id) AS cum_vocab "
+        "FROM per_doc p LEFT JOIN nvs n ON p.doc_id = n.doc_id) "
+        "SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens, "
+        "CAST(cum_vocab AS BIGINT) AS cum_vocab "
+        f"FROM cum WHERE doc_id % {stride} = 0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# posting-list delta-gap compression estimate
+# ---------------------------------------------------------------------------
+def posting_gaps(
+    docs: DataFrame, min_df: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-term posting-list compression profile: for every token with
+    document frequency ≥ ``min_df``, the delta-gap statistics of its
+    ascending doc_id list — (token, df, sum_gap, max_gap, varint_bytes)
+    where varint_bytes is the exact LEB128 byte count of the df−1
+    inter-doc gaps. This is how an index builder sizes storage and
+    picks block codecs BEFORE writing terabytes of postings.
+
+    The lag window is PARTITIONED by token (per-term state only). The
+    varint size uses integer CASE thresholds (128, 128², …) — no float
+    log2 — so every output column is an exact integer and the oracle
+    hash-matches bitwise."""
+    post = (
+        _tokens(docs, text_col)
+        .select("token", "doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    gaps = post.withColumn(
+        "gap", F.col("doc_id") - F.lag("doc_id").over(w)
+    )
+    g = F.col("gap")
+    varint = (
+        F.when(g < 128, 1)
+        .when(g < 16384, 2)
+        .when(g < 2097152, 3)
+        .when(g < 268435456, 4)
+        .otherwise(5)
+    )
+    return (
+        gaps.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("gap").cast("long").alias("sum_gap"),
+            F.max("gap").cast("long").alias("max_gap"),
+            F.sum(F.when(g.isNull(), 0).otherwise(varint))
+            .cast("long")
+            .alias("varint_bytes"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def posting_gaps_sql(min_df: int = 5, doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`posting_gaps`."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "post AS (SELECT DISTINCT token, doc_id FROM (SELECT doc_id, "
+        "UNNEST(string_split(nt, ' ')) AS token FROM norm) "
+        "WHERE length(token) > 0), "
+        "gaps AS (SELECT token, doc_id - LAG(doc_id) OVER "
+        "(PARTITION BY token ORDER BY doc_id) AS gap FROM post) "
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS df, "
+        "CAST(SUM(gap) AS BIGINT) AS sum_gap, "
+        "CAST(MAX(gap) AS BIGINT) AS max_gap, "
+        "CAST(SUM(CASE WHEN gap IS NULL THEN 0 WHEN gap < 128 THEN 1 "
+        "WHEN gap < 16384 THEN 2 WHEN gap < 2097152 THEN 3 "
+        "WHEN gap < 268435456 THEN 4 ELSE 5 END) AS BIGINT) AS varint_bytes "
+        f"FROM gaps GROUP BY token HAVING COUNT(*) >= {min_df}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation pairs
+# ---------------------------------------------------------------------------
+def pmi_pairs(
+    docs: DataFrame,
+    min_df: int = 5,
+    max_df_den: int = 5,
+    per_doc_cap: int = 32,
+    min_pair: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` document-level collocations by pointwise mutual
+    information: pairs of tokens that co-occur in documents far more
+    often than their individual frequencies predict → (t1, t2, n12,
+    df1, df2, pmi). The collocation pass a tokenizer-vocab or
+    stopword-list builder runs over a fresh crawl.
+
+    Pair-blowup control (the same safe-by-default contract as dedup's
+    ``max_doc_freq``): tokens outside the df band [``min_df``,
+    N/``max_df_den``] never enter the self-join (hapaxes are noise,
+    stopwords are the hub keys that explode it), and each document
+    contributes only its ``per_doc_cap`` lexicographically-first
+    eligible tokens — cap²/2 pairs per doc, a hard bound. PMI
+    denominators use the CAPPED document frequencies so the statistic
+    is exactly self-consistent with the pair counts. ln runs on
+    bit-identical doubles in both engines (exact integer products
+    < 2⁵³, one IEEE divide), then rounds to 6; ordering is by the
+    ROUNDED pmi with (t1, t2) tie-breaks, so ranking is deterministic
+    cross-engine. Top-k is TakeOrderedAndProject."""
+    dtok = _tokens(docs, text_col).select("doc_id", "token").distinct()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = dtok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    elig = (
+        dtok.join(df, "token")
+        .join(F.broadcast(n_docs))
+        .where(
+            (F.col("df") >= min_df) & (F.col("df") * max_df_den <= F.col("n_docs"))
+        )
+        .select("doc_id", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("token")
+    capped = (
+        elig.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_doc_cap)
+        .select("doc_id", "token")
+    )
+    dfc = capped.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("t1"), F.col("b.token").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .where(F.col("n12") >= min_pair)
+    )
+    scored = (
+        pairs.join(dfc.select(F.col("token").alias("t1"), F.col("dfc").alias("df1")), "t1")
+        .join(dfc.select(F.col("token").alias("t2"), F.col("dfc").alias("df2")), "t2")
+        .join(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            "n12",
+            "df1",
+            "df2",
+            F.round(
+                F.ln(
+                    (F.col("n_docs") * F.col("n12")).cast("double")
+                    / (F.col("df1") * F.col("df2")).cast("double")
+                ),
+                ROUND,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2")).limit(k)
+
+
+def pmi_pairs_sql(
+    min_df: int = 5,
+    max_df_den: int = 5,
+    per_doc_cap: int = 32,
+    min_pair: int = 5,
+    k: int = 50,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`pmi_pairs`."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "dtok AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, "
+        "UNNEST(string_split(nt, ' ')) AS token FROM norm) "
+        "WHERE length(token) > 0), "
+        f"nd AS (SELECT COUNT(*) AS n_docs FROM {doc_table}), "
+        "dfs AS (SELECT token, COUNT(*) AS df FROM dtok GROUP BY token), "
+        "elig AS (SELECT d.doc_id, d.token FROM dtok d JOIN dfs f "
+        "ON d.token = f.token, nd "
+        f"WHERE f.df >= {min_df} AND f.df * {max_df_den} <= nd.n_docs), "
+        "capped AS (SELECT doc_id, token FROM (SELECT doc_id, token, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY token) AS rn "
+        f"FROM elig) WHERE rn <= {per_doc_cap}), "
+        "dfc AS (SELECT token, COUNT(*) AS dfc FROM capped GROUP BY token), "
+        "pairs AS (SELECT a.token AS t1, b.token AS t2, COUNT(*) AS n12 "
+        "FROM capped a JOIN capped b ON a.doc_id = b.doc_id "
+        "AND a.token < b.token GROUP BY a.token, b.token "
+        f"HAVING COUNT(*) >= {min_pair}), "
+        "scored AS (SELECT t1, t2, CAST(n12 AS BIGINT) AS n12, "
+        "CAST(f1.dfc AS BIGINT) AS df1, CAST(f2.dfc AS BIGINT) AS df2, "
+        "ROUND(ln(CAST(nd.n_docs * n12 AS DOUBLE) / "
+        "CAST(f1.dfc * f2.dfc AS DOUBLE)), 6) AS pmi "
+        "FROM pairs JOIN dfc f1 ON pairs.t1 = f1.token "
+        "JOIN dfc f2 ON pairs.t2 = f2.token, nd) "
+        f"SELECT * FROM scored ORDER BY pmi DESC, t1, t2 LIMIT {k}"
+    )
