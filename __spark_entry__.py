@@ -3713,6 +3713,161 @@ def _robustness_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# probabilistic sketches (ops/sketches.py) — HLL / Count–Min / Bloom
+# ---------------------------------------------------------------------------
+def q_hll_outlinks(spark, sf_dir):
+    """HyperLogLog distinct-outlink-target estimate per host bucket
+    (src % 199, the same site rollup _url_edges uses), with the exact
+    count alongside. 64 registers/host; raw dst values never shuffle."""
+    from drone_spark.ops.sketches import hll_distinct
+
+    df = _bipartite_edges(spark, sf_dir).select(
+        (F.col("src") % 199).alias("host"), "dst"
+    )
+    return hll_distinct(df, "host", "dst")
+
+
+def q_cms_indegree(spark, sf_dir):
+    """Count–Min in-degree estimates for the 30 strongest in-link
+    hubs: 4×1024 counter grid built in one pass over the edge stream,
+    probed with min-over-rows; exact_cnt audits the overestimate."""
+    from drone_spark.ops.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_bipartite_edges(spark, sf_dir), "dst", k=30)
+
+
+def q_bloom_hubs(spark, sf_dir):
+    """Bloom prefilter (4096 bits, k=3) for 'is this target a hub?'
+    (indeg ≥ 35) tested over a deterministic 25 % candidate sample of
+    all targets; false positives are the bloom_hit=1/exact_hit=0 rows."""
+    from drone_spark.ops.sketches import bloom_prefilter
+
+    edges = _bipartite_edges(spark, sf_dir)
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    members = ind.where(F.col("indeg") >= 35).select("dst")
+    sample_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bs:"), F.col("dst").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    candidates = ind.where(sample_hash.bitwiseAND(3) == 0).select("dst")
+    return bloom_prefilter(members, candidates, "dst")
+
+
+def _hll_outlinks_sql() -> str:
+    from drone_spark.ops.sketches import hll_distinct_sql
+
+    return hll_distinct_sql(
+        f"{SQL_BIPARTITE}, src AS (SELECT src % 199 AS host, dst FROM edges)",
+        "host",
+        "dst",
+    ).replace("SELECT est.grp,", "SELECT est.grp AS host,")
+
+
+def _cms_indegree_sql() -> str:
+    from drone_spark.ops.sketches import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql(
+        f"{SQL_BIPARTITE}, src AS (SELECT dst FROM edges)", "dst", k=30
+    ).replace("SELECT probes.v,", "SELECT probes.v AS dst,")
+
+
+def _bloom_hubs_sql() -> str:
+    from drone_spark.ops.sketches import bloom_prefilter_sql
+
+    ctes = (
+        f"{SQL_BIPARTITE}, "
+        "ind AS (SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst), "
+        "members AS (SELECT dst AS v FROM ind WHERE indeg >= 35), "
+        "cands AS (SELECT dst AS v FROM ind WHERE "
+        "(('0x' || substr(md5('bs:' || CAST(dst AS VARCHAR)), 1, 15))::BIGINT & 3) = 0)"
+    )
+    return bloom_prefilter_sql(ctes, "members", "cands").replace(
+        "SELECT c.v,", "SELECT c.v AS dst,"
+    )
+
+
+# ---------------------------------------------------------------------------
+# WL refinement / triad census / RRF fusion / BPE merges
+# ---------------------------------------------------------------------------
+def q_wl_colors(spark, sf_dir):
+    """3-round Weisfeiler–Lehman color refinement over the symmetrized
+    page graph (algorithms/wl.py) — per-vertex structural fingerprints;
+    the superstep skeleton of label propagation with md5 signatures."""
+    from drone_spark.algorithms.wl import wl_refinement
+
+    return wl_refinement(_bipartite_edges(spark, sf_dir), rounds=3)
+
+
+def _wl_colors_sql() -> str:
+    from drone_spark.algorithms.wl import wl_refinement_sql
+
+    return wl_refinement_sql(SQL_BIPARTITE, rounds=3)
+
+
+def q_triad_census(spark, sf_dir):
+    """Directed dyad/triad census of the host graph (algorithms/
+    triads.py): mutual vs one-way host pairs, feed-forward vs cyclic
+    triangles — the SNA motif profile of the site-level web."""
+    from drone_spark.algorithms.triads import triad_census
+
+    return triad_census(_spark_host_edges(spark, sf_dir))
+
+
+def _triad_census_sql() -> str:
+    from drone_spark.algorithms.triads import triad_census_sql
+
+    return triad_census_sql(_host_edges_rebound_cte())
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the 5-superstep PageRank ranking with
+    the raw in-degree ranking (ops/fusion.py) — integer 10^9/(60+rank)
+    contributions, top-100 fused vertices."""
+    from drone_spark.ops.fusion import rrf_fuse
+
+    pr = q_pagerank5(spark, sf_dir).select("vid", F.col("pr_fx").alias("score"))
+    ind = (
+        _bipartite_edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    return rrf_fuse({"pr": pr, "ind": ind}, top=100)
+
+
+def _rrf_fusion_sql() -> str:
+    return (
+        f"WITH pr AS ({_pagerank5_sql()}), {SQL_BIPARTITE}, "
+        "ind AS (SELECT dst AS vid, COUNT(*) AS score FROM edges GROUP BY dst), "
+        "rp AS (SELECT vid, 1000000000 // (60 + ROW_NUMBER() OVER "
+        "(ORDER BY pr_fx DESC, vid ASC)) AS c_pr FROM pr), "
+        "ri AS (SELECT vid, 1000000000 // (60 + ROW_NUMBER() OVER "
+        "(ORDER BY score DESC, vid ASC)) AS c_ind FROM ind), "
+        "f AS (SELECT COALESCE(rp.vid, ri.vid) AS vid, "
+        "COALESCE(c_pr, 0) + COALESCE(c_ind, 0) AS rrf_fx "
+        "FROM rp FULL JOIN ri ON rp.vid = ri.vid) "
+        "SELECT vid, CAST(rrf_fx AS BIGINT) AS rrf_fx FROM f "
+        "ORDER BY rrf_fx DESC, vid ASC LIMIT 100"
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First-round BPE merge candidates: top-20 adjacent char pairs
+    weighted by token frequency (ops/textstats.bpe_merge_pairs)."""
+    from drone_spark.ops.textstats import bpe_merge_pairs
+
+    return bpe_merge_pairs(_read(spark, sf_dir, "documents"), k=20)
+
+
+def _bpe_merges_sql() -> str:
+    from drone_spark.ops.textstats import bpe_merge_pairs_sql
+
+    return bpe_merge_pairs_sql(k=20)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -3773,6 +3928,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stress": q_stress,
         "bipartite": q_bipartite,
         "sssp_weighted": q_sssp_weighted,
+        "hll_outlinks": q_hll_outlinks,
+        "cms_indegree": q_cms_indegree,
+        "bloom_hubs": q_bloom_hubs,
+        "wl_colors": q_wl_colors,
+        "triad_census": q_triad_census,
+        "rrf_fusion": q_rrf_fusion,
+        "bpe_merges": q_bpe_merges,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -4413,6 +4575,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(sz AS BIGINT) AS component_size, "
         "CAST(COUNT(*) AS BIGINT) AS n_components FROM szs GROUP BY sz"
     )
+    out["hll_outlinks"] = _hll_outlinks_sql()
+    out["cms_indegree"] = _cms_indegree_sql()
+    out["bloom_hubs"] = _bloom_hubs_sql()
+    out["wl_colors"] = _wl_colors_sql()
+    out["triad_census"] = _triad_census_sql()
+    out["rrf_fusion"] = _rrf_fusion_sql()
+    out["bpe_merges"] = _bpe_merges_sql()
     return out
 
 

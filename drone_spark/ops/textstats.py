@@ -1024,3 +1024,51 @@ def cooccurrence_lift(
             ).alias("lift_ppm"),
         )
     )
+
+
+def bpe_merge_pairs(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """First-round BPE merge candidates: adjacent character-pair
+    frequencies over the corpus, weighted by token frequency — exactly
+    the statistic byte-pair-encoding tokenizer training maximizes at
+    each merge step (Sennrich et al., ACL 2016). Returns the top-k
+    (pair, cnt) by count (ties on pair).
+
+    Scale shape: the pair explosion runs over the *distinct-token
+    frequency table*, not the raw token stream — at 100 TB the
+    vocabulary is ~10^7 rows while occurrences are ~10^13, so weighting
+    by the pre-aggregated count collapses the hot loop six orders of
+    magnitude before any explode. Everything is JVM lambda/\
+    higher-order functions (``transform(sequence(...))``); the DuckDB
+    twin mirrors it with list_transform/generate_series."""
+    tok_counts = (
+        docs.select(F.explode(F.split(norm_text(text_col), " ")).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = tok_counts.select(
+        "cnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def bpe_merge_pairs_sql(k: int = 20, doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_merge_pairs`."""
+    return (
+        f"WITH norm AS (SELECT {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT unnest(string_split(nt, ' ')) AS tok FROM norm), "
+        "tc AS (SELECT tok, COUNT(*) AS cnt FROM toks "
+        "WHERE length(tok) >= 2 GROUP BY tok), "
+        "pairs AS (SELECT unnest(list_transform(generate_series(1, length(tok) - 1), "
+        "i -> substr(tok, i, 2))) AS pair, cnt FROM tc) "
+        "SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pairs "
+        f"GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT {k}"
+    )
