@@ -3868,6 +3868,42 @@ def _bpe_merges_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# unigram surprisal / source KL / front coding / weighted sampling
+# ---------------------------------------------------------------------------
+def q_surprisal(spark, sf_dir):
+    """Per-doc mean unigram surprisal in micro-nats (corpusstats.
+    unigram_surprisal) — the pre-model CCNet-style quality signal."""
+    from drone_spark.ops.corpusstats import unigram_surprisal
+
+    return unigram_surprisal(_read(spark, sf_dir, "documents"))
+
+
+def q_source_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution
+    in micro-nats (corpusstats.source_kl) — mixture-drift audit."""
+    from drone_spark.ops.corpusstats import source_kl
+
+    return source_kl(_read(spark, sf_dir, "documents"))
+
+
+def q_dict_fc(spark, sf_dir):
+    """Front-coded term-dictionary size estimate per first-char block
+    (corpusstats.dict_frontcoding)."""
+    from drone_spark.ops.corpusstats import dict_frontcoding
+
+    return dict_frontcoding(_read(spark, sf_dir, "documents"))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted priority sample: top-50 docs by
+    char-count-weighted deterministic priority (ops/sampling.
+    weighted_priority_sample)."""
+    from drone_spark.ops.sampling import weighted_priority_sample
+
+    return weighted_priority_sample(_read(spark, sf_dir, "documents"), k=50)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -3935,6 +3971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": q_triad_census,
         "rrf_fusion": q_rrf_fusion,
         "bpe_merges": q_bpe_merges,
+        "surprisal": q_surprisal,
+        "source_kl": q_source_kl,
+        "dict_fc": q_dict_fc,
+        "weighted_sample": q_weighted_sample,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -4582,6 +4622,17 @@ def oracle_sql() -> dict[str, str]:
     out["triad_census"] = _triad_census_sql()
     out["rrf_fusion"] = _rrf_fusion_sql()
     out["bpe_merges"] = _bpe_merges_sql()
+    from drone_spark.ops.corpusstats import (
+        dict_frontcoding_sql,
+        source_kl_sql,
+        unigram_surprisal_sql,
+    )
+    from drone_spark.ops.sampling import weighted_priority_sample_sql
+
+    out["surprisal"] = unigram_surprisal_sql()
+    out["source_kl"] = source_kl_sql()
+    out["dict_fc"] = dict_frontcoding_sql()
+    out["weighted_sample"] = weighted_priority_sample_sql(k=50)
     return out
 
 

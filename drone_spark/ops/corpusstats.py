@@ -381,3 +381,201 @@ def pmi_pairs_sql(
         "JOIN dfc f2 ON pairs.t2 = f2.token, nd) "
         f"SELECT * FROM scored ORDER BY pmi DESC, t1, t2 LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal / per-source KL — the language-model-free quality
+# signals a curation pipeline computes before any model exists
+# ---------------------------------------------------------------------------
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram surprisal in micro-nats: the
+    self-information of each token under the corpus unigram model,
+    FLOOR(1e6·ln(N/c_t)) per token, summed with per-doc multiplicities
+    and divided (integer DIV) by the doc's token count. High = rare
+    vocabulary (often noise or non-text); low = boilerplate. The
+    pre-model twin of LM-perplexity filtering (CCNet-style).
+
+    Scale shape: the only ln runs on the DISTINCT-token table (~10^7
+    rows at 100 TB), never the occurrence stream; per-doc totals are
+    one integer-weighted join + sum. Integer end-to-end after the
+    floored log, so the DuckDB twin hash-matches."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+    ).where(F.length("token") > 0)
+    dtc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c_dt"))
+    gc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    n_total = gc.agg(F.sum("c_t").alias("n"))
+    s = gc.crossJoin(F.broadcast(n_total)).select(
+        "token",
+        F.floor(
+            F.lit(1_000_000)
+            * F.log(F.col("n").cast("double") / F.col("c_t"))
+        ).cast("long").alias("s_micro"),
+    )
+    return (
+        dtc.join(s, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.sum(F.col("c_dt") * F.col("s_micro")).alias("total"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("total DIV n_tokens").alias("mean_surprisal_micro"),
+        )
+    )
+
+
+def unigram_surprisal_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_surprisal`."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS token FROM norm), "
+        "tf AS (SELECT doc_id, token FROM toks WHERE length(token) > 0), "
+        "dtc AS (SELECT doc_id, token, COUNT(*) AS c_dt FROM tf GROUP BY 1, 2), "
+        "gc AS (SELECT token, COUNT(*) AS c_t FROM tf GROUP BY token), "
+        "nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM gc), "
+        "s AS (SELECT token, CAST(FLOOR(1000000 * LN(CAST(n AS DOUBLE) / c_t)) "
+        "AS BIGINT) AS s_micro FROM gc, nt) "
+        "SELECT dtc.doc_id, CAST(SUM(c_dt) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(c_dt * s_micro) // SUM(c_dt) AS BIGINT) AS mean_surprisal_micro "
+        "FROM dtc JOIN s ON dtc.token = s.token GROUP BY dtc.doc_id"
+    )
+
+
+def source_kl(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution,
+    in micro-nats: KL(p_s ‖ p) = Σ_t p_s(t)·ln(p_s(t)/p(t)), computed
+    as Σ_t c_st·FLOOR(1e6·ln((c_st·N)/(n_s·c_t))) DIV n_s. The
+    mixture-drift dashboard: a source whose vocabulary diverges from
+    the corpus is mis-weighted, mis-scraped, or another language.
+
+    One ln per (source, token) pair — bounded by sources × vocabulary,
+    never the occurrence stream."""
+    toks = docs.select(
+        "source",
+        F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+    ).where(F.length("token") > 0)
+    stc = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    sc = stc.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    gc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    n_total = gc.agg(F.sum("c_t").alias("n"))
+    terms = (
+        stc.join(sc, "source")
+        .join(gc, "token")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "source",
+            "n_s",
+            (
+                F.col("c_st")
+                * F.floor(
+                    F.lit(1_000_000)
+                    * F.log(
+                        (F.col("c_st").cast("double") * F.col("n"))
+                        / (F.col("n_s").cast("double") * F.col("c_t"))
+                    )
+                ).cast("long")
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n_s")
+        .agg(F.sum("term").alias("total"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.expr("total DIV n_s").alias("kl_micro"),
+        )
+    )
+
+
+def source_kl_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`source_kl`."""
+    return (
+        f"WITH norm AS (SELECT source, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT source, unnest(string_split(nt, ' ')) AS token FROM norm), "
+        "tf AS (SELECT source, token FROM toks WHERE length(token) > 0), "
+        "stc AS (SELECT source, token, COUNT(*) AS c_st FROM tf GROUP BY 1, 2), "
+        "sc AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM stc GROUP BY source), "
+        "gc AS (SELECT token, COUNT(*) AS c_t FROM tf GROUP BY token), "
+        "nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM gc), "
+        "terms AS (SELECT stc.source, sc.n_s, c_st * CAST(FLOOR(1000000 * "
+        "LN((CAST(c_st AS DOUBLE) * n) / (CAST(n_s AS DOUBLE) * c_t))) AS BIGINT) AS term "
+        "FROM stc JOIN sc ON stc.source = sc.source "
+        "JOIN gc ON stc.token = gc.token, nt) "
+        "SELECT source, n_s AS n_tokens, "
+        "CAST(SUM(term) // n_s AS BIGINT) AS kl_micro "
+        "FROM terms GROUP BY source, n_s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# term-dictionary front coding — the vocab-storage sizing twin of
+# posting_gaps' posting-list sizing
+# ---------------------------------------------------------------------------
+def dict_frontcoding(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Front-coding size estimate of the sorted term dictionary: within
+    each first-character block, consecutive terms store one
+    shared-prefix-length byte plus their unshared suffix (the block
+    head stores itself whole). Returns per-block
+    (block, n_terms, raw_bytes, coded_bytes).
+
+    The lag window is PARTITIONED by block — per-block state only, the
+    same parallel-window discipline as posting_gaps. The lcp is
+    computed as the count of matching prefixes over
+    ``sequence(1, least(len, len_prev))`` (prefix matching is monotone,
+    so the count IS the lcp) — JVM higher-order functions, no Python."""
+    vocab = (
+        docs.select(F.explode(F.split(norm_text(text_col), " ")).alias("token"))
+        .where(F.length("token") > 0)
+        .distinct()
+        .withColumn("block", F.substring("token", 1, 1))
+    )
+    w = Window.partitionBy("block").orderBy("token")
+    lagged = vocab.withColumn("prev", F.lag("token").over(w))
+    sized = lagged.select(
+        "block",
+        F.length("token").alias("raw"),
+        F.when(F.col("prev").isNull(), F.length("token"))
+        .otherwise(
+            F.lit(1)
+            + F.length("token")
+            - F.size(
+                F.expr(
+                    "filter(sequence(1, least(length(token), length(prev))), "
+                    "i -> substring(token, 1, i) = substring(prev, 1, i))"
+                )
+            )
+        )
+        .alias("coded"),
+    )
+    return (
+        sized.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("raw").alias("raw_bytes"),
+            F.sum("coded").alias("coded_bytes"),
+        )
+    )
+
+
+def dict_frontcoding_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`dict_frontcoding`."""
+    return (
+        f"WITH norm AS (SELECT {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT unnest(string_split(nt, ' ')) AS token FROM norm), "
+        "vocab AS (SELECT DISTINCT token FROM toks WHERE length(token) > 0), "
+        "blocked AS (SELECT token, substr(token, 1, 1) AS block FROM vocab), "
+        "lagged AS (SELECT block, token, "
+        "LAG(token) OVER (PARTITION BY block ORDER BY token) AS prev FROM blocked), "
+        "sized AS (SELECT block, length(token) AS raw, "
+        "CASE WHEN prev IS NULL THEN length(token) ELSE 1 + length(token) - "
+        "len(list_filter(generate_series(1, least(length(token), length(prev))), "
+        "i -> substr(token, 1, i) = substr(prev, 1, i))) END AS coded FROM lagged) "
+        "SELECT block, CAST(COUNT(*) AS BIGINT) AS n_terms, "
+        "CAST(SUM(raw) AS BIGINT) AS raw_bytes, "
+        "CAST(SUM(coded) AS BIGINT) AS coded_bytes FROM sized GROUP BY block"
+    )

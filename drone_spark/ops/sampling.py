@@ -225,3 +225,63 @@ def pack_bins_sql(
         f" CAST(before // {budget_tokens} AS BIGINT) AS bin_id,"
         f" CAST(before % {budget_tokens} AS BIGINT) AS bin_offset FROM cum"
     )
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wps:",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis priority sampling, IPL 2006): each row draws
+    u ∈ (0,1] from the md5 hash of its id and takes priority u^(1/w);
+    the top-k priorities ARE a weight-proportional sample. Priorities
+    are compared in the log domain as the scaled integer
+    FLOOR(1e12·ln(u)/w) (monotone in u^(1/w)), so the DuckDB twin
+    hash-matches and ties break on id.
+
+    This is how a 100 TB pipeline takes an importance-weighted corpus
+    sample in ONE pass with no RNG state: the top-k is
+    TakeOrderedAndProject (per-partition heap), never a global sort,
+    and re-running with the same salt reproduces the sample exactly —
+    lineage-friendly (the north rule's resumability story applies to
+    sampling too)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.floor(
+        F.lit(1_000_000_000_000) * F.log(u) / F.col(weight_col)
+    ).cast("long")
+    return (
+        docs.where(F.col(weight_col) > 0)
+        .select(id_col, F.col(weight_col).alias("weight"), key.alias("key_fx"))
+        .orderBy(F.desc("key_fx"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def weighted_priority_sample_sql(
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    doc_table: str = "documents",
+    salt: str = "wps:",
+) -> str:
+    """DuckDB twin of :func:`weighted_priority_sample`."""
+    h = (
+        f"('0x' || substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    return (
+        f"WITH keyed AS (SELECT {id_col}, {weight_col} AS weight, "
+        f"CAST(FLOOR(1000000000000 * LN(CAST({h} + 1 AS DOUBLE) / {float(1 << 60)}) "
+        f"/ {weight_col}) AS BIGINT) AS key_fx "
+        f"FROM {doc_table} WHERE {weight_col} > 0) "
+        f"SELECT * FROM keyed ORDER BY key_fx DESC, {id_col} ASC LIMIT {k}"
+    )
