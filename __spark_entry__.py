@@ -3904,6 +3904,48 @@ def q_weighted_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ACL sweep cut / forest-fire sampling
+# ---------------------------------------------------------------------------
+def q_ppr_sweep(spark, sf_dir):
+    """Andersen–Chung–Lang sweep: conductance curve of the ppr5/degree
+    ranking over the symmetrized page graph (algorithms/sweep.py) —
+    the local-community detector around the PPR seeds. Exact-integer
+    cut/vol/cond_ppm per prefix; both running sums are two-level
+    bucketed scans, never a single-task global window."""
+    from drone_spark.algorithms.sweep import sweep_cut
+
+    scores = q_ppr5(spark, sf_dir).select(
+        "vid", F.col("pr_fx").alias("score_fx")
+    )
+    return sweep_cut(scores, _bipartite_edges(spark, sf_dir))
+
+
+def _ppr_sweep_sql() -> str:
+    from drone_spark.algorithms.sweep import sweep_cut_sql
+
+    scores_cte = (
+        f"pprq AS ({_ppr5_sql()}), "
+        "scores AS (SELECT vid, pr_fx AS score_fx FROM pprq)"
+    )
+    return sweep_cut_sql(scores_cte, SQL_BIPARTITE)
+
+
+def q_forest_fire(spark, sf_dir):
+    """Deterministic forest-fire sample growth curve (algorithms/
+    forestfire.py): md5-parity burn coins, 3 waves from the
+    id%977 seed set over the symmetrized page graph."""
+    from drone_spark.algorithms.forestfire import forest_fire
+
+    return forest_fire(_bipartite_edges(spark, sf_dir), rounds=3)
+
+
+def _forest_fire_sql() -> str:
+    from drone_spark.algorithms.forestfire import forest_fire_sql
+
+    return forest_fire_sql(SQL_BIPARTITE, rounds=3)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -3975,6 +4017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "dict_fc": q_dict_fc,
         "weighted_sample": q_weighted_sample,
+        "ppr_sweep": q_ppr_sweep,
+        "forest_fire": q_forest_fire,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -4633,6 +4677,8 @@ def oracle_sql() -> dict[str, str]:
     out["source_kl"] = source_kl_sql()
     out["dict_fc"] = dict_frontcoding_sql()
     out["weighted_sample"] = weighted_priority_sample_sql(k=50)
+    out["ppr_sweep"] = _ppr_sweep_sql()
+    out["forest_fire"] = _forest_fire_sql()
     return out
 
 
