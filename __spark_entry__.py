@@ -3945,6 +3945,59 @@ def _forest_fire_sql() -> str:
     return forest_fire_sql(SQL_BIPARTITE, rounds=3)
 
 
+def q_betweenness(spark, sf_dir):
+    """Sampled-source Brandes betweenness in ppm fixed point on the
+    directed link graph — stress's forward sweep + the σ-ratio
+    pair-dependency backward recurrence integer-ized per DAG edge
+    (centrality.betweenness_ppm)."""
+    from drone_spark.algorithms.centrality import betweenness_ppm
+
+    return betweenness_ppm(
+        _directed_edges(spark, sf_dir),
+        n_sources=STRESS_SOURCES, max_depth=STRESS_DEPTH,
+    )
+
+
+def _betweenness_sql() -> str:
+    from drone_spark.algorithms.centrality import betweenness_ppm_sql
+
+    return betweenness_ppm_sql(
+        SQL_DIRECTED, n_sources=STRESS_SOURCES, max_depth=STRESS_DEPTH
+    )
+
+
+def q_lm_dirichlet(spark, sf_dir):
+    """Dirichlet query-likelihood top-20 for the BM25 query terms —
+    the LM-retrieval counterpart of bm25 (ops/textstats.
+    lm_dirichlet_topk), sharing normalizer, rounding and tiebreak."""
+    from drone_spark.ops.textstats import lm_dirichlet_topk
+
+    return lm_dirichlet_topk(
+        _read(spark, sf_dir, "documents"), BM25_TERMS, k=20
+    )
+
+
+def _lm_dirichlet_sql() -> str:
+    from drone_spark.ops.textstats import lm_dirichlet_topk_sql
+
+    return lm_dirichlet_topk_sql(BM25_TERMS, k=20)
+
+
+def q_fastrp2(spark, sf_dir):
+    """FastRP node embeddings: 2 integer column-stochastic propagations
+    of the md5-sign projection, 4 dims (algorithms/fastrp.py) —
+    (vid, dim, val) int64 rows, zero Python."""
+    from drone_spark.algorithms.fastrp import fastrp_embeddings
+
+    return fastrp_embeddings(_bipartite_edges(spark, sf_dir), dims=4, iters=2)
+
+
+def _fastrp2_sql() -> str:
+    from drone_spark.algorithms.fastrp import fastrp_embeddings_sql
+
+    return fastrp_embeddings_sql(SQL_BIPARTITE, dims=4, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4019,6 +4072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "ppr_sweep": q_ppr_sweep,
         "forest_fire": q_forest_fire,
+        "betweenness": q_betweenness,
+        "lm_dirichlet": q_lm_dirichlet,
+        "fastrp2": q_fastrp2,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -4679,6 +4735,9 @@ def oracle_sql() -> dict[str, str]:
     out["weighted_sample"] = weighted_priority_sample_sql(k=50)
     out["ppr_sweep"] = _ppr_sweep_sql()
     out["forest_fire"] = _forest_fire_sql()
+    out["betweenness"] = _betweenness_sql()
+    out["lm_dirichlet"] = _lm_dirichlet_sql()
+    out["fastrp2"] = _fastrp2_sql()
     return out
 
 

@@ -623,3 +623,164 @@ def landmark_eccentricity(
             F.sum("dist").cast("long").alias("sum_dist"),
         )
     )
+
+
+BC_SCALE = 10**6  # ppm fixed point for the pair-dependency ratios
+
+
+def betweenness_ppm(
+    edges: DataFrame,
+    n_sources: int = 4,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Sampled-source *betweenness* (Brandes 2001) in ppm fixed point —
+    the σ-ratio sibling of :func:`stress_centrality` (same forward
+    sweep, same BFS DAG), with the backward pair-dependency recurrence
+    integer-ized so Spark and the unrolled DuckDB twin hash-match:
+
+        δ(v) = Σ_{w ∈ succ_DAG(v)}  (σ_sv · (10^6 + δ(w))) DIV σ_sw
+
+    (classic Brandes is the same formula with real division; each term
+    floors once per DAG edge — deterministic on both engines, error
+    < 1 ppm per edge). bc_ppm(v) = Σ_s δ_s(v) over non-source rows,
+    restricted to ``n_sources`` md5-uniform sources and ≤ ``max_depth``
+    hops, like stress.
+
+    At-scale shape is stress's: all sources advance in the same
+    per-level job (state keyed by s), one frontier⋈edges partial agg
+    per level each direction, localCheckpoint per level to keep
+    Catalyst re-analysis bounded.
+    """
+    from ..graph.builder import vertices
+
+    spark = edges.sparkSession
+    srcs = (
+        vertices(edges)
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_sources)
+        .select(F.col("id").alias("s"))
+    )
+    frontier = srcs.select(
+        "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    levels = [frontier]
+    visited = frontier.select("s", "v").localCheckpoint(eager=True)
+    for _ in range(max_depth):
+        nxt = (
+            levels[-1]
+            .join(edges, F.col("v") == F.col("src"))
+            .groupBy("s", F.col("dst").alias("nv"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("nv", "v")
+            .join(visited, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionAll(nxt.select("s", "v")).localCheckpoint(
+            eager=True
+        )
+
+    d_next = levels[-1].select(
+        "s", "v", "sigma", F.lit(0).cast("long").alias("d")
+    )
+    acc = None
+    for lu in range(len(levels) - 2, -1, -1):
+        nxt_ren = d_next.select(
+            F.col("s").alias("s2"),
+            F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("d").alias("dw"),
+        )
+        band = (
+            levels[lu]
+            .select("s", F.col("v").alias("u"), F.col("sigma").alias("sigma_u"))
+            .join(edges, F.col("u") == F.col("src"))
+            .join(
+                nxt_ren,
+                (F.col("dst") == F.col("w")) & (F.col("s") == F.col("s2")),
+            )
+            .groupBy("s", "u")
+            .agg(
+                F.sum(
+                    F.expr(f"(sigma_u * ({BC_SCALE} + dw)) DIV sigma_w")
+                ).alias("d")
+            )
+        )
+        d_cur = (
+            levels[lu]
+            .join(
+                band.select("s", F.col("u").alias("v"), "d"),
+                ["s", "v"],
+                "left",
+            )
+            .select(
+                "s", "v", "sigma", F.coalesce("d", F.lit(0)).alias("d")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if lu > 0:
+            contrib = d_cur.select("s", "v", F.col("d").alias("c"))
+            acc = contrib if acc is None else acc.unionAll(contrib)
+        d_next = d_cur
+    if acc is None:
+        return spark.createDataFrame([], "vid long, bc_ppm long")
+    return (
+        acc.groupBy(F.col("v").alias("vid"))
+        .agg(F.sum("c").cast("long").alias("bc_ppm"))
+        .where(F.col("bc_ppm") > 0)
+    )
+
+
+def betweenness_ppm_sql(
+    edges_cte: str,
+    n_sources: int = 4,
+    max_depth: int = 8,
+) -> str:
+    """DuckDB twin of :func:`betweenness_ppm` — stress twin's unrolled
+    structure with σ carried through the backward chain."""
+    d = max_depth
+    ctes = [
+        f"WITH {edges_cte}",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst FROM edges))",
+        f"srcs AS (SELECT id AS s FROM verts"
+        f" ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_sources})",
+        "b0 AS (SELECT s, s AS v, 1::BIGINT AS sigma FROM srcs)",
+        "vis0 AS (SELECT s, v FROM b0)",
+    ]
+    for l in range(1, d + 1):
+        ctes.append(
+            f"b{l} AS MATERIALIZED (SELECT f.s, f.v, f.sigma FROM ("
+            f"SELECT b.s, e.dst AS v, CAST(SUM(b.sigma) AS BIGINT)"
+            f" AS sigma FROM b{l-1} b JOIN edges e ON e.src = b.v"
+            f" GROUP BY b.s, e.dst) f LEFT JOIN vis{l-1} x"
+            f" ON x.s = f.s AND x.v = f.v WHERE x.v IS NULL)"
+        )
+        ctes.append(
+            f"vis{l} AS MATERIALIZED (SELECT s, v FROM vis{l-1}"
+            f" UNION ALL SELECT s, v FROM b{l})"
+        )
+    ctes.append(
+        f"d{d} AS (SELECT s, v, sigma, 0::BIGINT AS d FROM b{d})"
+    )
+    contribs = []
+    for lu in range(d - 1, -1, -1):
+        ctes.append(
+            f"d{lu} AS MATERIALIZED (SELECT b.s, b.v, b.sigma,"
+            f" CAST(COALESCE(g.d, 0) AS BIGINT) AS d FROM b{lu} b"
+            f" LEFT JOIN (SELECT u.s, u.v,"
+            f" SUM((u.sigma * ({BC_SCALE} + nn.d)) // nn.sigma) AS d"
+            f" FROM b{lu} u JOIN edges e ON e.src = u.v"
+            f" JOIN d{lu+1} nn ON nn.s = u.s AND nn.v = e.dst"
+            f" GROUP BY u.s, u.v) g ON g.s = b.s AND g.v = b.v)"
+        )
+        if lu > 0:
+            contribs.append(f"SELECT s, v, d AS c FROM d{lu}")
+    union = " UNION ALL ".join(contribs)
+    return (
+        ", ".join(ctes)
+        + f" SELECT v AS vid, CAST(SUM(c) AS BIGINT) AS bc_ppm"
+        f" FROM ({union}) GROUP BY v HAVING SUM(c) > 0"
+    )

@@ -1072,3 +1072,89 @@ def bpe_merge_pairs_sql(k: int = 20, doc_table: str = "documents") -> str:
         "SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pairs "
         f"GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT {k}"
     )
+
+
+def lm_dirichlet_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the language-modeling counterpart of
+    :func:`bm25_topk`:
+
+        score(q,d) = Σ_{t∈q} ln( (tf_td + μ·c_t/N) / (dl_d + μ) )
+
+    Unlike BM25, every (doc, query-term) pair contributes (smoothing
+    gives tf=0 terms mass), so the plan is docs × |q| rows via a
+    broadcast cross join with a left join onto the tf table — still
+    ≤|q| rows per document, scored in pure codegen. Out-of-vocabulary
+    query terms drop (c_t=0 would put ln at −∞), docs normalizing to
+    empty text drop with them — both mirrored in the twin. Scores
+    round to 6 decimals (the bm25 convention) and tie-break on id."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+    )
+    tf = toks.groupBy("did", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+    n_total = toks.count()
+    spark = docs.sparkSession
+    qt = spark.createDataFrame([(t,) for t in query_terms], "token string")
+    gc = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+        .join(F.broadcast(qt), "token")
+    )
+    grid = dl.crossJoin(F.broadcast(gc))
+    term = F.log(
+        (
+            F.coalesce("tf", F.lit(0))
+            + F.lit(mu) * F.col("c_t") / F.lit(float(n_total))
+        )
+        / (F.col("dl") + F.lit(mu))
+    )
+    return (
+        grid.join(tf, ["did", "token"], "left")
+        .groupBy("did")
+        .agg(F.round(F.sum(term), 6).alias("score"))
+        .select(F.col("did").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lm_dirichlet_topk_sql(
+    query_terms: list[str],
+    k: int = 20,
+    mu: float = 2000.0,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`lm_dirichlet_topk`."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id AS did, unnest(string_split(nt, ' ')) AS token "
+        "FROM norm), "
+        "tfl AS (SELECT did, token FROM toks WHERE length(token) > 0), "
+        "tf AS (SELECT did, token, COUNT(*) AS tf FROM tfl GROUP BY 1, 2), "
+        "dl AS (SELECT did, COUNT(*) AS dl FROM tfl GROUP BY did), "
+        "nt AS (SELECT COUNT(*) AS n FROM tfl), "
+        f"qt AS (SELECT unnest([{terms}]) AS token), "
+        "gc AS (SELECT g.token, g.c_t FROM "
+        "(SELECT token, COUNT(*) AS c_t FROM tfl GROUP BY token) g "
+        "JOIN qt ON g.token = qt.token), "
+        "grid AS (SELECT dl.did, dl.dl, gc.token, gc.c_t FROM dl CROSS JOIN gc), "
+        "scored AS (SELECT grid.did, ROUND(SUM(LN((COALESCE(tf.tf, 0) + "
+        f"{mu} * grid.c_t / CAST(nt.n AS DOUBLE)) / (grid.dl + {mu}))), 6) "
+        "AS score FROM grid LEFT JOIN tf ON tf.did = grid.did "
+        "AND tf.token = grid.token, nt GROUP BY grid.did) "
+        f"SELECT did AS doc_id, score FROM scored "
+        f"ORDER BY score DESC, did ASC LIMIT {k}"
+    )
