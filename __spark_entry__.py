@@ -3998,6 +3998,59 @@ def _fastrp2_sql() -> str:
     return fastrp_embeddings_sql(SQL_BIPARTITE, dims=4, iters=2)
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keywords: 5 rounds of weighted scaled-int64 PageRank
+    over the adjacent-token co-occurrence graph, top-20
+    (ops/textrank.textrank_keywords) — the link-graph machinery
+    pointed at text."""
+    from drone_spark.ops.textrank import textrank_keywords
+
+    return textrank_keywords(_read(spark, sf_dir, "documents"), k=20)
+
+
+def _textrank_sql() -> str:
+    from drone_spark.ops.textrank import textrank_keywords_sql
+
+    return textrank_keywords_sql(k=20)
+
+
+def q_four_cliques(spark, sf_dir):
+    """Exact 4-clique count on the co-purchase graph — degree-ordered
+    orientation joins (algorithms/triangles.four_clique_count)."""
+    from drone_spark.algorithms.triangles import four_clique_count
+
+    return four_clique_count(_copurchase_edges(spark, sf_dir))
+
+
+def _four_cliques_sql() -> str:
+    return (
+        f"WITH {SQL_COPURCHASE} "
+        "SELECT COUNT(*) AS n_cliques4 FROM edges e1 "
+        "JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+        "JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst "
+        "JOIN edges e4 ON e4.src = e2.dst "
+        "JOIN edges e5 ON e5.src = e1.src AND e5.dst = e4.dst "
+        "JOIN edges e6 ON e6.src = e1.dst AND e6.dst = e4.dst"
+    )
+
+
+def q_ssjoin(spark, sf_dir):
+    """Exact token-set Jaccard ≥ 0.9 via prefix filtering (ops/dedup.
+    ssjoin_prefix_pairs); the oracle is the naive all-pairs join —
+    hash equality proves the prefix filter lossless."""
+    from drone_spark.ops.dedup import ssjoin_prefix_pairs
+
+    return ssjoin_prefix_pairs(
+        _read(spark, sf_dir, "documents"), threshold_ppm=900_000
+    )
+
+
+def _ssjoin_sql() -> str:
+    from drone_spark.ops.dedup import ssjoin_prefix_sql
+
+    return ssjoin_prefix_sql(threshold_ppm=900_000)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4075,6 +4128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "lm_dirichlet": q_lm_dirichlet,
         "fastrp2": q_fastrp2,
+        "textrank": q_textrank,
+        "four_cliques": q_four_cliques,
+        "ssjoin": q_ssjoin,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -4738,6 +4794,9 @@ def oracle_sql() -> dict[str, str]:
     out["betweenness"] = _betweenness_sql()
     out["lm_dirichlet"] = _lm_dirichlet_sql()
     out["fastrp2"] = _fastrp2_sql()
+    out["textrank"] = _textrank_sql()
+    out["four_cliques"] = _four_cliques_sql()
+    out["ssjoin"] = _ssjoin_sql()
     return out
 
 

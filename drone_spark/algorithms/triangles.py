@@ -57,3 +57,33 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
     return paired.agg(F.sum("tri").cast("long").alias("n_triangles")).na.fill(
         {"n_triangles": 0}
     )
+
+
+def four_clique_count(edges: DataFrame) -> DataFrame:
+    """Exact 4-clique count (1 row, ``n_cliques4``) — one step up the
+    motif ladder from triangles, the densest-subgraph signal community
+    detectors threshold on (e.g. k-clique percolation).
+
+    Same skew discipline as :func:`triangle_count`: all joins run on
+    the degree-ordered orientation, whose forward lists are O(sqrt(E))
+    even at hub vertices, so no join key is hot. Each K4 orients to a
+    unique acyclic tournament: the (a→b, b→c, a→c) sub-triangle plus
+    the sink d with a→d, b→d, c→d — enumerated exactly once. The
+    DuckDB twin enumerates by id order over the canonical a<b edge
+    table (equal counts by symmetry)."""
+    fwd = _oriented(edges)
+    e = lambda n: fwd.select(  # noqa: E731
+        F.col("src").alias(f"s{n}"), F.col("dst").alias(f"d{n}")
+    )
+    tri = (
+        e(1)
+        .join(e(2), F.col("d1") == F.col("s2"))
+        .join(e(3), (F.col("s3") == F.col("s1")) & (F.col("d3") == F.col("d2")))
+        .select(F.col("s1").alias("a"), F.col("d1").alias("b"), F.col("d2").alias("c"))
+    )
+    quads = (
+        tri.join(e(4), F.col("c") == F.col("s4"))
+        .join(e(5), (F.col("s5") == F.col("a")) & (F.col("d5") == F.col("d4")))
+        .join(e(6), (F.col("s6") == F.col("b")) & (F.col("d6") == F.col("d4")))
+    )
+    return quads.agg(F.count(F.lit(1)).cast("long").alias("n_cliques4"))

@@ -1216,3 +1216,106 @@ def cdc_chunk_stats_sql(
         " JOIN norm n ON n.doc_id = c.doc_id"
         " GROUP BY c.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join with prefix filtering (PPJoin-family)
+# ---------------------------------------------------------------------------
+def ssjoin_prefix_pairs(
+    docs: DataFrame,
+    threshold_ppm: int = 900_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-set Jaccard join via *prefix filtering* (Chaudhuri
+    et al. ICDE'06 / PPJoin, Xiao et al. WWW'08) — the lossless
+    candidate-pruning alternative to this module's MinHash tier: two
+    sets with Jaccard ≥ t MUST share a token among the first
+    p = |s| − ⌈t·|s|⌉ + 1 tokens when every set is ordered by global
+    document frequency ascending (rarest first). Only prefix tokens
+    enter the candidate self-join; exact verification follows.
+
+    At 100 TB this is THE exact-dedup plan: the inverted index is built
+    over prefixes only (the rare end of the df spectrum), so the hot
+    stopword tokens that would dominate a full token self-join never
+    produce candidates. The candidate bound is pinned by pytest; the
+    DuckDB twin is the NAIVE all-pairs join, proving losslessness on
+    the driver data. Returns (a, b, jacc_ppm ≥ threshold_ppm); ceil
+    arithmetic is integer ((sz·t_ppm + 10^6 − 1) DIV 10^6).
+    """
+    from .fusion import ordinal_rank  # histogram-prefix rank, no hot window
+
+    toksets = (
+        docs.select(
+            F.col("doc_id").alias("did"),
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+        .distinct()
+    )
+    sizes = toksets.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toksets.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first total order: rank by (df asc, token asc)
+    ranked_tok = ordinal_rank(
+        dfreq.select("token", (-F.col("df")).alias("score")),
+        "score",
+        "token",
+        rank_col="trank",
+    ).select("token", "trank")
+    w = Window.partitionBy("did").orderBy("trank")
+    pref = (
+        toksets.join(ranked_tok, "token")
+        .withColumn("k", F.row_number().over(w))
+        .join(sizes, "did")
+        .where(
+            F.col("k")
+            <= F.col("sz")
+            - F.expr(f"(sz * {threshold_ppm} + 999999) DIV 1000000")
+            + 1
+        )
+        .select("did", "token")
+    )
+    cand = (
+        pref.alias("x")
+        .join(pref.alias("y"), "token")
+        .where(F.col("x.did") < F.col("y.did"))
+        .select(F.col("x.did").alias("a"), F.col("y.did").alias("b"))
+        .distinct()
+    )
+    ta = toksets.select(F.col("did").alias("a"), "token")
+    tb = toksets.select(F.col("did").alias("b"), "token")
+    inter = (
+        cand.join(ta, "a").join(tb, ["b", "token"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("did").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("did").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.expr("(i * 1000000) DIV (sza + szb - i)").alias("jacc_ppm"),
+        )
+        .where(F.col("jacc_ppm") >= threshold_ppm)
+    )
+
+
+def ssjoin_prefix_sql(
+    threshold_ppm: int = 900_000, doc_table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`ssjoin_prefix_pairs` — the NAIVE all-pairs
+    token join (no prefix filter), proving the filter lossless."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {_SQL_NORM} AS nt FROM {doc_table}), "
+        "toks AS (SELECT DISTINCT doc_id AS did, "
+        "unnest(string_split(nt, ' ')) AS token FROM norm), "
+        "tf AS (SELECT did, token FROM toks WHERE length(token) > 0), "
+        "sz AS (SELECT did, COUNT(*) AS sz FROM tf GROUP BY did), "
+        "inter AS (SELECT x.did AS a, y.did AS b, COUNT(*) AS i FROM tf x "
+        "JOIN tf y ON x.token = y.token AND x.did < y.did GROUP BY 1, 2), "
+        "j AS (SELECT a, b, CAST((i * 1000000) // (sa.sz + sb.sz - i) AS BIGINT) "
+        "AS jacc_ppm FROM inter JOIN sz sa ON sa.did = a JOIN sz sb ON sb.did = b) "
+        f"SELECT a, b, jacc_ppm FROM j WHERE jacc_ppm >= {threshold_ppm}"
+    )
