@@ -4051,6 +4051,108 @@ def _ssjoin_sql() -> str:
     return ssjoin_prefix_sql(threshold_ppm=900_000)
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes: 4 subspaces × 4 centroids over the
+    64-dim embeddings (ops/similarity.pq_codes) — the ANN compression
+    layer between IVF and exact re-rank."""
+    from drone_spark.ops.similarity import pq_codes
+
+    return pq_codes(_read(spark, sf_dir, "embeddings"), n_sub=4, k=4, iters=1)
+
+
+def _pq_codes_sql(n_sub: int = 4, k: int = 4, dim: int = 64,
+                  iters: int = 1) -> str:
+    """DuckDB twin of q_pq_codes: _kmeans2_sql's centroid chain per
+    subspace over a sliced vector, joined on vec_id."""
+    w = dim // n_sub
+
+    def dist(e: str, c: str, p: str) -> str:
+        return (
+            f"list_inner_product({e}.v, {e}.v)"
+            f" - 2 * list_inner_product({e}.v, {c}.v)"
+            f" + list_inner_product({c}.v, {c}.v)"
+        )
+
+    parts = []
+    for s in range(n_sub):
+        lo, hi = s * w + 1, (s + 1) * w
+        p = f"s{s}"
+        parts.append(
+            f"emb{p} AS (SELECT vec_id, CAST(embedding[{lo}:{hi}] AS DOUBLE[])"
+            " AS v FROM embeddings)"
+        )
+        parts.append(
+            f"ord{p} AS (SELECT v, ROW_NUMBER() OVER (ORDER BY"
+            f" md5('pq{s}:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c"
+            f" FROM emb{p})"
+        )
+        prev = f"c0{p}"
+        parts.append(f"c0{p} AS (SELECT c, v FROM ord{p} WHERE c < {k})")
+        for it in range(1, iters + 1):
+            parts.append(
+                f"a{it}{p} AS (SELECT e.vec_id, e.v, CAST(MIN([{dist('e', 'c', p)},"
+                f" CAST(c.c AS DOUBLE)])[2] AS INT) AS cluster"
+                f" FROM emb{p} e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v)"
+            )
+            parts.append(
+                f"u{it}{p} AS (SELECT a.cluster, t.i AS pos, AVG(a.v[t.i]) AS m"
+                f" FROM a{it}{p} a, range(1, {w + 1}) t(i)"
+                " GROUP BY a.cluster, t.i)"
+            )
+            parts.append(
+                f"c{it}{p} AS (SELECT cluster AS c, list(m ORDER BY pos) AS v"
+                f" FROM u{it}{p} GROUP BY cluster)"
+            )
+            prev = f"c{it}{p}"
+        parts.append(
+            f"codes{s} AS (SELECT e.vec_id, CAST(MIN([{dist('e', 'c', p)},"
+            f" CAST(c.c AS DOUBLE)])[2] AS INT) AS c{s}"
+            f" FROM emb{p} e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v)"
+        )
+    joins = "codes0"
+    sel = "codes0.vec_id, codes0.c0"
+    for s in range(1, n_sub):
+        joins += f" JOIN codes{s} ON codes0.vec_id = codes{s}.vec_id"
+        sel += f", codes{s}.c{s}"
+    return f"WITH {', '.join(parts)} SELECT {sel} FROM {joins}"
+
+
+def q_rpq3(spark, sf_dir):
+    """Regular path query L0·L1{1,2}·L2 over the md5-free deterministic
+    labeling (src+dst)%3 on the directed link graph (algorithms/rpq.
+    rpq_chain) — the SPARQL/GQL property-path primitive as unrolled
+    frontier-pair joins."""
+    from drone_spark.algorithms.rpq import rpq_chain
+
+    return rpq_chain(_directed_edges(spark, sf_dir), labels=(0, 1, 2),
+                     max_mid=2)
+
+
+def _rpq3_sql() -> str:
+    from drone_spark.algorithms.rpq import rpq_chain_sql
+
+    return rpq_chain_sql(SQL_DIRECTED, labels=(0, 1, 2), max_mid=2)
+
+
+def q_vertex_cover(spark, sf_dir):
+    """2-approximate vertex cover = endpoints of the mutual-proposal
+    maximal matching (the classic Gavril bound) on the co-purchase
+    graph — pure composition of the matching kernel."""
+    m = q_matching(spark, sf_dir)
+    return (
+        m.select(F.col("a").alias("vid"))
+        .union(m.select(F.col("b").alias("vid")))
+        .distinct()
+    )
+
+
+def _vertex_cover_sql() -> str:
+    return (
+        f"WITH m AS ({_matching_sql()}) "
+        "SELECT a AS vid FROM m UNION SELECT b AS vid FROM m"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4131,6 +4233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "four_cliques": q_four_cliques,
         "ssjoin": q_ssjoin,
+        "pq_codes": q_pq_codes,
+        "rpq3": q_rpq3,
+        "vertex_cover": q_vertex_cover,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -4797,6 +4902,9 @@ def oracle_sql() -> dict[str, str]:
     out["textrank"] = _textrank_sql()
     out["four_cliques"] = _four_cliques_sql()
     out["ssjoin"] = _ssjoin_sql()
+    out["pq_codes"] = _pq_codes_sql()
+    out["rpq3"] = _rpq3_sql()
+    out["vertex_cover"] = _vertex_cover_sql()
     return out
 
 

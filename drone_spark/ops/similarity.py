@@ -592,3 +592,41 @@ def kmeans_lloyd(
         F.col(id_col),
         _nearest_centroid("v", cents).alias("cluster"),
     )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    n_sub: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al., TPAMI 2011): split
+    each vector into ``n_sub`` contiguous subvectors and k-means each
+    subspace independently; a vector compresses to ``n_sub`` small
+    codes (here 4×2 bits). The ANN memory-compression step between
+    this module's IVF coarse quantizer and exact re-ranking — at 10^12
+    vectors the codes table is what fits in cluster RAM, not the
+    floats.
+
+    Each subspace reuses :func:`kmeans_lloyd` verbatim (deterministic
+    md5 init, literal-centroid assignment, k·d-bounded update shuffle)
+    on a ``slice()`` of the vector — subspaces are independent jobs
+    over the same scan. Returns (id, c0..c{n_sub-1}) int codes."""
+    dim = infer_dim(embeddings, vec_col)
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    w = dim // n_sub
+    out = None
+    for s in range(n_sub):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * w + 1, w).alias(vec_col),
+        )
+        codes = kmeans_lloyd(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            salt=f"pq{s}",
+        ).select(id_col, F.col("cluster").alias(f"c{s}"))
+        out = codes if out is None else out.join(codes, id_col)
+    return out
