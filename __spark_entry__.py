@@ -4153,6 +4153,70 @@ def _vertex_cover_sql() -> str:
     )
 
 
+def q_survival(spark, sf_dir):
+    """Kaplan–Meier signup→purchase survival in ppm, day buckets,
+    right-censored at the window end (ops/events.km_survival)."""
+    from drone_spark.ops.events import km_survival
+
+    return km_survival(_read(spark, sf_dir, "events"))
+
+
+def _survival_sql() -> str:
+    from drone_spark.ops.events import km_survival_sql
+
+    return km_survival_sql()
+
+
+def q_cc_spectrum(spark, sf_dir):
+    """Clustering spectrum C(k) in exact ppm per degree class on the
+    co-purchase graph (linkstats.clustering_spectrum) — the
+    hierarchical-modularity fingerprint."""
+    from drone_spark.algorithms.linkstats import clustering_spectrum
+
+    return clustering_spectrum(_copurchase_edges(spark, sf_dir))
+
+
+def _cc_spectrum_sql() -> str:
+    from drone_spark.algorithms.linkstats import clustering_spectrum_sql
+
+    return clustering_spectrum_sql(SQL_COPURCHASE)
+
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
+def q_profile_events(spark, sf_dir):
+    """Data-profiling rollup of the events table: per column the null
+    count and exact distinct count — the scan every ingestion pipeline
+    runs before trusting a new feed. One pass per column batch, all
+    JVM aggregates."""
+    ev = _read(spark, sf_dir, "events")
+    parts = [
+        ev.agg(
+            F.lit(c).alias("column"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(F.col(c)).alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _profile_events_sql() -> str:
+    selects = [
+        f"SELECT '{c}' AS column, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_nulls, COUNT(DISTINCT {c}) AS n_distinct FROM events"
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(selects)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4236,6 +4300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "rpq3": q_rpq3,
         "vertex_cover": q_vertex_cover,
+        "survival": q_survival,
+        "cc_spectrum": q_cc_spectrum,
+        "profile_events": q_profile_events,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -4905,6 +4972,9 @@ def oracle_sql() -> dict[str, str]:
     out["pq_codes"] = _pq_codes_sql()
     out["rpq3"] = _rpq3_sql()
     out["vertex_cover"] = _vertex_cover_sql()
+    out["survival"] = _survival_sql()
+    out["cc_spectrum"] = _cc_spectrum_sql()
+    out["profile_events"] = _profile_events_sql()
     return out
 
 

@@ -1186,3 +1186,70 @@ def degree_gini_sql(edges_cte: str) -> str:
         "ROUND(2.0 * CAST(weighted AS DOUBLE) / CAST(n * total AS DOUBLE) "
         "- CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini FROM agg"
     )
+
+
+def clustering_spectrum(edges: DataFrame) -> DataFrame:
+    """Clustering spectrum C(k): the *degree-class* clustering
+    coefficient — Σ 2·T(v) over vertices of degree k divided by
+    Σ k·(k−1) — in exact ppm. A falling C(k) is the standard
+    hierarchical-modularity signature of real webgraphs (Ravasz &
+    Barabási 2003); a flat one means the triangles are degree-random.
+
+    Value-space output (one row per distinct degree), exact integers
+    end to end: (deg, n_vertices, tri_sum, cc_ppm)."""
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    t = vertex_triangles(edges)
+    per_v = deg.join(t, "id", "left").select(
+        "deg", F.coalesce("n_triangles", F.lit(0)).alias("t")
+    )
+    return (
+        per_v.groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("t").cast("long").alias("tri_sum"),
+        )
+        .select(
+            "deg",
+            "n_vertices",
+            "tri_sum",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2 * tri_sum * 1000000) DIV "
+                    "(n_vertices * deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_ppm"),
+        )
+    )
+
+
+def clustering_spectrum_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`clustering_spectrum` — id-order triangle
+    corner credits (equal by symmetry to the orientation's)."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src), "
+        # the (v,u,w) u<w per-corner enumeration visits every corner of
+        # every triangle exactly once — COUNT per v IS T(v) (the
+        # clustering_coefficient oracle's device)
+        "t AS (SELECT e1.src AS id, COUNT(*) AS t "
+        "FROM sym e1 JOIN sym e2 ON e2.src = e1.src AND e1.dst < e2.dst "
+        "JOIN sym e3 ON e3.src = e1.dst AND e3.dst = e2.dst "
+        "GROUP BY e1.src), "
+        "pv AS (SELECT deg.deg, COALESCE(t.t, 0) AS t FROM deg "
+        "LEFT JOIN t ON deg.id = t.id), "
+        "spec AS (SELECT deg, COUNT(*) AS n_vertices, "
+        "CAST(SUM(t) AS BIGINT) AS tri_sum FROM pv GROUP BY deg) "
+        "SELECT deg, n_vertices, tri_sum, "
+        "CAST(CASE WHEN deg >= 2 THEN (2 * tri_sum * 1000000) // "
+        "(n_vertices * deg * (deg - 1)) ELSE 0 END AS BIGINT) AS cc_ppm "
+        "FROM spec"
+    )

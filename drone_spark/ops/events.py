@@ -396,3 +396,118 @@ def bot_flags_sql(table: str = "events", max_per_minute: int = 10) -> str:
         "AS BIGINT) AS is_bot "
         "FROM per_min GROUP BY user_id"
     )
+
+
+def km_survival(
+    events: DataFrame,
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Kaplan–Meier survival curve of time-to-conversion in ppm fixed
+    point — the product-limit estimator (Kaplan & Meier 1958) over the
+    signup→purchase funnel, with users who never convert right-censored
+    at the end of the observation window.
+
+    Integer contract: durations are whole days
+    ((unix(t1) − unix(t0)) DIV 86400 — Spark's unix_timestamp and
+    DuckDB's date_diff('second') both count floored-second boundaries),
+    and each KM step multiplies the running ppm survival by
+    (n_t − d_t) DIV n_t in int64 — the DuckDB twin replays the same
+    recurrence as a recursive CTE.
+
+    Scale note: the per-time risk/death table is VALUE-space bounded
+    (distinct event days, not users), like kmeans' k·d centroid
+    traffic — only that tiny table reaches the driver for the
+    sequential product; the per-user scan/aggregation is fully
+    distributed. Returns (t_days, n_risk, n_events, surv_ppm) at event
+    times."""
+    st = (
+        events.where(F.col("event_type") == start_type)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    pt = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    t_end = events.agg(F.max("ts").alias("te"))
+    obs = (
+        st.join(pt, "user_id", "left")
+        .crossJoin(F.broadcast(t_end))
+        .select(
+            "user_id",
+            F.when(
+                F.col("pt").isNotNull() & (F.col("pt") >= F.col("st")),
+                F.expr("(unix_timestamp(pt) - unix_timestamp(st)) DIV 86400"),
+            ).alias("dur"),
+            F.expr("(unix_timestamp(te) - unix_timestamp(st)) DIV 86400").alias(
+                "cens"
+            ),
+        )
+        .select(
+            "user_id",
+            F.coalesce("dur", F.col("cens")).alias("obs"),
+            F.col("dur").isNotNull().cast("int").alias("ev"),
+        )
+    )
+    deaths = (
+        obs.where(F.col("ev") == 1)
+        .groupBy(F.col("obs").alias("t"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    at_risk = (
+        deaths.select("t")
+        .join(obs, F.expr("obs >= t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tnd = sorted(
+        (r["t"], r["n"], r["d"])
+        for r in deaths.join(at_risk, "t").collect()
+    )
+    rows, s = [], 1_000_000
+    for t, n, d in tnd:
+        s = s * (n - d) // n
+        rows.append((int(t), int(n), int(d), int(s)))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows, "t_days long, n_risk long, n_events long, surv_ppm long"
+    )
+
+
+def km_survival_sql(
+    events_table: str = "events",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+) -> str:
+    """DuckDB twin of :func:`km_survival` (recursive-CTE product)."""
+    return (
+        "WITH RECURSIVE "
+        f"st AS (SELECT user_id, MIN(ts) AS st FROM {events_table} "
+        f"WHERE event_type = '{start_type}' GROUP BY user_id), "
+        f"pt AS (SELECT user_id, MIN(ts) AS pt FROM {events_table} "
+        f"WHERE event_type = '{event_type}' GROUP BY user_id), "
+        f"te AS (SELECT MAX(ts) AS te FROM {events_table}), "
+        "obs0 AS (SELECT st.user_id, "
+        "CASE WHEN pt.pt IS NOT NULL AND pt.pt >= st.st THEN "
+        "date_diff('second', st.st, pt.pt) // 86400 END AS dur, "
+        "date_diff('second', st.st, te.te) // 86400 AS cens "
+        "FROM st LEFT JOIN pt ON st.user_id = pt.user_id, te), "
+        "obs AS (SELECT user_id, COALESCE(dur, cens) AS obs, "
+        "CASE WHEN dur IS NOT NULL THEN 1 ELSE 0 END AS ev FROM obs0), "
+        "deaths AS (SELECT obs AS t, COUNT(*) AS d FROM obs "
+        "WHERE ev = 1 GROUP BY obs), "
+        "atrisk AS (SELECT d.t, COUNT(*) AS n FROM deaths d "
+        "JOIN obs o ON o.obs >= d.t GROUP BY d.t), "
+        "ev AS (SELECT deaths.t, atrisk.n, deaths.d, "
+        "ROW_NUMBER() OVER (ORDER BY deaths.t) AS i "
+        "FROM deaths JOIN atrisk ON deaths.t = atrisk.t), "
+        "km(i, t, n, d, s) AS ("
+        "SELECT i, t, n, d, (1000000 * (n - d)) // n FROM ev WHERE i = 1 "
+        "UNION ALL SELECT e.i, e.t, e.n, e.d, (k.s * (e.n - e.d)) // e.n "
+        "FROM km k JOIN ev e ON e.i = k.i + 1) "
+        "SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk, "
+        "CAST(d AS BIGINT) AS n_events, CAST(s AS BIGINT) AS surv_ppm "
+        "FROM km"
+    )
