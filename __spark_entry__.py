@@ -4217,6 +4217,93 @@ def _profile_events_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+def q_host_apsp(spark, sf_dir):
+    """EXACT all-pairs shortest-path histogram of the directed host
+    graph (centrality.apsp_histogram) — every host a BFS source in one
+    keyed sweep; the exact mean-distance/effective-diameter
+    denominator at site level."""
+    from drone_spark.algorithms.centrality import apsp_histogram
+
+    return apsp_histogram(_spark_host_edges(spark, sf_dir), max_depth=8)
+
+
+def _host_apsp_sql() -> str:
+    from drone_spark.algorithms.centrality import apsp_histogram_sql
+
+    return apsp_histogram_sql(_host_edges_rebound_cte(), max_depth=8)
+
+
+def q_rank_corr(spark, sf_dir):
+    """Spearman rank correlation (ppm, exact rational via DECIMAL(38))
+    between the 5-superstep PageRank ranking and the raw in-degree
+    ranking over ALL vertices (missing in-degree = 0) — 'does in-degree
+    predict PageRank here?' Both rankings are deterministic ordinal
+    permutations (fusion.ordinal_rank), so ρ = 1 − 6Σd²/(n(n²−1))
+    holds exactly."""
+    from drone_spark.ops.fusion import ordinal_rank
+
+    pr = q_pagerank5(spark, sf_dir).select("vid", F.col("pr_fx").alias("score"))
+    ind = (
+        _bipartite_edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("indeg"))
+    )
+    both = pr.join(ind, "vid", "left").select(
+        "vid", "score", F.coalesce("indeg", F.lit(0)).alias("iscore")
+    )
+    rp = ordinal_rank(both.select("vid", "score"), "score", "vid", "r_pr")
+    ri = ordinal_rank(
+        both.select("vid", F.col("iscore").alias("score")), "score", "vid", "r_in"
+    )
+    d2 = rp.select("vid", "r_pr").join(ri.select("vid", "r_in"), "vid").select(
+        ((F.col("r_pr") - F.col("r_in")) * (F.col("r_pr") - F.col("r_in"))).alias(
+            "d2"
+        )
+    )
+    # pure-BIGINT long division (DuckDB's // on DECIMAL degrades to
+    # float): ppm = q·10^6 + (r·10^6) DIV denom with a = 6·Σd²,
+    # q = a DIV denom, r = a − q·denom — r·10^6 < denom·10^6 ≈ n³·10^6
+    # stays under int64 for n ≤ ~2·10^5; larger graphs sample first.
+    return (
+        d2.agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sumd2"))
+        .select(
+            "n",
+            F.expr("6 * sumd2").alias("a"),
+            F.expr("n * n * n - n").alias("denom"),
+        )
+        .select(
+            "n",
+            F.expr(
+                "CAST(1000000 - ((a DIV denom) * 1000000 + "
+                "((a - (a DIV denom) * denom) * 1000000) DIV denom) AS BIGINT)"
+            ).alias("rho_ppm"),
+        )
+    )
+
+
+def _rank_corr_sql() -> str:
+    return (
+        f"WITH pr AS ({_pagerank5_sql()}), {SQL_BIPARTITE}, "
+        "ind AS (SELECT dst AS vid, COUNT(*) AS indeg FROM edges GROUP BY dst), "
+        "both_r AS (SELECT pr.vid, pr.pr_fx AS score, "
+        "COALESCE(ind.indeg, 0) AS iscore FROM pr LEFT JOIN ind "
+        "ON pr.vid = ind.vid), "
+        "rp AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY score DESC, vid ASC) "
+        "AS r_pr FROM both_r), "
+        "ri AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY iscore DESC, vid ASC) "
+        "AS r_in FROM both_r), "
+        "dd AS (SELECT (rp.r_pr - ri.r_in) * (rp.r_pr - ri.r_in) AS d2 "
+        "FROM rp JOIN ri ON rp.vid = ri.vid), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(6 * SUM(d2) AS BIGINT) AS a, "
+        "CAST(COUNT(*) AS BIGINT) * COUNT(*) * COUNT(*) - COUNT(*) AS denom "
+        "FROM dd) "
+        "SELECT n, CAST(1000000 - ((a // denom) * 1000000 + "
+        "((a - (a // denom) * denom) * 1000000) // denom) AS BIGINT) "
+        "AS rho_ppm FROM agg"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4303,6 +4390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival": q_survival,
         "cc_spectrum": q_cc_spectrum,
         "profile_events": q_profile_events,
+        "host_apsp": q_host_apsp,
+        "rank_corr": q_rank_corr,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -4975,6 +5064,8 @@ def oracle_sql() -> dict[str, str]:
     out["survival"] = _survival_sql()
     out["cc_spectrum"] = _cc_spectrum_sql()
     out["profile_events"] = _profile_events_sql()
+    out["host_apsp"] = _host_apsp_sql()
+    out["rank_corr"] = _rank_corr_sql()
     return out
 
 

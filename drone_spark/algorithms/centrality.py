@@ -784,3 +784,71 @@ def betweenness_ppm_sql(
         + f" SELECT v AS vid, CAST(SUM(c) AS BIGINT) AS bc_ppm"
         f" FROM ({union}) GROUP BY v HAVING SUM(c) > 0"
     )
+
+
+def apsp_histogram(edges: DataFrame, max_depth: int = 8) -> DataFrame:
+    """EXACT all-pairs shortest-path distance histogram — every vertex
+    is a BFS source at once (the stress forward sweep with σ dropped):
+    state is (s, v) pairs, one frontier⋈edges job per level, anti-join
+    against visited. Tractable precisely where it matters — site-level
+    graphs (hosts are ~5 orders sparser than pages); the page-level
+    variant is the sampled landmark machinery (closeness /
+    distance_distribution). Returns (dist, n_pairs) for 1 ≤ dist ≤
+    max_depth — the exact denominator behind mean distance and
+    effective diameter."""
+    from ..graph.builder import vertices
+
+    spark = edges.sparkSession
+    v = vertices(edges)
+    frontier = v.select(F.col("id").alias("s"), F.col("id").alias("v"))
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    rows = []
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, F.col("v") == F.col("src"))
+            .select("s", F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        if n == 0:
+            break
+        rows.append((d, n))
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return spark.createDataFrame(rows, "dist int, n_pairs long")
+
+
+def apsp_histogram_sql(edges_cte: str, max_depth: int = 8) -> str:
+    """DuckDB twin of :func:`apsp_histogram` — unrolled MATERIALIZED
+    level CTEs (the stress twin's device)."""
+    ctes = [
+        f"WITH {edges_cte}",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst FROM edges))",
+        "f0 AS (SELECT id AS s, id AS v FROM verts)",
+        "vis0 AS (SELECT s, v FROM f0)",
+    ]
+    counts = []
+    for d in range(1, max_depth + 1):
+        ctes.append(
+            f"f{d} AS MATERIALIZED (SELECT DISTINCT g.s, g.v FROM "
+            f"(SELECT f.s, e.dst AS v FROM f{d-1} f JOIN edges e"
+            f" ON e.src = f.v) g LEFT JOIN vis{d-1} x"
+            " ON x.s = g.s AND x.v = g.v WHERE x.v IS NULL)"
+        )
+        ctes.append(
+            f"vis{d} AS MATERIALIZED (SELECT s, v FROM vis{d-1}"
+            f" UNION ALL SELECT s, v FROM f{d})"
+        )
+        counts.append(
+            f"SELECT {d} AS dist, COUNT(*) AS n_pairs FROM f{d}"
+        )
+    return (
+        ", ".join(ctes)
+        + " SELECT CAST(dist AS INTEGER) AS dist,"
+        " CAST(n_pairs AS BIGINT) AS n_pairs"
+        f" FROM ({' UNION ALL '.join(counts)}) WHERE n_pairs > 0"
+    )
