@@ -4304,6 +4304,49 @@ def _rank_corr_sql() -> str:
     )
 
 
+def q_host_fingerprints(spark, sf_dir):
+    """Mirror-site detection: WL-canonical structure fingerprints of
+    each host's INTRA-host link subgraph — hosts sharing a fingerprint
+    have 3-hop-isomorphic internal structure (template/mirror
+    candidates). Intra-host edge sets are vertex-disjoint by
+    construction (host(v) = v % 199), so one WL run over the filtered
+    edge table colors every host's subgraph independently; the
+    fingerprint is md5 of the host's sorted color multiset."""
+    from drone_spark.algorithms.wl import wl_refinement
+
+    edges_h = _bipartite_edges(spark, sf_dir).where(
+        F.col("src") % 199 == F.col("dst") % 199
+    )
+    colors = wl_refinement(edges_h, rounds=3)
+    per_host = colors.withColumn("host", F.col("vid") % 199)
+    return (
+        per_host.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("color")))
+            ).alias("fingerprint"),
+        )
+    )
+
+
+def _host_fingerprints_sql() -> str:
+    from drone_spark.algorithms.wl import wl_refinement_sql
+
+    wl = wl_refinement_sql(
+        f"{SQL_BIPARTITE.replace('edges AS', 'alledges AS')}, "
+        "edges AS (SELECT src, dst FROM alledges "
+        "WHERE src % 199 = dst % 199)",
+        rounds=3,
+    )
+    return (
+        f"WITH wl AS ({wl}) "
+        "SELECT vid % 199 AS host, CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        "md5(string_agg(color, ',' ORDER BY color)) AS fingerprint "
+        "FROM wl GROUP BY vid % 199"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4392,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "host_apsp": q_host_apsp,
         "rank_corr": q_rank_corr,
+        "host_fingerprints": q_host_fingerprints,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5066,6 +5110,7 @@ def oracle_sql() -> dict[str, str]:
     out["profile_events"] = _profile_events_sql()
     out["host_apsp"] = _host_apsp_sql()
     out["rank_corr"] = _rank_corr_sql()
+    out["host_fingerprints"] = _host_fingerprints_sql()
     return out
 
 

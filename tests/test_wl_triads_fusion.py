@@ -126,3 +126,30 @@ def test_new_ops_plans_are_jvm_only(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_host_fingerprints_mirror_detection(spark):
+    """Two 'hosts' (v%199) with isomorphic internal structure share a
+    fingerprint; a structurally different host does not. Host 1:
+    {1, 200} path; host 2: {2, 201} path (isomorphic to host 1);
+    host 3: {3, 202, 401} path of 3 (different)."""
+    from drone_spark.algorithms.wl import wl_refinement
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 200), (2, 201), (3, 202), (202, 401)], "src long, dst long"
+    )
+    colors = wl_refinement(edges, rounds=3)
+    fps = {
+        r["host"]: r["fingerprint"]
+        for r in colors.withColumn("host", F.col("vid") % 199)
+        .groupBy("host")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("color")))
+            ).alias("fingerprint")
+        )
+        .collect()
+    }
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
