@@ -4347,6 +4347,74 @@ def _host_fingerprints_sql() -> str:
     )
 
 
+def q_lang_source_chi2(spark, sf_dir):
+    """Pearson χ² independence test of the lang × source contingency
+    table in exact milli units: χ²_milli = Σ_cells (1000·(n·o − r·c)²)
+    DIV (n·r·c) — each cell's statistic floors once, all BIGINT (worst
+    cell ~ n³·1000 needs the long-division split only past ~10^5 docs;
+    the per-cell table is value-space bounded at |langs|·|sources|).
+    The drift test a corpus dashboard runs next to source_kl."""
+    d = _read(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows = d.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    cols = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    n = d.count()
+    grid = rows.crossJoin(cols).join(obs, ["lang", "source"], "left").select(
+        "r",
+        "c",
+        F.coalesce("o", F.lit(0)).alias("o"),
+    )
+    cell = F.expr(
+        f"(1000 * ({n} * o - r * c) * ({n} * o - r * c)) DIV ({n} * r * c)"
+    )
+    return grid.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(cell).cast("long").alias("chi2_milli"),
+    )
+
+
+def _lang_source_chi2_sql() -> str:
+    return (
+        "WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT lang, COUNT(*) AS r FROM documents GROUP BY lang), "
+        "c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source), "
+        "n AS (SELECT COUNT(*) AS n FROM documents), "
+        "grid AS (SELECT r.r, c.c, COALESCE(obs.o, 0) AS o, n.n "
+        "FROM r CROSS JOIN c LEFT JOIN obs "
+        "ON obs.lang = r.lang AND obs.source = c.source, n) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, "
+        "CAST(SUM((1000 * (n * o - r * c) * (n * o - r * c)) // (n * r * c)) "
+        "AS BIGINT) AS chi2_milli FROM grid"
+    )
+
+
+def q_top_pages_per_host(spark, sf_dir):
+    """Top-3 pages per host bucket by 5-superstep PageRank — the
+    crawl-frontier prioritization view. The rank window is PARTITIONED
+    by host (199 parallel groups, never a global sort); ties on vid."""
+    from pyspark.sql import Window
+
+    pr = q_pagerank5(spark, sf_dir).withColumn("host", F.col("vid") % 199)
+    w = Window.partitionBy("host").orderBy(F.desc("pr_fx"), F.asc("vid"))
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("host", "vid", "pr_fx", "rnk")
+    )
+
+
+def _top_pages_per_host_sql() -> str:
+    return (
+        f"WITH pr AS ({_pagerank5_sql()}), "
+        "ranked AS (SELECT vid % 199 AS host, vid, pr_fx, "
+        "ROW_NUMBER() OVER (PARTITION BY vid % 199 "
+        "ORDER BY pr_fx DESC, vid ASC) AS rnk FROM pr) "
+        "SELECT host, vid, pr_fx, CAST(rnk AS INTEGER) AS rnk "
+        "FROM ranked WHERE rnk <= 3"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4436,6 +4504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_apsp": q_host_apsp,
         "rank_corr": q_rank_corr,
         "host_fingerprints": q_host_fingerprints,
+        "lang_source_chi2": q_lang_source_chi2,
+        "top_pages_per_host": q_top_pages_per_host,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5111,6 +5181,8 @@ def oracle_sql() -> dict[str, str]:
     out["host_apsp"] = _host_apsp_sql()
     out["rank_corr"] = _rank_corr_sql()
     out["host_fingerprints"] = _host_fingerprints_sql()
+    out["lang_source_chi2"] = _lang_source_chi2_sql()
+    out["top_pages_per_host"] = _top_pages_per_host_sql()
     return out
 
 
