@@ -4415,6 +4415,121 @@ def _top_pages_per_host_sql() -> str:
     )
 
 
+def q_fastrp_clusters(spark, sf_dir):
+    """Graph node clustering via embeddings, end to end: FastRP int64
+    propagation (fastrp2) → per-vertex 4-dim vector → deterministic
+    Lloyd (kmeans_lloyd, k=4, 1 iter). The embed-then-cluster pipeline
+    a 10^12-page community pass runs when modularity sweeps are too
+    global — every stage deterministic and SQL-provable."""
+    from drone_spark.algorithms.fastrp import fastrp_embeddings
+    from drone_spark.ops.similarity import kmeans_lloyd
+
+    emb = fastrp_embeddings(_bipartite_edges(spark, sf_dir), dims=4, iters=2)
+    vecs = emb.groupBy("vid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, val))), "
+            "x -> CAST(x.val AS DOUBLE))"
+        ).alias("embedding")
+    )
+    return kmeans_lloyd(
+        vecs, k=4, iters=1, id_col="vid", vec_col="embedding", salt="frc"
+    )
+
+
+def _fastrp_clusters_sql(k: int = 4, dim: int = 4) -> str:
+    from drone_spark.algorithms.fastrp import fastrp_embeddings_sql
+
+    def dist(e: str, c: str) -> str:
+        return (
+            f"list_inner_product({e}.v, {e}.v)"
+            f" - 2 * list_inner_product({e}.v, {c}.v)"
+            f" + list_inner_product({c}.v, {c}.v)"
+        )
+
+    rp = fastrp_embeddings_sql(SQL_BIPARTITE, dims=dim, iters=2)
+    parts = [
+        f"rp AS ({rp})",
+        "emb AS (SELECT vid AS vec_id, list(CAST(val AS DOUBLE) ORDER BY dim)"
+        " AS v FROM rp GROUP BY vid)",
+        "ord0 AS (SELECT v, ROW_NUMBER() OVER (ORDER BY"
+        " md5('frc:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c"
+        " FROM emb)",
+        f"c0 AS (SELECT c, v FROM ord0 WHERE c < {k})",
+        f"a1 AS (SELECT e.vec_id, e.v, CAST(MIN([{dist('e', 'c')},"
+        " CAST(c.c AS DOUBLE)])[2] AS INT) AS cluster"
+        " FROM emb e CROSS JOIN c0 c GROUP BY e.vec_id, e.v)",
+        f"u1 AS (SELECT a.cluster, t.i AS pos, AVG(a.v[t.i]) AS m"
+        f" FROM a1 a, range(1, {dim + 1}) t(i) GROUP BY a.cluster, t.i)",
+        "c1 AS (SELECT cluster AS c, list(m ORDER BY pos) AS v"
+        " FROM u1 GROUP BY cluster)",
+    ]
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT e.vec_id AS vid, CAST(MIN([{dist('e', 'c')},"
+        " CAST(c.c AS DOUBLE)])[2] AS INT) AS cluster"
+        " FROM emb e CROSS JOIN c1 c GROUP BY e.vec_id, e.v"
+    )
+
+
+def q_host_entropy(spark, sf_dir):
+    """Per-host outlink Shannon entropy in micro-nats (integer floors,
+    the surprisal convention): H = Σ_d w_d·⌊10^6·ln(W/w_d)⌋ DIV W over
+    the host graph's weighted out-edges — low entropy = a focused
+    (navigational) site, high = a scatter/link-farm signature."""
+    hg = _spark_host_edges_weighted(spark, sf_dir)
+    tot = hg.groupBy("src").agg(F.sum("w").alias("wt"))
+    return (
+        hg.join(tot, "src")
+        .select(
+            "src",
+            "wt",
+            (
+                F.col("w")
+                * F.floor(
+                    F.lit(1_000_000)
+                    * F.log(F.col("wt").cast("double") / F.col("w"))
+                ).cast("long")
+            ).alias("term"),
+        )
+        .groupBy(F.col("src").alias("host"), F.col("wt").alias("n_links"))
+        .agg(F.expr("CAST(SUM(term) DIV first(wt) AS BIGINT)").alias(
+            "entropy_micro"
+        ))
+        .select("host", "n_links", "entropy_micro")
+    )
+
+
+def _spark_host_edges_weighted(spark, sf_dir):
+    from drone_spark.extraction import host_graph
+
+    return host_graph(_url_edges(spark, sf_dir)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").alias("w"),
+    )
+
+
+def _host_entropy_sql() -> str:
+    hw = (
+        f"{SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hostsq AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls), "
+        "hw AS (SELECT src_host AS src, dst_host AS dst, COUNT(*) AS w "
+        "FROM hostsq WHERE src_host <> dst_host GROUP BY 1, 2)"
+    )
+    return (
+        f"WITH {hw}, "
+        "tot AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wt FROM hw GROUP BY src), "
+        "terms AS (SELECT hw.src, tot.wt, hw.w * CAST(FLOOR(1000000 * "
+        "LN(CAST(tot.wt AS DOUBLE) / hw.w)) AS BIGINT) AS term "
+        "FROM hw JOIN tot ON hw.src = tot.src) "
+        "SELECT src AS host, wt AS n_links, "
+        "CAST(SUM(term) // wt AS BIGINT) AS entropy_micro "
+        "FROM terms GROUP BY src, wt"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4506,6 +4621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_fingerprints": q_host_fingerprints,
         "lang_source_chi2": q_lang_source_chi2,
         "top_pages_per_host": q_top_pages_per_host,
+        "fastrp_clusters": q_fastrp_clusters,
+        "host_entropy": q_host_entropy,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5183,6 +5300,8 @@ def oracle_sql() -> dict[str, str]:
     out["host_fingerprints"] = _host_fingerprints_sql()
     out["lang_source_chi2"] = _lang_source_chi2_sql()
     out["top_pages_per_host"] = _top_pages_per_host_sql()
+    out["fastrp_clusters"] = _fastrp_clusters_sql()
+    out["host_entropy"] = _host_entropy_sql()
     return out
 
 

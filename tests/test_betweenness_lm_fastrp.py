@@ -96,3 +96,29 @@ def test_fastrp_plan_is_jvm_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fastrp_clusters_separates_components(spark):
+    """Two disjoint dense blobs: FastRP colors each component with a
+    consistent sign pattern, so k=2 clustering must separate them
+    perfectly (every vertex clustered with its own component)."""
+    from drone_spark.algorithms.fastrp import fastrp_embeddings
+    from drone_spark.ops.similarity import kmeans_lloyd
+
+    blob_a = [(i, j) for i in range(1, 6) for j in range(1, 6) if i != j]
+    blob_b = [(i, j) for i in range(101, 106) for j in range(101, 106)
+              if i != j]
+    edges = spark.createDataFrame(blob_a + blob_b, "src long, dst long")
+    emb = fastrp_embeddings(edges, dims=8, iters=2)
+    vecs = emb.groupBy("vid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, val))), "
+            "x -> CAST(x.val AS DOUBLE))"
+        ).alias("embedding")
+    )
+    out = {r["vid"]: r["cluster"] for r in
+           kmeans_lloyd(vecs, k=2, iters=1, id_col="vid",
+                        vec_col="embedding", salt="t").collect()}
+    ca = {out[v] for v in range(1, 6)}
+    cb = {out[v] for v in range(101, 106)}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
