@@ -248,9 +248,12 @@ def q_pagerank5(spark, sf_dir):
     bit-identical results — float PageRank can't be hash-compared across
     engines (summation-order ULPs straddle any quantization boundary).
     The float path to 1e-6 is oracle-checked by tests/test_pagerank.py."""
+    return _pagerank5_on(spark, _bipartite_edges(spark, sf_dir), "entry_pr5")
+
+
+def _pagerank5_on(spark, edges, run_id: str):
     from drone_spark.graph.builder import out_degrees, vertices
 
-    edges = _bipartite_edges(spark, sf_dir)
     eng = _engine(spark)
 
     def init():
@@ -283,8 +286,27 @@ def q_pagerank5(spark, sf_dir):
             F.abs(new_pr - F.col("pr_fx")).cast("double").alias("delta"),
         )
 
-    res = eng.run("entry_pr5", init, step, tol=0.0, max_supersteps=5)
+    res = eng.run(run_id, init, step, tol=0.0, max_supersteps=5)
     return res.state.select("vid", "pr_fx")
+
+
+def q_cheirank5(spark, sf_dir):
+    """CheiRank (Chepelianskii 2010): the PageRank fixed point of the
+    REVERSED link graph — ranks 'communicative' hubs by outgoing
+    structure the way PageRank ranks authorities by incoming. Same
+    engine, same integer kernel, edges transposed."""
+    rev = _bipartite_edges(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return _pagerank5_on(spark, rev, "entry_chei5")
+
+
+def _cheirank5_sql() -> str:
+    rev_cte = (
+        "edges AS (SELECT DISTINCT "
+        f"{PART_OFFSET} + l_partkey AS src, l_orderkey AS dst FROM lineitem)"
+    )
+    return _pagerank5_sql().replace(SQL_BIPARTITE, rev_cte)
 
 
 def q_connected_components(spark, sf_dir):
@@ -4530,6 +4552,47 @@ def _host_entropy_sql() -> str:
     )
 
 
+def q_cross_source_dups(spark, sf_dir):
+    """Cross-source contamination matrix: pairs of sources sharing an
+    identical normalized 40-char document OPENING (the boilerplate-head
+    key — whole-document fingerprints find nothing in a dedup'd crawl,
+    shared templated openings are what leak) — the check run before
+    assigning train/eval corpus splits by source. Exact equi-join on
+    the md5 key (uniform, never all-pairs)."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            1, 40,
+        )).alias("fp")
+    )
+    x, y = d.alias("x"), d.alias("y")
+    return (
+        x.join(y, "fp")
+        .where(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("x.source") != F.col("y.source"))
+        )
+        .select(
+            F.least("x.source", "y.source").alias("src_a"),
+            F.greatest("x.source", "y.source").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _cross_source_dups_sql() -> str:
+    return (
+        "WITH f AS (SELECT doc_id, source, "
+        "md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 40)) "
+        "AS fp FROM documents) "
+        "SELECT LEAST(x.source, y.source) AS src_a, "
+        "GREATEST(x.source, y.source) AS src_b, COUNT(*) AS n_pairs "
+        "FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id "
+        "AND x.source <> y.source GROUP BY 1, 2"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4623,6 +4686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_pages_per_host": q_top_pages_per_host,
         "fastrp_clusters": q_fastrp_clusters,
         "host_entropy": q_host_entropy,
+        "cheirank5": q_cheirank5,
+        "cross_source_dups": q_cross_source_dups,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5302,6 +5367,8 @@ def oracle_sql() -> dict[str, str]:
     out["top_pages_per_host"] = _top_pages_per_host_sql()
     out["fastrp_clusters"] = _fastrp_clusters_sql()
     out["host_entropy"] = _host_entropy_sql()
+    out["cheirank5"] = _cheirank5_sql()
+    out["cross_source_dups"] = _cross_source_dups_sql()
     return out
 
 

@@ -82,3 +82,37 @@ def test_per_group_topk_window_partitions(spark):
     assert len(rows) == 21  # 7 hosts × 3
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(host" in plan  # window keyed by host, not global
+
+
+def test_cross_source_dups_symmetric_canonical(spark):
+    """Shared 40-char openings across sources count once per doc pair
+    with canonical (least, greatest) source order."""
+    from __spark_entry__ import q_cross_source_dups  # noqa: F401
+    from pyspark.sql import functions as F
+
+    head = "x " * 25  # 50 chars, same 40-char opening
+    docs = spark.createDataFrame(
+        [
+            (1, head + "alpha", "en", "s1", 1),
+            (2, head + "beta", "en", "s2", 1),
+            (3, head + "gamma", "en", "s2", 1),
+            (4, "totally different text", "en", "s3", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = docs.select(
+        "doc_id", "source",
+        F.md5(F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            1, 40)).alias("fp"),
+    )
+    x, y = d.alias("x"), d.alias("y")
+    out = {(r["src_a"], r["src_b"]): r["n_pairs"] for r in (
+        x.join(y, "fp")
+        .where((F.col("x.doc_id") < F.col("y.doc_id"))
+               & (F.col("x.source") != F.col("y.source")))
+        .select(F.least("x.source", "y.source").alias("src_a"),
+                F.greatest("x.source", "y.source").alias("src_b"))
+        .groupBy("src_a", "src_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect())}
+    assert out == {("s1", "s2"): 2}
