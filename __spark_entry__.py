@@ -4593,6 +4593,78 @@ def _cross_source_dups_sql() -> str:
     )
 
 
+def q_hll_daily_users(spark, sf_dir):
+    """Daily distinct active users by HyperLogLog next to the exact
+    count — the sketch over TIME windows (sliding dashboards at 100 TB
+    never run COUNT(DISTINCT) on raw events). Day key = epoch DIV
+    86400, group-keyed HLL registers merge map-side."""
+    from drone_spark.ops.sketches import hll_distinct
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) DIV 86400").alias("day"), "user_id"
+    )
+    return hll_distinct(ev, "day", "user_id", salt="hud:")
+
+
+def _hll_daily_users_sql() -> str:
+    from drone_spark.ops.sketches import hll_distinct_sql
+
+    return hll_distinct_sql(
+        "src AS (SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) "
+        "// 86400 AS day, user_id FROM events)",
+        "day",
+        "user_id",
+        salt="hud:",
+    ).replace("SELECT est.grp,", "SELECT est.grp AS day,")
+
+
+def q_cf_cosine2(spark, sf_dir):
+    """Item-item collaborative-filtering similarity on the
+    order→part bipartite graph: cosine²(p1,p2) = co²/(d1·d2) in exact
+    ppm over shared-order counts — top-50 pairs. The co-occurrence
+    self-join is order-keyed (bounded by per-order basket size, the
+    butterflies wedge discipline)."""
+    items = (
+        _read(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = items.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    da = deg.select(F.col("p").alias("p1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("p").alias("p2"), F.col("d").alias("d2"))
+    return (
+        co.join(da, "p1")
+        .join(db, "p2")
+        .select(
+            "p1",
+            "p2",
+            F.expr("(co * co * 1000000) DIV (d1 * d2)").alias("cos2_ppm"),
+        )
+        .orderBy(F.desc("cos2_ppm"), F.asc("p1"), F.asc("p2"))
+        .limit(50)
+    )
+
+
+def _cf_cosine2_sql() -> str:
+    return (
+        "WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem), "
+        "deg AS (SELECT p, COUNT(*) AS d FROM items GROUP BY p), "
+        "co AS (SELECT a.p AS p1, b.p AS p2, COUNT(*) AS co FROM items a "
+        "JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2) "
+        "SELECT co.p1, co.p2, "
+        "CAST((co.co * co.co * 1000000) // (d1.d * d2.d) AS BIGINT) AS cos2_ppm "
+        "FROM co JOIN deg d1 ON co.p1 = d1.p JOIN deg d2 ON co.p2 = d2.p "
+        "ORDER BY cos2_ppm DESC, co.p1 ASC, co.p2 ASC LIMIT 50"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4688,6 +4760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_entropy": q_host_entropy,
         "cheirank5": q_cheirank5,
         "cross_source_dups": q_cross_source_dups,
+        "hll_daily_users": q_hll_daily_users,
+        "cf_cosine2": q_cf_cosine2,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5369,6 +5443,8 @@ def oracle_sql() -> dict[str, str]:
     out["host_entropy"] = _host_entropy_sql()
     out["cheirank5"] = _cheirank5_sql()
     out["cross_source_dups"] = _cross_source_dups_sql()
+    out["hll_daily_users"] = _hll_daily_users_sql()
+    out["cf_cosine2"] = _cf_cosine2_sql()
     return out
 
 
