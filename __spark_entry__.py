@@ -4665,6 +4665,21 @@ def _cf_cosine2_sql() -> str:
     )
 
 
+def q_fuzzy_dups(spark, sf_dir):
+    """Edit-distance near-dups on normalized 40-char openings, ≤4
+    edits, prefix-blocked (ops/dedup.fuzzy_head_dups) — the fuzzy tier
+    between exact fingerprints and shingle Jaccard."""
+    from drone_spark.ops.dedup import fuzzy_head_dups
+
+    return fuzzy_head_dups(_read(spark, sf_dir, "documents"), max_edits=4)
+
+
+def _fuzzy_dups_sql() -> str:
+    from drone_spark.ops.dedup import fuzzy_head_dups_sql
+
+    return fuzzy_head_dups_sql(max_edits=4)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4762,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "hll_daily_users": q_hll_daily_users,
         "cf_cosine2": q_cf_cosine2,
+        "fuzzy_dups": q_fuzzy_dups,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5445,6 +5461,7 @@ def oracle_sql() -> dict[str, str]:
     out["cross_source_dups"] = _cross_source_dups_sql()
     out["hll_daily_users"] = _hll_daily_users_sql()
     out["cf_cosine2"] = _cf_cosine2_sql()
+    out["fuzzy_dups"] = _fuzzy_dups_sql()
     return out
 
 

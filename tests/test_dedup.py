@@ -602,3 +602,25 @@ def test_cdc_stats_sql_twin(spark):
         for r in con.execute(cdc_chunk_stats_sql(divisor=8)).fetchall()
     )
     assert got == want
+
+
+def test_fuzzy_head_dups_hand_oracle(spark):
+    """One-char variants match within 4 edits; unrelated text and
+    different-prefix pairs don't (prefix blocking stated trade)."""
+    from drone_spark.ops.dedup import fuzzy_head_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "welcome to example site page one"),
+            (2, "welcome to example site page two"),
+            (3, "welcome to example site xyz one"),
+            (4, "completely different content here"),
+            (5, "xelcome to example site page one"),  # first char differs
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r["lev"] for r in
+           fuzzy_head_dups(docs, max_edits=4).collect()}
+    assert out[(1, 2)] == 3  # one->two
+    assert (1, 3) in out    # page->xyz within 4 edits of the 40-char head
+    assert all(4 not in p and 5 not in p for p in out)
