@@ -4680,6 +4680,39 @@ def _fuzzy_dups_sql() -> str:
     return fuzzy_head_dups_sql(max_edits=4)
 
 
+def q_props_stats(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON ``props`` payload
+    (get_json_object — JVM-side JSON path, no Python) and roll up the
+    extracted integer per event type. The schema-on-read pattern every
+    event feed needs before promotion to typed columns."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+def _props_stats_sql() -> str:
+    return (
+        "WITH x AS (SELECT event_type, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad, "
+        "CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max "
+        "FROM x GROUP BY event_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4778,6 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_users": q_hll_daily_users,
         "cf_cosine2": q_cf_cosine2,
         "fuzzy_dups": q_fuzzy_dups,
+        "props_stats": q_props_stats,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5462,6 +5496,7 @@ def oracle_sql() -> dict[str, str]:
     out["hll_daily_users"] = _hll_daily_users_sql()
     out["cf_cosine2"] = _cf_cosine2_sql()
     out["fuzzy_dups"] = _fuzzy_dups_sql()
+    out["props_stats"] = _props_stats_sql()
     return out
 
 
