@@ -4713,6 +4713,46 @@ def _props_stats_sql() -> str:
     )
 
 
+def q_pr_deciles(spark, sf_dir):
+    """PageRank mass concentration by decile: rank all vertices
+    (fusion.ordinal_rank — histogram prefix, no global window), bucket
+    into 10 equal-count bands, report each band's count and exact
+    integer pr mass/min/max. The one-glance power-law readout ('the
+    top decile holds X% of the rank mass')."""
+    from drone_spark.ops.fusion import ordinal_rank
+
+    pr = q_pagerank5(spark, sf_dir).select("vid", F.col("pr_fx").alias("score"))
+    n = pr.count()
+    ranked = ordinal_rank(pr, "score", "vid", rank_col="r")
+    return (
+        ranked.select(
+            F.expr(f"(10 * (r - 1)) DIV {n}").alias("decile"), "score"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").cast("long").alias("pr_sum"),
+            F.min("score").alias("pr_min"),
+            F.max("score").alias("pr_max"),
+        )
+    )
+
+
+def _pr_deciles_sql() -> str:
+    return (
+        f"WITH pr AS ({_pagerank5_sql()}), "
+        "nn AS (SELECT COUNT(*) AS n FROM pr), "
+        "ranked AS (SELECT pr_fx AS score, ROW_NUMBER() OVER "
+        "(ORDER BY pr_fx DESC, vid ASC) AS r FROM pr), "
+        "bands AS (SELECT (10 * (r - 1)) // nn.n AS decile, score "
+        "FROM ranked, nn) "
+        "SELECT CAST(decile AS BIGINT) AS decile, "
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(score) AS BIGINT) AS pr_sum, "
+        "MIN(score) AS pr_min, MAX(score) AS pr_max "
+        "FROM bands GROUP BY decile"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4812,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_cosine2": q_cf_cosine2,
         "fuzzy_dups": q_fuzzy_dups,
         "props_stats": q_props_stats,
+        "pr_deciles": q_pr_deciles,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5497,6 +5538,7 @@ def oracle_sql() -> dict[str, str]:
     out["cf_cosine2"] = _cf_cosine2_sql()
     out["fuzzy_dups"] = _fuzzy_dups_sql()
     out["props_stats"] = _props_stats_sql()
+    out["pr_deciles"] = _pr_deciles_sql()
     return out
 
 
