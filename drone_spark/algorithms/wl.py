@@ -34,6 +34,7 @@ def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     colors = (
         sym.groupBy("src")
@@ -43,7 +44,12 @@ def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
             F.md5(F.concat(F.lit("d:"), F.col("d").cast("string"))).alias("color"),
         )
     )
+    # localCheckpoint per round (the engine's superstep discipline,
+    # stress/onion convention): colors is referenced twice per round
+    # (neighbor join + carry), so without truncation the lineage tree
+    # doubles every round — 2^rounds plan growth at refinement depth
     for _ in range(rounds):
+        colors = colors.localCheckpoint(eager=True)
         neigh = sym.join(colors, sym["dst"] == colors["id"]).select(
             sym["src"].alias("nid"), F.col("color").alias("nc")
         )
