@@ -90,3 +90,38 @@ def test_sketches_plan_is_jvm_only(spark, zipfy):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The distributed-merge property that makes HLL shuffle-free:
+    registers of A∪B equal the element-wise max of A's and B's
+    registers — so partial sketches combine associatively (map-side),
+    and the union estimate needs no re-scan of raw values."""
+    from drone_spark.ops.sketches import HLL_M, HLL_P, HLL_W, _h60
+
+    def regs(df):
+        h = _h60("v", "hll:")
+        r = (
+            df.select(
+                h.bitwiseAND(HLL_M - 1).alias("j"),
+                F.shiftright(h, HLL_P).alias("w"),
+            )
+            .select(
+                "j",
+                F.when(F.col("w") == 0, F.lit(HLL_W + 1))
+                .otherwise(F.lit(HLL_W + 1) - F.length(F.bin("w")))
+                .alias("rank"),
+            )
+            .groupBy("j")
+            .agg(F.max("rank").alias("m"))
+            .collect()
+        )
+        return {x["j"]: x["m"] for x in r}
+
+    a = spark.range(0, 400).select(F.col("id").alias("v"))
+    b = spark.range(300, 700).select(F.col("id").alias("v"))
+    ra, rb, ru = regs(a), regs(b), regs(a.union(b))
+    merged = {
+        j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)
+    }
+    assert ru == merged
