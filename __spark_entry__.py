@@ -4753,6 +4753,72 @@ def _pr_deciles_sql() -> str:
     )
 
 
+def q_hill_tail(spark, sf_dir):
+    """Hill estimator of the in-degree power-law tail exponent over
+    the top-101 order statistics (Hill 1975) — the graph twin of
+    zipf_slope's frequency fit: α̂ = k / mean(ln(d_i/d_ref)) with
+    d_ref = the 101st degree. Ties at d_ref contribute ln(1) = 0, so
+    no boundary exclusion is needed. Integer end to end: micro-nat
+    floors per term, ppm long-division for α̂. TakeOrdered top-101 —
+    never a global sort."""
+    ind = (
+        _bipartite_edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    lim = ind.orderBy(F.desc("deg"), F.asc("vid")).limit(101)
+    ref = lim.agg(F.min("deg").alias("dr"))
+    terms = lim.crossJoin(F.broadcast(ref)).select(
+        F.floor(
+            F.lit(1_000_000)
+            * F.log(F.col("deg").cast("double") / F.col("dr"))
+        ).cast("long").alias("t"),
+        "dr",
+    )
+    return terms.groupBy("dr").agg(
+        F.sum("t").alias("s_micro")
+    ).select(
+        F.lit(100).cast("long").alias("k"),
+        F.col("dr").alias("d_ref"),
+        "s_micro",
+        F.expr(
+            "CASE WHEN s_micro > 0 THEN (100 * 1000000000000) DIV s_micro "
+            "ELSE 0 END"
+        ).cast("long").alias("alpha_ppm"),
+    )
+
+
+def _hill_tail_sql() -> str:
+    return (
+        f"WITH {SQL_BIPARTITE}, "
+        "ind AS (SELECT dst AS vid, COUNT(*) AS deg FROM edges GROUP BY dst), "
+        "lim AS (SELECT vid, deg FROM ind ORDER BY deg DESC, vid ASC LIMIT 101), "
+        "ref AS (SELECT MIN(deg) AS dr FROM lim), "
+        "terms AS (SELECT CAST(FLOOR(1000000 * LN(CAST(deg AS DOUBLE) / dr)) "
+        "AS BIGINT) AS t, dr FROM lim, ref), "
+        "agg AS (SELECT dr, CAST(SUM(t) AS BIGINT) AS s_micro FROM terms "
+        "GROUP BY dr) "
+        "SELECT 100::BIGINT AS k, dr AS d_ref, s_micro, "
+        "CAST(CASE WHEN s_micro > 0 THEN (100 * 1000000000000) // s_micro "
+        "ELSE 0 END AS BIGINT) AS alpha_ppm FROM agg"
+    )
+
+
+def q_host_ecc(spark, sf_dir):
+    """EXACT per-host eccentricity + reach from the all-source keyed
+    BFS (centrality.apsp_eccentricity) — the exact radius/diameter
+    table at site level."""
+    from drone_spark.algorithms.centrality import apsp_eccentricity
+
+    return apsp_eccentricity(_spark_host_edges(spark, sf_dir), max_depth=8)
+
+
+def _host_ecc_sql() -> str:
+    from drone_spark.algorithms.centrality import apsp_eccentricity_sql
+
+    return apsp_eccentricity_sql(_host_edges_rebound_cte(), max_depth=8)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4853,6 +4919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dups": q_fuzzy_dups,
         "props_stats": q_props_stats,
         "pr_deciles": q_pr_deciles,
+        "hill_tail": q_hill_tail,
+        "host_ecc": q_host_ecc,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5539,6 +5607,8 @@ def oracle_sql() -> dict[str, str]:
     out["fuzzy_dups"] = _fuzzy_dups_sql()
     out["props_stats"] = _props_stats_sql()
     out["pr_deciles"] = _pr_deciles_sql()
+    out["hill_tail"] = _hill_tail_sql()
+    out["host_ecc"] = _host_ecc_sql()
     return out
 
 

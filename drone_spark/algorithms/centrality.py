@@ -852,3 +852,93 @@ def apsp_histogram_sql(edges_cte: str, max_depth: int = 8) -> str:
         " CAST(n_pairs AS BIGINT) AS n_pairs"
         f" FROM ({' UNION ALL '.join(counts)}) WHERE n_pairs > 0"
     )
+
+
+def apsp_eccentricity(edges: DataFrame, max_depth: int = 8) -> DataFrame:
+    """EXACT per-vertex eccentricity (and reach count) from the same
+    all-source keyed BFS as :func:`apsp_histogram` — at site level the
+    exact radius/diameter table the sampled landmark machinery
+    (landmark_eccentricity) lower-bounds at page level. Returns
+    (vid, ecc, n_reached) with ecc = max BFS level reached from the
+    vertex within ``max_depth`` (vertices reaching nothing have
+    ecc = 0, n_reached = 0)."""
+    from ..graph.builder import vertices
+
+    v = vertices(edges)
+    frontier = v.select(F.col("id").alias("s"), F.col("id").alias("v"))
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    per_level = []
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, F.col("v") == F.col("src"))
+            .select("s", F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        per_level.append(
+            nxt.groupBy("s").agg(
+                F.lit(d).alias("lvl"), F.count(F.lit(1)).alias("n")
+            )
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not per_level:
+        return v.select(
+            F.col("id").alias("vid"),
+            F.lit(0).cast("long").alias("ecc"),
+            F.lit(0).cast("long").alias("n_reached"),
+        )
+    allv = per_level[0]
+    for p in per_level[1:]:
+        allv = allv.unionAll(p)
+    stats = allv.groupBy("s").agg(
+        F.max("lvl").cast("long").alias("ecc"),
+        F.sum("n").cast("long").alias("n_reached"),
+    )
+    return (
+        v.join(stats, v["id"] == stats["s"], "left")
+        .select(
+            F.col("id").alias("vid"),
+            F.coalesce("ecc", F.lit(0)).cast("long").alias("ecc"),
+            F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+        )
+    )
+
+
+def apsp_eccentricity_sql(edges_cte: str, max_depth: int = 8) -> str:
+    """DuckDB twin of :func:`apsp_eccentricity`."""
+    ctes = [
+        f"WITH {edges_cte}",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst FROM edges))",
+        "f0 AS (SELECT id AS s, id AS v FROM verts)",
+        "vis0 AS (SELECT s, v FROM f0)",
+    ]
+    levels = []
+    for d in range(1, max_depth + 1):
+        ctes.append(
+            f"f{d} AS MATERIALIZED (SELECT DISTINCT g.s, g.v FROM "
+            f"(SELECT f.s, e.dst AS v FROM f{d-1} f JOIN edges e"
+            f" ON e.src = f.v) g LEFT JOIN vis{d-1} x"
+            " ON x.s = g.s AND x.v = g.v WHERE x.v IS NULL)"
+        )
+        ctes.append(
+            f"vis{d} AS MATERIALIZED (SELECT s, v FROM vis{d-1}"
+            f" UNION ALL SELECT s, v FROM f{d})"
+        )
+        levels.append(
+            f"SELECT s, {d} AS lvl, COUNT(*) AS n FROM f{d} GROUP BY s"
+        )
+    return (
+        ", ".join(ctes)
+        + ", lv AS (" + " UNION ALL ".join(levels) + ")"
+        + ", st AS (SELECT s, CAST(MAX(lvl) AS BIGINT) AS ecc,"
+        " CAST(SUM(n) AS BIGINT) AS n_reached FROM lv WHERE n > 0 GROUP BY s)"
+        + " SELECT verts.id AS vid, COALESCE(st.ecc, 0) AS ecc,"
+        " COALESCE(st.n_reached, 0) AS n_reached"
+        " FROM verts LEFT JOIN st ON verts.id = st.s"
+    )
