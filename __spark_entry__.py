@@ -4819,6 +4819,49 @@ def _host_ecc_sql() -> str:
     return apsp_eccentricity_sql(_host_edges_rebound_cte(), max_depth=8)
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user
+    stream: (from_type, to_type, n, p_ppm) with row-normalized ppm
+    probabilities. Lag windows are PARTITIONED by user (parallel,
+    state bounded by per-user history) ordered by (ts, event_id) for
+    a total deterministic order."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("nxt").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return pairs.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) DIV row_n").alias("p_ppm"),
+    )
+
+
+def _event_transitions_sql() -> str:
+    return (
+        "WITH seq AS (SELECT user_id, event_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS nxt FROM events), "
+        "pairs AS (SELECT event_type AS from_type, nxt AS to_type, "
+        "COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+        "tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n "
+        "FROM pairs GROUP BY from_type) "
+        "SELECT pairs.from_type, pairs.to_type, CAST(n AS BIGINT) AS n, "
+        "CAST((n * 1000000) // row_n AS BIGINT) AS p_ppm "
+        "FROM pairs JOIN tot ON pairs.from_type = tot.from_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4921,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_deciles": q_pr_deciles,
         "hill_tail": q_hill_tail,
         "host_ecc": q_host_ecc,
+        "event_transitions": q_event_transitions,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5609,6 +5653,7 @@ def oracle_sql() -> dict[str, str]:
     out["pr_deciles"] = _pr_deciles_sql()
     out["hill_tail"] = _hill_tail_sql()
     out["host_ecc"] = _host_ecc_sql()
+    out["event_transitions"] = _event_transitions_sql()
     return out
 
 
