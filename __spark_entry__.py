@@ -4862,6 +4862,69 @@ def _event_transitions_sql() -> str:
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard matrix in exact ppm — the
+    set-level complement of source_kl's distributional drift: which
+    sources share a vocabulary at all. All-pairs is safe here because
+    sources are value-space (tens), not documents; the token sets are
+    the distinct (source, token) table (one partial-agg dedup pass
+    over the corpus)."""
+    st = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                    " ",
+                )
+            ).alias("token"),
+        )
+        .where(F.length("token") > 0)
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    x, y = st.alias("x"), st.alias("y")
+    inter = (
+        x.join(y, "token")
+        .where(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("(i * 1000000) DIV (sza + szb - i)").alias("jacc_ppm"),
+        )
+    )
+
+
+def _source_overlap_sql() -> str:
+    return (
+        "WITH norm AS (SELECT source, "
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt "
+        "FROM documents), "
+        "toks AS (SELECT DISTINCT source, "
+        "unnest(string_split(nt, ' ')) AS token FROM norm), "
+        "st AS (SELECT source, token FROM toks WHERE length(token) > 0), "
+        "sz AS (SELECT source, COUNT(*) AS sz FROM st GROUP BY source), "
+        "inter AS (SELECT x.source AS src_a, y.source AS src_b, "
+        "COUNT(*) AS i FROM st x JOIN st y ON x.token = y.token "
+        "AND x.source < y.source GROUP BY 1, 2) "
+        "SELECT inter.src_a, inter.src_b, "
+        "CAST((i * 1000000) // (sa.sz + sb.sz - i) AS BIGINT) AS jacc_ppm "
+        "FROM inter JOIN sz sa ON inter.src_a = sa.source "
+        "JOIN sz sb ON inter.src_b = sb.source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4965,6 +5028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": q_hill_tail,
         "host_ecc": q_host_ecc,
         "event_transitions": q_event_transitions,
+        "source_overlap": q_source_overlap,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5654,6 +5718,7 @@ def oracle_sql() -> dict[str, str]:
     out["hill_tail"] = _hill_tail_sql()
     out["host_ecc"] = _host_ecc_sql()
     out["event_transitions"] = _event_transitions_sql()
+    out["source_overlap"] = _source_overlap_sql()
     return out
 
 
