@@ -4925,6 +4925,41 @@ def _source_overlap_sql() -> str:
     )
 
 
+def q_host_pr_share(spark, sf_dir):
+    """Site-level rank mass: each host bucket's share of total
+    5-superstep PageRank in ppm — the crawl-allocation / SEO-audit
+    rollup (which sites hold the graph's authority). One partial-agg
+    groupBy over the rank table plus a broadcast scalar total."""
+    pr = q_pagerank5(spark, sf_dir).withColumn("host", F.col("vid") % 199)
+    per_host = pr.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"), F.sum("pr_fx").alias("pr_mass")
+    )
+    total = per_host.agg(F.sum("pr_mass").alias("t"))
+    # pr_mass is PR_SCALE-weighted (10^12/vertex): ×10^6 would overflow
+    # int64, so both operands downscale by 10^6 first (mirrored in the
+    # twin) — error < 1 ppm of the 10^12 fixed point
+    return per_host.crossJoin(F.broadcast(total)).select(
+        "host",
+        "n_pages",
+        F.col("pr_mass").cast("long").alias("pr_mass"),
+        F.expr(
+            "((pr_mass DIV 1000000) * 1000000) DIV (t DIV 1000000)"
+        ).alias("share_ppm"),
+    )
+
+
+def _host_pr_share_sql() -> str:
+    return (
+        f"WITH pr AS ({_pagerank5_sql()}), "
+        "ph AS (SELECT vid % 199 AS host, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+        "CAST(SUM(pr_fx) AS BIGINT) AS pr_mass FROM pr GROUP BY vid % 199), "
+        "tot AS (SELECT CAST(SUM(pr_mass) AS BIGINT) AS t FROM ph) "
+        "SELECT host, n_pages, pr_mass, "
+        "CAST(((pr_mass // 1000000) * 1000000) // (t // 1000000) AS BIGINT) "
+        "AS share_ppm FROM ph, tot"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5029,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_ecc": q_host_ecc,
         "event_transitions": q_event_transitions,
         "source_overlap": q_source_overlap,
+        "host_pr_share": q_host_pr_share,
         # ---- round-4 additions the r04 driver run never reached
         "postings": q_postings,
         "bm25": q_bm25,
@@ -5719,6 +5755,7 @@ def oracle_sql() -> dict[str, str]:
     out["host_ecc"] = _host_ecc_sql()
     out["event_transitions"] = _event_transitions_sql()
     out["source_overlap"] = _source_overlap_sql()
+    out["host_pr_share"] = _host_pr_share_sql()
     return out
 
 
