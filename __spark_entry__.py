@@ -4960,6 +4960,63 @@ def _host_pr_share_sql() -> str:
     )
 
 
+def q_dispersion(spark, sf_dir):
+    """Backstrom–Kleinberg edge dispersion on the co-purchase graph
+    (linkstats.dispersion — capped common-neighbor pair join, exact
+    integers)."""
+    from drone_spark.algorithms.linkstats import dispersion
+
+    return dispersion(_copurchase_edges(spark, sf_dir))
+
+
+def _dispersion_sql() -> str:
+    from drone_spark.algorithms.linkstats import dispersion_sql
+
+    return dispersion_sql(SQL_COPURCHASE)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Two-pass exact heavy hitters (Misra–Gries candidate generation,
+    sketches.heavy_hitters) over the document token stream: shuffle
+    bounded at k·partitions candidate rows, output provably equal to
+    the exact GROUP BY filter."""
+    from drone_spark.ops.corpusstats import _tokens
+    from drone_spark.ops.sketches import heavy_hitters
+
+    toks = _tokens(_read(spark, sf_dir, "documents"), "text").select(
+        F.col("token").alias("v")
+    )
+    return heavy_hitters(toks, k=100)
+
+
+def _heavy_hitters_sql() -> str:
+    from drone_spark.ops.corpusstats import NORM_SQL
+    from drone_spark.ops.sketches import heavy_hitters_sql
+
+    vals = (
+        f"norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents), "
+        "vals AS (SELECT token AS v FROM (SELECT "
+        "UNNEST(string_split(nt, ' ')) AS token FROM norm) "
+        "WHERE length(token) > 0)"
+    )
+    return heavy_hitters_sql(vals, k=100)
+
+
+def q_llr_bigrams(spark, sf_dir):
+    """Dunning G² adjacent-bigram collocations (corpusstats.llr_bigrams
+    — exact-integer contingency tables, pmi_pairs' cross-engine ln
+    discipline)."""
+    from drone_spark.ops.corpusstats import llr_bigrams
+
+    return llr_bigrams(_read(spark, sf_dir, "documents"))
+
+
+def _llr_bigrams_sql() -> str:
+    from drone_spark.ops.corpusstats import llr_bigrams_sql
+
+    return llr_bigrams_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4988,6 +5045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
         "sssp": q_sssp,
+        # ---- round-5 continuation: new families front the rotation
+        "dispersion": q_dispersion,
+        "heavy_hitters": q_heavy_hitters,
+        "llr_bigrams": q_llr_bigrams,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -5756,6 +5817,9 @@ def oracle_sql() -> dict[str, str]:
     out["event_transitions"] = _event_transitions_sql()
     out["source_overlap"] = _source_overlap_sql()
     out["host_pr_share"] = _host_pr_share_sql()
+    out["dispersion"] = _dispersion_sql()
+    out["heavy_hitters"] = _heavy_hitters_sql()
+    out["llr_bigrams"] = _llr_bigrams_sql()
     return out
 
 

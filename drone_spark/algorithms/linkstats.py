@@ -26,7 +26,7 @@ At-scale shape notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .cc import _sym_edges
 from .triangles import _oriented
@@ -1252,4 +1252,116 @@ def clustering_spectrum_sql(edges_cte: str) -> str:
         "CAST(CASE WHEN deg >= 2 THEN (2 * tri_sum * 1000000) // "
         "(n_vertices * deg * (deg - 1)) ELSE 0 END AS BIGINT) AS cc_ppm "
         "FROM spec"
+    )
+
+
+def dispersion(
+    edges: DataFrame,
+    cn_cap: int = 64,
+) -> DataFrame:
+    """Backstrom–Kleinberg *dispersion* of every embedded edge: for an
+    undirected edge (u,v) with common-neighbor set C(u,v), dispersion
+    is the number of pairs {s,t} ⊆ C(u,v) that are NOT themselves
+    adjacent (the direct-link variant of the original recursive
+    definition). High dispersion = the endpoints' shared contacts are
+    spread across otherwise-disconnected contexts — the tie-strength
+    signal that beat embeddedness for romantic-partner prediction in
+    the original paper; on a host graph it separates genuine
+    cross-context affiliations from single-clique co-membership.
+    Complements :func:`edge_embeddedness` (which only counts |C|).
+
+    Blowup control (same contract as pmi_pairs' per_doc_cap): each
+    edge contributes only its ``cn_cap`` smallest common neighbors to
+    the pair join — cap²/2 pairs per edge, a hard bound independent of
+    hub degree, and the capped count is reported so the statistic is
+    self-consistent. Only edges with ≥2 (capped) common neighbors are
+    emitted — dispersion is identically 0 elsewhere.
+
+    Result: (src, dst, cn_capped, dispersion) with src < dst, exact
+    integers. Reference parity: DRONE has no dispersion operator; this
+    extends its triangle/embeddedness family (see vertex_triangles).
+    """
+    sym = _sym_edges(edges)
+    und = sym.where(F.col("src") < F.col("dst"))
+    # common neighbors per edge: w adjacent to both endpoints.
+    # Row count = 3·#triangles (each triangle credits all 3 edges).
+    cn = (
+        und.join(
+            sym.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            F.col("src") == F.col("u"),
+        )
+        .join(
+            sym.select(F.col("src").alias("v"), F.col("dst").alias("w2")),
+            (F.col("dst") == F.col("v")) & (F.col("w") == F.col("w2")),
+        )
+        .select("src", "dst", "w")
+    )
+    rn = Window.partitionBy("src", "dst").orderBy("w")
+    capped = (
+        cn.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") <= cn_cap)
+        .select("src", "dst", "w")
+    )
+    counts = capped.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("cn_capped")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src"))
+        & (F.col("a.dst") == F.col("b.dst"))
+        & (F.col("a.w") < F.col("b.w")),
+    ).select(
+        F.col("a.src").alias("src"),
+        F.col("a.dst").alias("dst"),
+        F.col("a.w").alias("s"),
+        F.col("b.w").alias("t"),
+    )
+    # drop pairs whose members are directly linked (s<t canonical in sym/und)
+    open_pairs = pairs.join(
+        und.select(F.col("src").alias("s"), F.col("dst").alias("t")),
+        ["s", "t"],
+        "left_anti",
+    )
+    disp = open_pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("dispersion")
+    )
+    return (
+        counts.where(F.col("cn_capped") >= 2)
+        .join(disp, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.col("cn_capped").cast("long").alias("cn_capped"),
+            F.coalesce("dispersion", F.lit(0)).cast("long").alias("dispersion"),
+        )
+    )
+
+
+def dispersion_sql(edges_cte: str, cn_cap: int = 64) -> str:
+    """DuckDB twin of :func:`dispersion`."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "und AS (SELECT src, dst FROM sym WHERE src < dst), "
+        "cn AS (SELECT u.src, u.dst, x.dst AS w FROM und u "
+        "JOIN sym x ON x.src = u.src JOIN sym y ON y.src = u.dst "
+        "AND y.dst = x.dst), "
+        "capped AS (SELECT src, dst, w FROM (SELECT src, dst, w, "
+        "ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY w) AS rn "
+        f"FROM cn) WHERE rn <= {cn_cap}), "
+        "counts AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cn_capped "
+        "FROM capped GROUP BY src, dst), "
+        "pairs AS (SELECT a.src, a.dst, a.w AS s, b.w AS t FROM capped a "
+        "JOIN capped b ON a.src = b.src AND a.dst = b.dst AND a.w < b.w), "
+        "open_pairs AS (SELECT p.src, p.dst FROM pairs p LEFT JOIN und e "
+        "ON e.src = p.s AND e.dst = p.t WHERE e.src IS NULL), "
+        "disp AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS dispersion "
+        "FROM open_pairs GROUP BY src, dst) "
+        "SELECT c.src, c.dst, c.cn_capped, "
+        "CAST(COALESCE(d.dispersion, 0) AS BIGINT) AS dispersion "
+        "FROM counts c LEFT JOIN disp d ON d.src = c.src AND d.dst = c.dst "
+        "WHERE c.cn_capped >= 2"
     )

@@ -579,3 +579,122 @@ def dict_frontcoding_sql(doc_table: str = "documents") -> str:
         "CAST(SUM(raw) AS BIGINT) AS raw_bytes, "
         "CAST(SUM(coded) AS BIGINT) AS coded_bytes FROM sized GROUP BY block"
     )
+
+
+def llr_bigrams(
+    docs: DataFrame,
+    min_pair: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` ADJACENT-bigram collocations by Dunning's
+    log-likelihood ratio (G², Dunning 1993) — the collocation statistic
+    that, unlike PMI (:func:`pmi_pairs`, document-level co-occurrence),
+    is well-calibrated for low counts and so is the standard phrase /
+    multi-word-expression extractor over a fresh crawl.
+
+    G² = 2 Σ O·ln(O/E) over the 2×2 contingency table of "bigram
+    starts with t1" × "bigram ends with t2": O11=c12, O12=c1−c12,
+    O21=c2−c12, O22=N−c1−c2+c12 with E from the marginals. Zero cells
+    contribute 0 (lim x→0 x·ln x = 0).
+
+    Determinism contract (same as pmi_pairs): every O·N and
+    marginal product is an exact BIGINT (< 2⁵³ at oracle scale), the
+    single IEEE divide feeds ln on a bit-identical double in both
+    engines, the 4 terms sum in a fixed order, and ordering is by the
+    ROUNDED llr with (t1,t2) tie-breaks. One shuffle for the bigram
+    count, two broadcast-sized marginal joins; the bigram stream never
+    self-joins, so there is no blowup to cap.
+
+    Result: (t1, t2, n12, llr) — llr rounded to 4.
+    """
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(norm_text(text_col), " ")).alias(
+                "pos", "token"
+            ),
+        )
+        .where(F.length("token") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("t2", F.lead("token").over(w))
+        .where(F.col("t2").isNotNull())
+        .select(F.col("token").alias("t1"), "t2")
+    )
+    n_big = big.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "N")
+    c12 = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = big.groupBy("t2").agg(F.count(F.lit(1)).alias("c2"))
+    j = (
+        c12.where(F.col("n12") >= min_pair)
+        .join(c1, "t1")
+        .join(c2, "t2")
+        .join(F.broadcast(n_big))
+    )
+
+    def term(o, r, c):
+        return F.when(
+            o <= 0, F.lit(0.0)
+        ).otherwise(o.cast("double") * F.log((o * F.col("N")) / (r * c)))
+
+    o11 = F.col("n12")
+    o12 = F.col("c1") - F.col("n12")
+    o21 = F.col("c2") - F.col("n12")
+    o22 = F.col("N") - F.col("c1") - F.col("c2") + F.col("n12")
+    r1, r2 = F.col("c1"), F.col("N") - F.col("c1")
+    k1, k2 = F.col("c2"), F.col("N") - F.col("c2")
+    llr = F.round(
+        2.0
+        * (
+            term(o11, r1, k1)
+            + term(o12, r1, k2)
+            + term(o21, r2, k1)
+            + term(o22, r2, k2)
+        ),
+        4,
+    )
+    return (
+        j.select("t1", "t2", F.col("n12").cast("long").alias("n12"), llr.alias("llr"))
+        .orderBy(F.desc("llr"), "t1", "t2")
+        .limit(k)
+    )
+
+
+def llr_bigrams_sql(
+    min_pair: int = 5, k: int = 50, doc_table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`llr_bigrams`."""
+    t = (
+        "CASE WHEN {o} <= 0 THEN 0.0 ELSE CAST({o} AS DOUBLE) * "
+        "ln(CAST(({o}) * N AS DOUBLE) / CAST(({r}) * ({c}) AS DOUBLE)) END"
+    )
+    terms = " + ".join(
+        [
+            t.format(o="n12", r="c1", c="c2"),
+            t.format(o="(c1 - n12)", r="c1", c="(N - c2)"),
+            t.format(o="(c2 - n12)", r="(N - c1)", c="c2"),
+            t.format(o="(N - c1 - c2 + n12)", r="(N - c1)", c="(N - c2)"),
+        ]
+    )
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, token, ord FROM (SELECT doc_id, "
+        "UNNEST(string_split(nt, ' ')) AS token, "
+        "generate_subscripts(string_split(nt, ' '), 1) AS ord FROM norm) "
+        "WHERE length(token) > 0), "
+        "big AS (SELECT token AS t1, LEAD(token) OVER "
+        "(PARTITION BY doc_id ORDER BY ord) AS t2 FROM toks), "
+        "bg AS (SELECT t1, t2 FROM big WHERE t2 IS NOT NULL), "
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM bg), "
+        "p12 AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n12 "
+        "FROM bg GROUP BY t1, t2), "
+        "m1 AS (SELECT t1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY t1), "
+        "m2 AS (SELECT t2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY t2) "
+        "SELECT t1, t2, n12, llr FROM (SELECT p12.t1, p12.t2, p12.n12, "
+        f"ROUND(2.0 * ({terms}), 4) AS llr "
+        "FROM p12 JOIN m1 ON m1.t1 = p12.t1 JOIN m2 ON m2.t2 = p12.t2, nb "
+        f"WHERE p12.n12 >= {min_pair}) "
+        f"ORDER BY llr DESC, t1, t2 LIMIT {k}"
+    )

@@ -344,3 +344,79 @@ def bloom_prefilter_sql(
         f"FROM {candidates_cte} c LEFT JOIN hits h ON c.v = h.v "
         f"LEFT JOIN (SELECT DISTINCT v FROM {members_cte}) m ON c.v = m.v"
     )
+
+
+# ---------------------------------------------------------------------------
+# two-pass exact heavy hitters (Misra–Gries candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    values: DataFrame,
+    k: int = 200,
+    value_col: str = "v",
+) -> DataFrame:
+    """EXACT heavy hitters — every value with frequency strictly above
+    N/k — found without ever shuffling the full value stream, via the
+    two-pass Misra–Gries/SpaceSaving recipe:
+
+    Pass 1 (candidates): each partition summarizes its rows locally
+    (``mapInPandas`` — one C-speed ``value_counts`` per partition, no
+    per-row Python) and emits only the values whose LOCAL frequency
+    exceeds n_p/k. Pigeonhole guarantee: if a value's GLOBAL frequency
+    exceeds N/k it must exceed n_p/k in at least one partition, so the
+    union of partition candidates is a superset of the true heavy
+    hitters. At most k-1 candidates leave each partition — the shuffle
+    is bounded by k·partitions rows regardless of N or skew.
+
+    Pass 2 (exact recount): a broadcast semi-join keeps only candidate
+    rows, then one bounded groupBy recounts them exactly and the
+    N·freq > N/k filter drops pass-1 false positives. The output is
+    therefore EXACTLY the set an exact full groupBy would give —
+    partition-layout-independent — with exact counts, which is why the
+    DuckDB oracle is a plain GROUP BY ... HAVING. Complements the
+    Count–Min sketch above (estimates for ALL keys) with the exact
+    top-tier set.
+
+    Result: (v, cnt) — values with cnt · k > N.
+    """
+    import pandas as pd
+
+    total = values.count()
+
+    def cand(batches):
+        counts: dict = {}
+        n_p = 0
+        for pdf in batches:
+            n_p += len(pdf)
+            vc = pdf[value_col].value_counts()
+            for val, c in vc.items():
+                counts[val] = counts.get(val, 0) + int(c)
+        out = [v for v, c in counts.items() if c * k > n_p]
+        yield pd.DataFrame({value_col: pd.Series(out, dtype="object")})
+
+    cands = (
+        values.select(value_col)
+        .mapInPandas(cand, schema=f"{value_col} string")
+        .distinct()
+    )
+    exact = (
+        values.join(F.broadcast(cands), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * k > F.lit(total))
+        .select(F.col(value_col).alias("v"), F.col("cnt").cast("long"))
+    )
+    return exact
+
+
+def heavy_hitters_sql(values_cte: str, k: int = 200) -> str:
+    """DuckDB twin of :func:`heavy_hitters` — the two-pass recipe is
+    provably equal to the exact filter, so the oracle IS the exact
+    filter (values: CTE named ``vals`` with column ``v``)."""
+    return (
+        f"WITH {values_cte}, "
+        "tot AS (SELECT COUNT(*) AS n FROM vals) "
+        "SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals, tot "
+        f"GROUP BY v, tot.n HAVING COUNT(*) * {k} > tot.n"
+    )
