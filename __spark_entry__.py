@@ -5002,6 +5002,54 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution over gaps-and-islands
+    sessions (ops/events.attribution — integer cents, µs session
+    boundaries, one user_id exchange)."""
+    from drone_spark.ops.events import attribution
+
+    return attribution(_read(spark, sf_dir, "events"))
+
+
+def _attribution_sql() -> str:
+    from drone_spark.ops.events import attribution_sql
+
+    return attribution_sql()
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking + exact shingle-Jaccard verify
+    (ops/dedup.sorted_neighborhood_pairs — block-partitioned windows,
+    ≤ window·N candidates)."""
+    from drone_spark.ops.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_read(spark, sf_dir, "documents"))
+
+
+def _sorted_neighborhood_sql() -> str:
+    from drone_spark.ops.dedup import sorted_neighborhood_sql
+
+    return sorted_neighborhood_sql()
+
+
+def q_tfidf_cosine(spark, sf_dir):
+    """Top TF-IDF cosine document pairs via the sparse token-keyed
+    similarity join (corpusstats.tfidf_cosine_topk). The synthetic
+    head-vocab corpus needs the df band opened (max_df_den=1), same
+    note as pmi_pairs."""
+    from drone_spark.ops.corpusstats import tfidf_cosine_topk
+
+    return tfidf_cosine_topk(
+        _read(spark, sf_dir, "documents"), max_df_den=1
+    )
+
+
+def _tfidf_cosine_sql() -> str:
+    from drone_spark.ops.corpusstats import tfidf_cosine_topk_sql
+
+    return tfidf_cosine_topk_sql(max_df_den=1)
+
+
 def q_llr_bigrams(spark, sf_dir):
     """Dunning G² adjacent-bigram collocations (corpusstats.llr_bigrams
     — exact-integer contingency tables, pmi_pairs' cross-engine ln
@@ -5049,6 +5097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion": q_dispersion,
         "heavy_hitters": q_heavy_hitters,
         "llr_bigrams": q_llr_bigrams,
+        "attribution": q_attribution,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "tfidf_cosine": q_tfidf_cosine,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -5820,6 +5871,9 @@ def oracle_sql() -> dict[str, str]:
     out["dispersion"] = _dispersion_sql()
     out["heavy_hitters"] = _heavy_hitters_sql()
     out["llr_bigrams"] = _llr_bigrams_sql()
+    out["attribution"] = _attribution_sql()
+    out["sorted_neighborhood"] = _sorted_neighborhood_sql()
+    out["tfidf_cosine"] = _tfidf_cosine_sql()
     return out
 
 

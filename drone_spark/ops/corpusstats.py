@@ -698,3 +698,111 @@ def llr_bigrams_sql(
         f"WHERE p12.n12 >= {min_pair}) "
         f"ORDER BY llr DESC, t1, t2 LIMIT {k}"
     )
+
+
+def tfidf_cosine_topk(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_df_den: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` most-similar document pairs by TF-IDF cosine — the
+    sparse-vector similarity join (tf·ln(N/df) weights) that
+    complements the set-based dedup tiers (Jaccard/MinHash treat
+    repeated terms as one; TF-IDF cosine is what a retrieval/cluster
+    pipeline actually ranks with).
+
+    Sparse join shape: weights live as (doc, token, w) rows; the dot
+    product is one self-join ON TOKEN (never doc×doc) followed by a
+    partial-agg sum, so cost is Σ_t df(t)² — bounded by the df band
+    [min_df, N/max_df_den], the same blowup contract as pmi_pairs.
+    Norms use the SAME banded weights, so the cosine is exactly
+    self-consistent with the banded dot products.
+
+    Determinism: tf and df are exact ints, idf = ln(N/df) on one IEEE
+    divide (pmi discipline), cosine rounded to 6 with (a, b)
+    tie-breaks. Result: (a, b, cosine), a < b."""
+    tf = (
+        _tokens(docs, text_col)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    wgt = (
+        tf.join(df, "token")
+        .join(F.broadcast(n_docs))
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") * max_df_den <= F.col("n_docs"))
+        )
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norms = wgt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    wa = wgt.select(F.col("doc_id").alias("a"), "token", F.col("w").alias("wa"))
+    wb = wgt.select(F.col("doc_id").alias("b"), "token", F.col("w").alias("wb"))
+    dots = (
+        wa.join(wb, "token")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "a", "b")
+        .limit(k)
+    )
+
+
+def tfidf_cosine_topk_sql(
+    min_df: int = 2,
+    max_df_den: int = 5,
+    k: int = 50,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`tfidf_cosine_topk`."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "tok AS (SELECT doc_id, token FROM (SELECT doc_id, "
+        "UNNEST(string_split(nt, ' ')) AS token FROM norm) "
+        "WHERE length(token) > 0), "
+        "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, token), "
+        f"nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {doc_table}), "
+        "dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY token), "
+        "wgt AS (SELECT tf.doc_id, tf.token, CAST(tf.tf AS DOUBLE) * "
+        "ln(CAST(nd.n_docs AS DOUBLE) / dfs.df) AS w "
+        "FROM tf JOIN dfs ON dfs.token = tf.token, nd "
+        f"WHERE dfs.df >= {min_df} AND dfs.df * {max_df_den} <= nd.n_docs), "
+        "norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm "
+        "FROM wgt GROUP BY doc_id), "
+        "dots AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+        "SUM(a.w * b.w) AS dot FROM wgt a JOIN wgt b "
+        "ON a.token = b.token AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT d.a, d.b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine "
+        "FROM dots d JOIN norms na ON na.doc_id = d.a "
+        "JOIN norms nb ON nb.doc_id = d.b "
+        f"ORDER BY cosine DESC, d.a, d.b LIMIT {k}"
+    )

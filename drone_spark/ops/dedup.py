@@ -1373,3 +1373,114 @@ def fuzzy_head_dups_sql(
         "FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id "
         f"WHERE levenshtein(x.h, y.h) <= {max_edits}"
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (SNM) + exact Jaccard verify
+# ---------------------------------------------------------------------------
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 5,
+    block_chars: int = 8,
+    threshold: float = 0.4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood-method near-dup detection (Hernández &
+    Stolfo 1995), the third blocking strategy next to MinHash-LSH and
+    SimHash bands: sort documents by their normalized text, compare
+    each against only its ``window`` successors in sort order, then
+    verify candidates with EXACT shingle Jaccard. Catches the
+    shared-prefix / boilerplate-header duplicates that hash-bucket
+    blocking spreads across buckets.
+
+    Scale shape: the classic SNM global sort is a single total order —
+    a driver-unfriendly bottleneck — so this runs the standard
+    distributed variant: documents are first blocked by their
+    ``block_chars``-char normalized prefix (a hash exchange), then
+    ranked WITHIN blocks (window spec PARTITION BY block — no global
+    window). A duplicate pair missed because it straddles a block
+    boundary differs in its first ``block_chars`` chars, i.e. was
+    never a sorted-neighborhood candidate anyway at window≥1. The
+    candidate set is ≤ window·N pairs by construction (vs N²), and
+    only candidates reach the shingle-intersection join.
+
+    Result: (a, b, jaccard) with a < b, jaccard rounded to 6,
+    ≥ threshold."""
+    base = docs.select(
+        "doc_id", norm_text(text_col).alias("nt")
+    ).withColumn("block", F.substring("nt", 1, block_chars))
+    wb = Window.partitionBy("block").orderBy("nt", "doc_id")
+    ranked = base.select(
+        "doc_id", "block", F.row_number().over(wb).alias("rn")
+    )
+    ra, rb = ranked.alias("ra"), ranked.alias("rb")
+    cand = (
+        ra.join(
+            rb,
+            (F.col("ra.block") == F.col("rb.block"))
+            & (F.col("rb.rn") > F.col("ra.rn"))
+            & (F.col("rb.rn") <= F.col("ra.rn") + window),
+        )
+        .select(
+            F.least("ra.doc_id", "rb.doc_id").alias("a"),
+            F.greatest("ra.doc_id", "rb.doc_id").alias("b"),
+        )
+        .distinct()
+    )
+    sh = shingles(docs, text_col=text_col, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sa, "a").join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def sorted_neighborhood_sql(
+    window: int = 5,
+    block_chars: int = 8,
+    threshold: float = 0.4,
+    n: int = 3,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`sorted_neighborhood_pairs`."""
+    return (
+        f"WITH {_sql_shingles(doc_table, n)}, "
+        f"base AS (SELECT doc_id, nt, substr(nt, 1, {block_chars}) AS block "
+        "FROM norm), "
+        "ranked AS (SELECT doc_id, block, ROW_NUMBER() OVER "
+        "(PARTITION BY block ORDER BY nt, doc_id) AS rn FROM base), "
+        "cand AS (SELECT DISTINCT LEAST(ra.doc_id, rb.doc_id) AS a, "
+        "GREATEST(ra.doc_id, rb.doc_id) AS b FROM ranked ra JOIN ranked rb "
+        "ON ra.block = rb.block AND rb.rn > ra.rn "
+        f"AND rb.rn <= ra.rn + {window}), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c "
+        "JOIN grams ga ON ga.doc_id = c.a "
+        "JOIN grams gb ON gb.doc_id = c.b AND gb.shingle = ga.shingle "
+        "GROUP BY c.a, c.b) "
+        "SELECT a, b, jaccard FROM (SELECT i.a, i.b, "
+        "ROUND(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 6) AS jaccard "
+        "FROM inter i JOIN sizes za ON za.doc_id = i.a "
+        "JOIN sizes zb ON zb.doc_id = i.b) "
+        f"WHERE jaccard >= {threshold}"
+    )

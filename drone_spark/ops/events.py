@@ -511,3 +511,115 @@ def km_survival_sql(
         "CAST(d AS BIGINT) AS n_events, CAST(s AS BIGINT) AS surv_ppm "
         "FROM km"
     )
+
+
+def attribution(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """Marketing-style conversion attribution over gaps-and-islands
+    sessions: every ``conv_type`` event's value is credited to a
+    *channel* under two models — **first_touch** (the first event_type
+    of the session, 'direct' if the conversion opens the session) and
+    **last_touch** (the event_type immediately preceding the
+    conversion, 'direct' if none). The companion to funnel()/
+    retention(): which upstream behavior "caused" the purchase.
+
+    Result: (channel, model, conversions, revenue_cents) — long form,
+    one row per channel × {first_touch, last_touch}. Exact integers:
+    revenue in cents via the decimal cast (same contract as
+    streaming/windows.sessionize), session boundaries in int64
+    microseconds so both engines agree on sub-second gaps.
+
+    Scale shape: both analytic windows are PARTITION BY user_id — one
+    hash exchange total, reused by the sid window and the lag/first
+    windows (same key); the final rollup is a partial-agg groupBy over
+    ≤ |event_types|·2 rows. No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    from ..streaming.windows import _us
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (_us("ts") - _us(F.lag("ts").over(w)) > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    attributed = sess.select(
+        "event_type",
+        "value",
+        F.when(F.row_number().over(ws) == 1, F.lit("direct"))
+        .otherwise(F.first("event_type").over(ws))
+        .alias("first_touch"),
+        F.coalesce(F.lag("event_type").over(ws), F.lit("direct")).alias(
+            "last_touch"
+        ),
+    ).where(F.col("event_type") == conv_type)
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    conv = attributed.select(
+        "first_touch", "last_touch", cents.alias("cents")
+    )
+    ft = conv.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("conversions"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    ).withColumn("model", F.lit("first_touch"))
+    lt = conv.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("conversions"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    ).withColumn("model", F.lit("last_touch"))
+    return ft.unionByName(lt).select(
+        "channel", "model", "conversions", "revenue_cents"
+    )
+
+
+def attribution_sql(
+    gap_minutes: int = 30,
+    conv_type: str = "purchase",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`attribution`."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        "WITH flagged AS (SELECT user_id, ts, event_id, event_type, value, "
+        "CASE WHEN LAG(ts) OVER w IS NULL OR "
+        f"epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {gap_us} "
+        "THEN 1 ELSE 0 END AS new_sess "
+        f"FROM {table} WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT *, SUM(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), "
+        "attributed AS (SELECT event_type, value, "
+        "CASE WHEN ROW_NUMBER() OVER ws = 1 THEN 'direct' "
+        "ELSE FIRST_VALUE(event_type) OVER ws END AS first_touch, "
+        "COALESCE(LAG(event_type) OVER ws, 'direct') AS last_touch "
+        "FROM sess WINDOW ws AS "
+        "(PARTITION BY user_id, sid ORDER BY ts, event_id)), "
+        "conv AS (SELECT first_touch, last_touch, "
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        f"FROM attributed WHERE event_type = '{conv_type}') "
+        "SELECT first_touch AS channel, 'first_touch' AS model, "
+        "CAST(COUNT(*) AS BIGINT) AS conversions, "
+        "CAST(SUM(cents) AS BIGINT) AS revenue_cents "
+        "FROM conv GROUP BY first_touch "
+        "UNION ALL "
+        "SELECT last_touch AS channel, 'last_touch' AS model, "
+        "CAST(COUNT(*) AS BIGINT) AS conversions, "
+        "CAST(SUM(cents) AS BIGINT) AS revenue_cents "
+        "FROM conv GROUP BY last_touch"
+    )
