@@ -5002,6 +5002,36 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_knn_outliers(spark, sf_dir):
+    """k-NN-distance embedding outliers (similarity.knn_outliers —
+    exact all-pairs variant with the 1e-9 quantized-cosine ranking
+    contract; production path feeds the same ranking from IVF/LSH
+    candidates)."""
+    from drone_spark.ops.similarity import knn_outliers
+
+    return knn_outliers(_read(spark, sf_dir, "embeddings"))
+
+
+def _knn_outliers_sql() -> str:
+    from drone_spark.ops.similarity import knn_outliers_sql
+
+    return knn_outliers_sql()
+
+
+def q_dim_truncation_recall(spark, sf_dir):
+    """Recall@k histogram of 32-dim-truncated vs full-vector cosine
+    retrieval (similarity.dim_truncation_recall)."""
+    from drone_spark.ops.similarity import dim_truncation_recall
+
+    return dim_truncation_recall(_read(spark, sf_dir, "embeddings"))
+
+
+def _dim_truncation_recall_sql() -> str:
+    from drone_spark.ops.similarity import dim_truncation_recall_sql
+
+    return dim_truncation_recall_sql()
+
+
 def q_attribution(spark, sf_dir):
     """First/last-touch conversion attribution over gaps-and-islands
     sessions (ops/events.attribution — integer cents, µs session
@@ -5100,6 +5130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "sorted_neighborhood": q_sorted_neighborhood,
         "tfidf_cosine": q_tfidf_cosine,
+        "knn_outliers": q_knn_outliers,
+        "dim_truncation_recall": q_dim_truncation_recall,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -5874,6 +5906,8 @@ def oracle_sql() -> dict[str, str]:
     out["attribution"] = _attribution_sql()
     out["sorted_neighborhood"] = _sorted_neighborhood_sql()
     out["tfidf_cosine"] = _tfidf_cosine_sql()
+    out["knn_outliers"] = _knn_outliers_sql()
+    out["dim_truncation_recall"] = _dim_truncation_recall_sql()
     return out
 
 

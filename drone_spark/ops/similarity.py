@@ -630,3 +630,170 @@ def pq_codes(
         ).select(id_col, F.col("cluster").alias(f"c{s}"))
         out = codes if out is None else out.join(codes, id_col)
     return out
+
+
+# ---------------------------------------------------------------------------
+# embedding-space diagnostics: kNN-distance outliers, truncation recall
+# ---------------------------------------------------------------------------
+def knn_outliers(
+    embeddings: DataFrame,
+    k: int = 5,
+    n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outliers by the classic k-NN-distance criterion
+    (Ramaswamy et al. 2000): a vector whose k-th nearest neighbor is
+    far away sits in a sparse region — mislabeled, off-distribution,
+    or junk content worth a curation look. Scores are the k-th-NN
+    COSINE (low = outlier), the natural metric for normalized text
+    embeddings; complements cosine_topk (per-query retrieval) with the
+    corpus-health view.
+
+    This is the EXACT all-pairs formulation — the oracle-able variant;
+    at corpus scale the same kth-neighbor ranking runs over
+    IVF/LSH-bucketed candidates (cosine_topk_ivf / _lsh above) since a
+    true outlier's k-NN cosine is upper-bounded by any candidate set's.
+    Ranking uses the cosine quantized to 1e-9 with neighbor-id
+    tie-breaks (same determinism contract as cosine_topk_bruteforce).
+
+    Result: (vec_id, knn_cos) — the ``n`` lowest k-th-NN cosines,
+    ascending."""
+    from pyspark.sql import Window
+
+    # float32 parquet vectors fold to visibly different sums than the
+    # oracle's DOUBLE[] arithmetic — cast up front (cosine_topk contract)
+    e = embeddings.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    scored = a.join(b, F.col("a") != F.col("b")).select(
+        "a",
+        "b",
+        F.round(
+            _dot("va", "vb") / (_norm("va") * _norm("vb")), 9
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    kth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k)
+        .select(
+            F.col("a").alias(id_col),
+            F.round("cos", 6).alias("knn_cos"),
+        )
+    )
+    return kth.orderBy(F.asc("knn_cos"), F.asc(id_col)).limit(n)
+
+
+def knn_outliers_sql(
+    k: int = 5, n: int = 20, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`knn_outliers`."""
+    return (
+        f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}), "
+        "s AS (SELECT x.vec_id AS a, y.vec_id AS b, "
+        "ROUND(list_cosine_similarity(x.v, y.v), 9) AS cos "
+        "FROM e x JOIN e y ON x.vec_id <> y.vec_id), "
+        "r AS (SELECT a, b, cos, ROW_NUMBER() OVER "
+        "(PARTITION BY a ORDER BY cos DESC, b) AS rn FROM s) "
+        f"SELECT a AS vec_id, ROUND(cos, 6) AS knn_cos FROM r WHERE rn = {k} "
+        f"ORDER BY knn_cos, a LIMIT {n}"
+    )
+
+
+def dim_truncation_recall(
+    embeddings: DataFrame,
+    dims: int = 32,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of dimension-truncated retrieval: rank neighbors by
+    cosine over only the FIRST ``dims`` components (the
+    Matryoshka-style cheap tier a 100 TB pipeline would use for the
+    coarse pass) and measure, per vector, how much of the full-vector
+    top-k it preserves. The aggregate histogram answers "can the ANN
+    prefilter run at half the bandwidth?" with data, not guesses.
+
+    Both rankings are exact brute force with the 1e-9 quantized-cosine
+    + neighbor-id determinism contract; recall is an exact integer
+    percentage (100·|∩| div k).
+
+    Result: (recall_pct, n_vecs) histogram, one row per observed
+    recall level."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        id_col,
+        F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
+    )
+
+    def topk(vec_expr_a, vec_expr_b):
+        a = e.select(F.col(id_col).alias("a"), vec_expr_a.alias("va"))
+        b = e.select(F.col(id_col).alias("b"), vec_expr_b.alias("vb"))
+        scored = a.join(b, F.col("a") != F.col("b")).select(
+            "a",
+            "b",
+            F.round(
+                _dot("va", "vb") / (_norm("va") * _norm("vb")), 9
+            ).alias("cos"),
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("a", "b")
+        )
+
+    full = topk(F.col(vec_col), F.col(vec_col))
+    tr = topk(
+        F.slice(F.col(vec_col), 1, dims), F.slice(F.col(vec_col), 1, dims)
+    )
+    inter = full.join(tr, ["a", "b"]).groupBy("a").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    per_vec = (
+        e.select(F.col(id_col).alias("a"))
+        .join(inter, "a", "left")
+        .select(
+            F.expr(f"(100 * coalesce(hits, 0)) div {k}")
+            .cast("long")
+            .alias("recall_pct")
+        )
+    )
+    return per_vec.groupBy("recall_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+
+
+def dim_truncation_recall_sql(
+    dims: int = 32, k: int = 5, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`dim_truncation_recall`."""
+
+    def topk_cte(name: str, vexpr: str) -> str:
+        return (
+            f"{name} AS (SELECT a, b FROM (SELECT x.vec_id AS a, "
+            "y.vec_id AS b, ROW_NUMBER() OVER (PARTITION BY x.vec_id "
+            f"ORDER BY ROUND(list_cosine_similarity({vexpr.format(t='x')}, "
+            f"{vexpr.format(t='y')}), 9) DESC, y.vec_id) AS rn "
+            "FROM e x JOIN e y ON x.vec_id <> y.vec_id) "
+            f"WHERE rn <= {k})"
+        )
+
+    return (
+        f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}), "
+        + topk_cte("full_k", "{t}.v")
+        + ", "
+        + topk_cte("tr_k", f"{{t}}.v[1:{dims}]")
+        + ", "
+        "inter AS (SELECT f.a, COUNT(*) AS hits FROM full_k f "
+        "JOIN tr_k t ON t.a = f.a AND t.b = f.b GROUP BY f.a), "
+        "per_vec AS (SELECT CAST((100 * COALESCE(i.hits, 0)) "
+        f"// {k} AS BIGINT) AS recall_pct "
+        "FROM e LEFT JOIN inter i ON i.a = e.vec_id) "
+        "SELECT recall_pct, CAST(COUNT(*) AS BIGINT) AS n_vecs "
+        "FROM per_vec GROUP BY recall_pct"
+    )
