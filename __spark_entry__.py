@@ -5002,6 +5002,48 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_bursts(spark, sf_dir):
+    """Trailing-24h variance-gated burst hours per event_type
+    (ops/events.bursts — integer z² test, no float stats)."""
+    from drone_spark.ops.events import bursts
+
+    return bursts(_read(spark, sf_dir, "events"))
+
+
+def _bursts_sql() -> str:
+    from drone_spark.ops.events import bursts_sql
+
+    return bursts_sql()
+
+
+def q_champion_lists(spark, sf_dir):
+    """Impact-ordered posting heads for the top-20 vocabulary terms
+    (corpusstats.champion_lists)."""
+    from drone_spark.ops.corpusstats import champion_lists
+
+    return champion_lists(_read(spark, sf_dir, "documents"))
+
+
+def _champion_lists_sql() -> str:
+    from drone_spark.ops.corpusstats import champion_lists_sql
+
+    return champion_lists_sql()
+
+
+def q_walk_return3(spark, sf_dir):
+    """3-step random-walk return probability (diag P³) in exact
+    floor-per-walk fixed point (linkstats.walk_return3)."""
+    from drone_spark.algorithms.linkstats import walk_return3
+
+    return walk_return3(_copurchase_edges(spark, sf_dir))
+
+
+def _walk_return3_sql() -> str:
+    from drone_spark.algorithms.linkstats import walk_return3_sql
+
+    return walk_return3_sql(SQL_COPURCHASE)
+
+
 def q_knn_outliers(spark, sf_dir):
     """k-NN-distance embedding outliers (similarity.knn_outliers —
     exact all-pairs variant with the 1e-9 quantized-cosine ranking
@@ -5132,6 +5174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "knn_outliers": q_knn_outliers,
         "dim_truncation_recall": q_dim_truncation_recall,
+        "bursts": q_bursts,
+        "champion_lists": q_champion_lists,
+        "walk_return3": q_walk_return3,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -5908,6 +5953,9 @@ def oracle_sql() -> dict[str, str]:
     out["tfidf_cosine"] = _tfidf_cosine_sql()
     out["knn_outliers"] = _knn_outliers_sql()
     out["dim_truncation_recall"] = _dim_truncation_recall_sql()
+    out["bursts"] = _bursts_sql()
+    out["champion_lists"] = _champion_lists_sql()
+    out["walk_return3"] = _walk_return3_sql()
     return out
 
 

@@ -1365,3 +1365,79 @@ def dispersion_sql(edges_cte: str, cn_cap: int = 64) -> str:
         "FROM counts c LEFT JOIN disp d ON d.src = c.src AND d.dst = c.dst "
         "WHERE c.cn_capped >= 2"
     )
+
+
+RETURN3_SCALE = 1_000_000_000
+
+
+def walk_return3(edges: DataFrame, max_degree: int = 4096) -> DataFrame:
+    """3-step random-walk return probability per vertex — the diagonal
+    of P³ for the uniform walk on the undirected simple graph. A
+    length-3 closed walk v→a→b→v exists iff {v,a,b} is a triangle, so
+    this is the WALK-WEIGHTED triangle profile: each triangle through
+    v contributes 2/(deg v·deg a·deg b) (two orientations). High
+    return₃ marks tight low-degree cliques (link farms read hot here);
+    the unweighted count is :func:`vertex_triangles` and the
+    normalized-by-wedges form :func:`clustering_coefficient` — this
+    completes the family with the spectral/walk view (trace P³).
+
+    Exact-integer contract (harmonic_ppm convention): each closed walk
+    contributes ⌊10⁹/(dv·da·db)⌋, floored per-walk then summed — no
+    float summation order anywhere, bit-identical in both engines.
+    ``max_degree`` caps the MIDDLE vertex degree during wedge
+    generation (the adamic_adar hub-cap contract; a 10⁶-degree hub's
+    walks contribute ~0 anyway). Degrees in the weight are TRUE
+    degrees.
+
+    Result: (vid, return3_fx) — only vertices on ≥1 triangle appear.
+    """
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # wedges v→a→b (a the middle), capped on deg(a)
+    e1 = sym.select(F.col("src").alias("v"), F.col("dst").alias("a"))
+    e2 = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    mid_ok = deg.where(F.col("d") <= max_degree).select(
+        F.col("id").alias("a")
+    )
+    wedges = e1.join(mid_ok, "a").join(e2, "a").where(F.col("b") != F.col("v"))
+    closed = wedges.join(
+        sym.select(F.col("src").alias("b"), F.col("dst").alias("v")),
+        ["b", "v"],
+    )
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    return (
+        closed.join(dv, "v")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("v"),
+            F.expr(f"{RETURN3_SCALE} div (dv * da * db)").alias("wt"),
+        )
+        .groupBy(F.col("v").alias("vid"))
+        .agg(F.sum("wt").cast("long").alias("return3_fx"))
+    )
+
+
+def walk_return3_sql(edges_cte: str, max_degree: int = 4096) -> str:
+    """DuckDB twin of :func:`walk_return3`."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM sym GROUP BY src), "
+        "closed AS (SELECT e1.src AS v, e1.dst AS a, e2.dst AS b "
+        "FROM sym e1 JOIN deg dm ON dm.id = e1.dst "
+        f"AND dm.d <= {max_degree} "
+        "JOIN sym e2 ON e2.src = e1.dst AND e2.dst <> e1.src "
+        "JOIN sym e3 ON e3.src = e2.dst AND e3.dst = e1.src) "
+        "SELECT c.v AS vid, CAST(SUM("
+        f"{RETURN3_SCALE} // (dv.d * da.d * db.d)) AS BIGINT) AS return3_fx "
+        "FROM closed c JOIN deg dv ON dv.id = c.v "
+        "JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b "
+        "GROUP BY c.v"
+    )

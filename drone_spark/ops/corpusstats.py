@@ -806,3 +806,65 @@ def tfidf_cosine_topk_sql(
         "JOIN norms nb ON nb.doc_id = d.b "
         f"ORDER BY cosine DESC, d.a, d.b LIMIT {k}"
     )
+
+
+def champion_lists(
+    docs: DataFrame,
+    n_terms: int = 20,
+    per_term: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Champion lists / impact-ordered posting heads (IR's classic
+    top-docs-per-term acceleration, Manning CS276): for the
+    ``n_terms`` highest-volume vocabulary terms, the ``per_term`` docs
+    with the highest term frequency. A query processor that scans only
+    champion heads answers top-k queries without touching full posting
+    lists — the at-scale companion to ``posting_gaps`` (which sizes
+    the full lists this structure lets you skip).
+
+    Exact ints throughout; term selection ties break by token, doc
+    ranks by (tf desc, doc_id). Both windows partition by token — the
+    hot-key state is per_term rows.
+
+    Result: (token, doc_id, tf, rank)."""
+    tf = (
+        _tokens(docs, text_col)
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = tf.groupBy("token").agg(F.sum("tf").alias("total"))
+    top_terms = totals.orderBy(F.desc("total"), "token").limit(n_terms)
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), "doc_id")
+    return (
+        tf.join(F.broadcast(top_terms.select("token")), "token")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_term)
+        .select(
+            "token",
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def champion_lists_sql(
+    n_terms: int = 20, per_term: int = 5, doc_table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`champion_lists`."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "tok AS (SELECT doc_id, token FROM (SELECT doc_id, "
+        "UNNEST(string_split(nt, ' ')) AS token FROM norm) "
+        "WHERE length(token) > 0), "
+        "tf AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY token, doc_id), "
+        "tot AS (SELECT token FROM (SELECT token, SUM(tf) AS total "
+        "FROM tf GROUP BY token) "
+        f"ORDER BY total DESC, token LIMIT {n_terms}), "
+        "ranked AS (SELECT tf.token, tf.doc_id, tf.tf, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY tf.token "
+        "ORDER BY tf.tf DESC, tf.doc_id) AS BIGINT) AS rank "
+        "FROM tf JOIN tot ON tot.token = tf.token) "
+        f"SELECT token, doc_id, tf, rank FROM ranked WHERE rank <= {per_term}"
+    )

@@ -623,3 +623,87 @@ def attribution_sql(
         "CAST(SUM(cents) AS BIGINT) AS revenue_cents "
         "FROM conv GROUP BY last_touch"
     )
+
+
+def bursts(
+    events: DataFrame,
+    lookback: int = 24,
+    min_window: int = 12,
+    z2_times_10: int = 90,
+) -> DataFrame:
+    """Burst detection on the hourly event-rate series: an hour is a
+    burst when its count sits more than z standard deviations above
+    the trailing ``lookback``-hour mean (per event_type). The
+    rate-anomaly complement to `trending` (which ranks hour-over-hour
+    RATIOS; bursts gate on variance, so a noisy-but-stable series
+    never fires).
+
+    Exact-integer contract: with n = trailing-window size, s = Σcnt,
+    ss = Σcnt², the test  z² > T  is equivalent to
+        (n·x − s)² · 10  >  T·10 · (n·ss − s²)
+    — all BIGINT products, no mean/stddev floats ever materialize, so
+    the oracle hash-matches bit-for-bit (``z2_times_10`` is z²·10;
+    default 90 = z > 3). One-sided: only x above the mean fires.
+
+    Scale shape: one groupBy to hourly counts (partial-agg), one
+    window PARTITION BY event_type — state per partition is 24 ints.
+
+    Result: (event_type, hour, cnt) for flagged hours; hour is epoch
+    hours (ts is naive/NTZ — both engines bucket the wall-clock)."""
+    from pyspark.sql import Window
+
+    from ..streaming.windows import _us
+
+    hourly = (
+        events.select(
+            "event_type",
+            (_us("ts") / F.lit(3_600_000_000)).cast("long").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-lookback, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    )
+    nx_s = F.col("n") * F.col("cnt") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return stats.where(
+        (F.col("n") >= min_window)
+        & (nx_s > 0)
+        & (nx_s * nx_s * 10 > F.lit(z2_times_10) * var_n2)
+    ).select("event_type", "hour", F.col("cnt").cast("long").alias("cnt"))
+
+
+def bursts_sql(
+    lookback: int = 24,
+    min_window: int = 12,
+    z2_times_10: int = 90,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`bursts`. The µs shift in Spark's NTZ→LTZ
+    cast is a whole number of hours only when the session tz offset
+    is; both harnesses run UTC (offset 0), matching epoch_us//3.6e9."""
+    return (
+        "WITH hourly AS (SELECT event_type, "
+        "epoch_us(ts) // 3600000000 AS hour, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM {table} "
+        "GROUP BY event_type, epoch_us(ts) // 3600000000), "
+        "stats AS (SELECT event_type, hour, cnt, "
+        "COUNT(*) OVER w AS n, SUM(cnt) OVER w AS s, "
+        "SUM(cnt * cnt) OVER w AS ss FROM hourly WINDOW w AS "
+        "(PARTITION BY event_type ORDER BY hour "
+        f"ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_type, hour, cnt FROM stats "
+        f"WHERE n >= {min_window} AND n * cnt - s > 0 "
+        f"AND (n * cnt - s) * (n * cnt - s) * 10 > {z2_times_10} * (n * ss - s * s)"
+    )
