@@ -5002,6 +5002,65 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_weighted_jaccard(spark, sf_dir):
+    """Multiset (weighted) token Jaccard near-dups with two-phase
+    exactness — hot-token-capped candidates, exact-integer ppm scores
+    over ALL shared tokens (ops/dedup.weighted_jaccard_pairs)."""
+    from drone_spark.ops.dedup import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold_ppm=500_000
+    )
+
+
+def _weighted_jaccard_sql() -> str:
+    from drone_spark.ops.dedup import weighted_jaccard_sql
+
+    return weighted_jaccard_sql(threshold_ppm=500_000)
+
+
+def q_mutual_knn(spark, sf_dir):
+    """Mutual cosine k-NN pairs — the reciprocity-filtered candidate
+    backbone (ops/similarity.mutual_knn)."""
+    from drone_spark.ops.similarity import mutual_knn
+
+    return mutual_knn(_read(spark, sf_dir, "embeddings"))
+
+
+def _mutual_knn_sql() -> str:
+    from drone_spark.ops.similarity import mutual_knn_sql
+
+    return mutual_knn_sql()
+
+
+def q_hubness(spark, sf_dir):
+    """k-occurrence (hubness) histogram of the embedding space
+    (ops/similarity.hubness)."""
+    from drone_spark.ops.similarity import hubness
+
+    return hubness(_read(spark, sf_dir, "embeddings"))
+
+
+def _hubness_sql() -> str:
+    from drone_spark.ops.similarity import hubness_sql
+
+    return hubness_sql()
+
+
+def q_molloy_reed(spark, sf_dir):
+    """Molloy–Reed κ=⟨k²⟩/⟨k⟩ percolation criterion in exact ppm
+    quotients (linkstats.molloy_reed)."""
+    from drone_spark.algorithms.linkstats import molloy_reed
+
+    return molloy_reed(_copurchase_edges(spark, sf_dir))
+
+
+def _molloy_reed_sql() -> str:
+    from drone_spark.algorithms.linkstats import molloy_reed_sql
+
+    return molloy_reed_sql(SQL_COPURCHASE)
+
+
 def q_bursts(spark, sf_dir):
     """Trailing-24h variance-gated burst hours per event_type
     (ops/events.bursts — integer z² test, no float stats)."""
@@ -5177,6 +5236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bursts": q_bursts,
         "champion_lists": q_champion_lists,
         "walk_return3": q_walk_return3,
+        "weighted_jaccard": q_weighted_jaccard,
+        "mutual_knn": q_mutual_knn,
+        "hubness": q_hubness,
+        "molloy_reed": q_molloy_reed,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -5956,6 +6019,10 @@ def oracle_sql() -> dict[str, str]:
     out["bursts"] = _bursts_sql()
     out["champion_lists"] = _champion_lists_sql()
     out["walk_return3"] = _walk_return3_sql()
+    out["weighted_jaccard"] = _weighted_jaccard_sql()
+    out["mutual_knn"] = _mutual_knn_sql()
+    out["hubness"] = _hubness_sql()
+    out["molloy_reed"] = _molloy_reed_sql()
     return out
 
 

@@ -1441,3 +1441,50 @@ def walk_return3_sql(edges_cte: str, max_degree: int = 4096) -> str:
         "JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b "
         "GROUP BY c.v"
     )
+
+
+def molloy_reed(edges: DataFrame) -> DataFrame:
+    """Molloy–Reed percolation criterion for the undirected simple
+    graph: κ = ⟨k²⟩/⟨k⟩. A configuration-model random graph with this
+    degree sequence has a giant component iff κ > 2, and the fraction
+    of hubs you must remove to shatter it grows with κ — for power-law
+    webgraphs κ is huge, the one-scalar explanation of why the web
+    stays connected under random page loss yet falls to targeted hub
+    removal (:func:`robustness` measures that empirically; this is
+    the closed-form prediction from degree moments alone).
+
+    One degree agg + one 4-value reduce — no join, no iteration.
+    Exact-integer quotients (ppm convention). Result: one row
+    (n_vertices, mean_deg_ppm, mean_deg2_ppm, kappa_ppm,
+    supercritical)."""
+    sym = _sym_edges(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.expr("(1000000 * sum(d)) div count(1)")
+        .cast("long")
+        .alias("mean_deg_ppm"),
+        F.expr("(1000000 * sum(d * d)) div count(1)")
+        .cast("long")
+        .alias("mean_deg2_ppm"),
+        F.expr("(1000000 * sum(d * d)) div sum(d)")
+        .cast("long")
+        .alias("kappa_ppm"),
+        F.expr("sum(d * d) > 2 * sum(d)").alias("supercritical"),
+    )
+
+
+def molloy_reed_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`molloy_reed`."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges WHERE"
+        " src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst)), "
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM sym GROUP BY src) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        "CAST((1000000 * SUM(d)) // COUNT(*) AS BIGINT) AS mean_deg_ppm, "
+        "CAST((1000000 * SUM(d * d)) // COUNT(*) AS BIGINT) AS mean_deg2_ppm, "
+        "CAST((1000000 * SUM(d * d)) // SUM(d) AS BIGINT) AS kappa_ppm, "
+        "SUM(d * d) > 2 * SUM(d) AS supercritical FROM deg"
+    )

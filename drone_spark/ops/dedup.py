@@ -1484,3 +1484,115 @@ def sorted_neighborhood_sql(
         "JOIN sizes zb ON zb.doc_id = i.b) "
         f"WHERE jaccard >= {threshold}"
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted (multiset) Jaccard over token frequencies
+# ---------------------------------------------------------------------------
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    threshold_ppm: int = 400_000,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted (multiset) Jaccard near-dup pairs over TOKEN
+    FREQUENCIES: J_w(A,B) = Σ_t min(a_t,b_t) / Σ_t max(a_t,b_t). The
+    set-based tiers (ngram_jaccard/MinHash) collapse repeats — a page
+    that says "buy now" 500 times equals one that says it once; the
+    weighted form is the histogram-intersection similarity that
+    catches template spam with different repeat counts as DIFFERENT
+    and true near-dups as same.
+
+    Two-phase exactness contract (same as ngram_jaccard's capped
+    variant, but stronger): candidates come from tokens with doc-freq
+    ≤ ``max_doc_freq`` (the hot-key blowup cap on the self-join), but
+    the SCORE is then computed exactly over ALL shared tokens of each
+    candidate pair — the cap can only lose candidate pairs whose every
+    shared token is corpus-hot, it never perturbs an emitted score.
+    Since Σmax = |A| + |B| − Σmin, everything is exact integers:
+    jaccard_ppm = ⌊10⁶·Σmin / Σmax⌋, bit-identical in both engines.
+
+    Result: (a, b, wjaccard_ppm ≥ threshold_ppm), a < b."""
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cand_src = tf
+    if max_doc_freq is not None:
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        cand_src = tf.join(
+            dfreq.where(F.col("df") <= max_doc_freq).select("token"), "token"
+        )
+    ca = cand_src.select(F.col("doc_id").alias("a"), "token")
+    cb = cand_src.select(F.col("doc_id").alias("b"), "token")
+    cand = (
+        ca.join(cb, "token")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ta = tf.select(F.col("doc_id").alias("a"), "token", F.col("tf").alias("tfa"))
+    tb = tf.select(F.col("doc_id").alias("b"), "token", F.col("tf").alias("tfb"))
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "token"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("mn"))
+    )
+    sizes = tf.groupBy("doc_id").agg(F.sum("tf").alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .select(
+            "a",
+            "b",
+            F.expr("(1000000 * mn) div (sza + szb - mn)")
+            .cast("long")
+            .alias("wjaccard_ppm"),
+        )
+        .where(F.col("wjaccard_ppm") >= threshold_ppm)
+    )
+
+
+def weighted_jaccard_sql(
+    threshold_ppm: int = 400_000,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`weighted_jaccard_pairs`."""
+    cap = (
+        "cand_src AS (SELECT tf.doc_id, tf.token FROM tf JOIN "
+        "(SELECT token FROM tf GROUP BY token "
+        f"HAVING COUNT(*) <= {max_doc_freq}) hot ON hot.token = tf.token), "
+        if max_doc_freq is not None
+        else "cand_src AS (SELECT doc_id, token FROM tf), "
+    )
+    return (
+        f"WITH norm AS (SELECT doc_id, {_SQL_NORM} AS nt FROM {doc_table}), "
+        "tok AS (SELECT doc_id, token FROM (SELECT doc_id, "
+        "UNNEST(string_split(nt, ' ')) AS token FROM norm) "
+        "WHERE length(token) > 0), "
+        "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, token), "
+        + cap +
+        "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
+        "FROM cand_src a JOIN cand_src b ON a.token = b.token "
+        "AND a.doc_id < b.doc_id), "
+        "inter AS (SELECT c.a, c.b, SUM(LEAST(ta.tf, tb.tf)) AS mn "
+        "FROM cand c JOIN tf ta ON ta.doc_id = c.a "
+        "JOIN tf tb ON tb.doc_id = c.b AND tb.token = ta.token "
+        "GROUP BY c.a, c.b), "
+        "sizes AS (SELECT doc_id, SUM(tf) AS sz FROM tf GROUP BY doc_id) "
+        "SELECT a, b, wjaccard_ppm FROM (SELECT i.a, i.b, "
+        "CAST((1000000 * i.mn) // (za.sz + zb.sz - i.mn) AS BIGINT) "
+        "AS wjaccard_ppm FROM inter i "
+        "JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b) "
+        f"WHERE wjaccard_ppm >= {threshold_ppm}"
+    )

@@ -797,3 +797,114 @@ def dim_truncation_recall_sql(
         "SELECT recall_pct, CAST(COUNT(*) AS BIGINT) AS n_vecs "
         "FROM per_vec GROUP BY recall_pct"
     )
+
+
+def _brute_topk_pairs(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(a, b) rows where b is in a's exact cosine top-k — the shared
+    kernel for mutual_knn/hubness (double-cast vectors, 1e-9 quantized
+    ranking with neighbor-id tie-breaks)."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    scored = a.join(b, F.col("a") != F.col("b")).select(
+        "a",
+        "b",
+        F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 9).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("a", "b")
+    )
+
+
+_TOPK_SQL = (
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}), "
+    "topk AS (SELECT a, b FROM (SELECT x.vec_id AS a, y.vec_id AS b, "
+    "ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY "
+    "ROUND(list_cosine_similarity(x.v, y.v), 9) DESC, y.vec_id) AS rn "
+    "FROM e x JOIN e y ON x.vec_id <> y.vec_id) WHERE rn <= {k})"
+)
+
+
+def mutual_knn(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-nearest-neighbor pairs: (a, b) with a < b where each is
+    in the OTHER's exact cosine top-k. The reciprocity filter is the
+    standard high-precision candidate generator — one-directional kNN
+    edges to a hub vector are mostly asymmetric noise; mutual edges
+    are the backbone a dedup/cluster pass can trust (and what
+    reciprocal-rank matching uses in bitext mining).
+
+    Result: (a, b)."""
+    t = _brute_topk_pairs(embeddings, k, id_col, vec_col)
+    rev = t.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return (
+        t.join(rev, ["a", "b"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+
+
+def mutual_knn_sql(k: int = 5, table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`mutual_knn`."""
+    return (
+        "WITH " + _TOPK_SQL.format(table=table, k=k) + " "
+        "SELECT t.a, t.b FROM topk t JOIN topk r "
+        "ON r.a = t.b AND r.b = t.a WHERE t.a < t.b"
+    )
+
+
+def hubness(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-occurrence (hubness) histogram: how many vectors appear in
+    exactly ``occ`` other vectors' top-k lists. High-dimensional
+    embedding spaces grow 'hubs' that show up in a large fraction of
+    all neighbor lists (Radovanović et al. 2010) — a skewed histogram
+    here predicts that kNN-based dedup/retrieval over this corpus will
+    over-connect a few vectors, the embedding-space twin of the degree
+    skew the graph tier handles with salting.
+
+    Result: (occ, n_vecs) — includes the occ=0 row (anti-hubs)."""
+    t = _brute_topk_pairs(embeddings, k, id_col, vec_col)
+    occ = t.groupBy(F.col("b").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    per_vec = (
+        embeddings.select(id_col)
+        .join(occ, id_col, "left")
+        .select(F.coalesce("occ", F.lit(0)).cast("long").alias("occ"))
+    )
+    return per_vec.groupBy("occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+
+
+def hubness_sql(k: int = 5, table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`hubness`."""
+    return (
+        "WITH " + _TOPK_SQL.format(table=table, k=k) + ", "
+        "occ AS (SELECT b AS vec_id, CAST(COUNT(*) AS BIGINT) AS occ "
+        "FROM topk GROUP BY b), "
+        "per_vec AS (SELECT COALESCE(o.occ, 0) AS occ "
+        f"FROM {table} e LEFT JOIN occ o ON o.vec_id = e.vec_id) "
+        "SELECT CAST(occ AS BIGINT) AS occ, "
+        "CAST(COUNT(*) AS BIGINT) AS n_vecs FROM per_vec GROUP BY occ"
+    )
