@@ -5002,6 +5002,69 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_host_h_index(spark, sf_dir):
+    """Host h-index — max h such that the host serves ≥h pages with
+    in-degree ≥h (the Hirsch rollup of page authority; ranks hosts by
+    DEPTH of well-linked content where host_pr_share ranks by total
+    mass). h = max over the host's indeg-ranked pages of
+    min(rank, indeg) — one groupBy + one host-partitioned window."""
+    from pyspark.sql import Window
+
+    indeg = (
+        _bipartite_edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("page"))
+        .agg(F.count(F.lit(1)).alias("indeg"))
+        .withColumn("host", F.col("page") % 199)
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("indeg"), "page")
+    return (
+        indeg.withColumn("rank", F.row_number().over(w))
+        .select("host", F.least(F.col("rank").cast("long"), F.col("indeg")).alias("m"))
+        .groupBy("host")
+        .agg(F.max("m").cast("long").alias("h_index"))
+    )
+
+
+def _host_h_index_sql() -> str:
+    return (
+        f"WITH {SQL_BIPARTITE}, "
+        "indeg AS (SELECT dst AS page, CAST(COUNT(*) AS BIGINT) AS indeg, "
+        "dst % 199 AS host FROM edges GROUP BY dst), "
+        "ranked AS (SELECT host, indeg, ROW_NUMBER() OVER "
+        "(PARTITION BY host ORDER BY indeg DESC, page) AS rank FROM indeg) "
+        "SELECT host, CAST(MAX(LEAST(rank, indeg)) AS BIGINT) AS h_index "
+        "FROM ranked GROUP BY host"
+    )
+
+
+def q_rake_phrases(spark, sf_dir):
+    """RAKE keyphrases (corpusstats.rake_phrases — stopword-run
+    segmentation, exact-integer deg/freq scores)."""
+    from drone_spark.ops.corpusstats import rake_phrases
+
+    return rake_phrases(_read(spark, sf_dir, "documents"))
+
+
+def _rake_phrases_sql() -> str:
+    from drone_spark.ops.corpusstats import rake_phrases_sql
+
+    return rake_phrases_sql()
+
+
+def q_interarrival(spark, sf_dir):
+    """Per-user inter-arrival CV² in exact ppm (ops/events.
+    interarrival_regularity — the timing-shape bot signal)."""
+    from drone_spark.ops.events import interarrival_regularity
+
+    return interarrival_regularity(_read(spark, sf_dir, "events"))
+
+
+def _interarrival_sql() -> str:
+    from drone_spark.ops.events import interarrival_regularity_sql
+
+    return interarrival_regularity_sql()
+
+
 def q_weighted_jaccard(spark, sf_dir):
     """Multiset (weighted) token Jaccard near-dups with two-phase
     exactness — hot-token-capped candidates, exact-integer ppm scores
@@ -5240,6 +5303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn": q_mutual_knn,
         "hubness": q_hubness,
         "molloy_reed": q_molloy_reed,
+        "host_h_index": q_host_h_index,
+        "rake_phrases": q_rake_phrases,
+        "interarrival": q_interarrival,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -6023,6 +6089,9 @@ def oracle_sql() -> dict[str, str]:
     out["mutual_knn"] = _mutual_knn_sql()
     out["hubness"] = _hubness_sql()
     out["molloy_reed"] = _molloy_reed_sql()
+    out["host_h_index"] = _host_h_index_sql()
+    out["rake_phrases"] = _rake_phrases_sql()
+    out["interarrival"] = _interarrival_sql()
     return out
 
 

@@ -868,3 +868,142 @@ def champion_lists_sql(
         "FROM tf JOIN tot ON tot.token = tf.token) "
         f"SELECT token, doc_id, tf, rank FROM ranked WHERE rank <= {per_term}"
     )
+
+
+RAKE_STOPWORDS: tuple[str, ...] = (
+    # the en marker list from textstats._LANG_MARKERS plus the bare
+    # function words RAKE's original English list leads with — a small
+    # public-knowledge set; the point is the phrase plumbing
+    "the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+    "a", "an", "on", "as", "at", "by", "with", "from", "this", "are",
+    "be", "or", "not",
+)
+
+
+def rake_phrases(
+    docs: DataFrame,
+    k: int = 50,
+    max_len: int = 4,
+    min_occ: int = 2,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each content word w gets
+    score deg(w)/freq(w) — freq counts w's occurrences in candidates,
+    deg additionally credits co-occurring phrase length — and a phrase
+    scores the sum over its words. The corpus-level keyphrase pass
+    that complements TextRank (graph walk) and PMI/G² (pair
+    statistics) with the phrase-segmentation view.
+
+    Determinism: phrases reassemble via position-ordered aggregation
+    (sort_array(struct(pos,token)) / string_agg ORDER BY), never an
+    unordered collect_list; scores are exact integers — per-word
+    ⌊10⁶·deg(w)/freq(w)⌋ floors summed (the harmonic_ppm convention),
+    ranking by (score desc, phrase). Scale shape: one pass assigns
+    stopword-run segment ids with a doc-partitioned window, phrase
+    stats are two partial-agg groupBys; nothing quadratic, no Python.
+
+    Result: top-``k`` rows (phrase, n_occ, score_ppm), phrases of
+    ≤ ``max_len`` words occurring ≥ ``min_occ`` times."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(norm_text(text_col), " ")).alias(
+                "pos", "token"
+            ),
+        )
+        .where(F.length("token") > 0)
+        .withColumn("stop", F.col("token").isin(*stopwords))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = toks.withColumn(
+        "seg",
+        F.sum(F.col("stop").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).where(~F.col("stop"))
+    phrases = (
+        seg.groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.getField("token"),
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .where(F.col("plen") <= max_len)
+    )
+    words = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("token")
+    )
+    stats = words.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    per_phrase = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    pscore = (
+        words.select("phrase", "token")
+        .distinct()
+        .join(stats, "token")
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.expr("(1000000 * deg) div freq"))
+            .cast("long")
+            .alias("score_ppm")
+        )
+    )
+    return (
+        per_phrase.where(F.col("n_occ") >= min_occ)
+        .join(pscore, "phrase")
+        .select("phrase", F.col("n_occ").cast("long").alias("n_occ"), "score_ppm")
+        .orderBy(F.desc("score_ppm"), "phrase")
+        .limit(k)
+    )
+
+
+def rake_phrases_sql(
+    k: int = 50,
+    max_len: int = 4,
+    min_occ: int = 2,
+    doc_table: str = "documents",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> str:
+    """DuckDB twin of :func:`rake_phrases`."""
+    stoplist = ", ".join(f"'{s}'" for s in stopwords)
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, token, ord, "
+        f"token IN ({stoplist}) AS stop FROM (SELECT doc_id, "
+        "UNNEST(string_split(nt, ' ')) AS token, "
+        "generate_subscripts(string_split(nt, ' '), 1) AS ord FROM norm) "
+        "WHERE length(token) > 0), "
+        "seg AS (SELECT doc_id, token, ord, stop, "
+        "SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY doc_id ORDER BY ord ROWS UNBOUNDED PRECEDING) AS seg "
+        "FROM toks), "
+        "phrases AS (SELECT doc_id, seg, "
+        "string_agg(token, ' ' ORDER BY ord) AS phrase, "
+        "CAST(COUNT(*) AS BIGINT) AS plen "
+        "FROM seg WHERE NOT stop GROUP BY doc_id, seg "
+        f"HAVING COUNT(*) <= {max_len}), "
+        "words AS (SELECT phrase, plen, "
+        "UNNEST(string_split(phrase, ' ')) AS token FROM phrases), "
+        "stats AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq, "
+        "CAST(SUM(plen) AS BIGINT) AS deg FROM words GROUP BY token), "
+        "per_phrase AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ "
+        "FROM phrases GROUP BY phrase), "
+        "pscore AS (SELECT w.phrase, CAST(SUM((1000000 * s.deg) // s.freq) "
+        "AS BIGINT) AS score_ppm FROM "
+        "(SELECT DISTINCT phrase, token FROM words) w "
+        "JOIN stats s ON s.token = w.token GROUP BY w.phrase) "
+        "SELECT p.phrase, p.n_occ, sc.score_ppm "
+        "FROM per_phrase p JOIN pscore sc ON sc.phrase = p.phrase "
+        f"WHERE p.n_occ >= {min_occ} "
+        f"ORDER BY sc.score_ppm DESC, p.phrase LIMIT {k}"
+    )

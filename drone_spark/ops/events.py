@@ -707,3 +707,72 @@ def bursts_sql(
         f"WHERE n >= {min_window} AND n * cnt - s > 0 "
         f"AND (n * cnt - s) * (n * cnt - s) * 10 > {z2_times_10} * (n * ss - s * s)"
     )
+
+
+def interarrival_regularity(
+    events: DataFrame, min_gaps: int = 10
+) -> DataFrame:
+    """Per-user inter-arrival-time regularity: the squared coefficient
+    of variation of the gaps between a user's consecutive events. A
+    Poisson (human) arrival process has CV² ≈ 1; schedulers and bots
+    sit near 0 (metronome) and bursty scripted crawls far above 1 —
+    the timing-shape complement to `bot_flags` (which thresholds raw
+    per-minute rates).
+
+    Exact-integer contract: gaps in whole MINUTES (µs div 6·10⁷ — the
+    shift in the NTZ cast cancels in differences), and with n gaps,
+    s = Σgap, ss = Σgap²:  cv2_ppm = ⌊10⁶·(n·ss − s²) / s²⌋ — the
+    same no-floats variance identity as `bursts`. Minute resolution
+    keeps 10⁶·n·ss inside int64 even for a user whose whole history is
+    one multi-month gap (seconds overflow there: 10⁶·n·(3·10⁶ s)²
+    > 2⁶³).
+
+    One user-partitioned window + one partial-agg groupBy.
+    Result: (user_id, n_gaps, mean_gap_min, cv2_ppm), users with
+    ≥ ``min_gaps`` gaps and a nonzero gap sum."""
+    from pyspark.sql import Window
+
+    from ..streaming.windows import _us
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            ((_us("ts") - _us(F.lag("ts").over(w))) / F.lit(60_000_000))
+            .cast("long")
+            .alias("gap_m"),
+        )
+        .where(F.col("gap_m").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_m").alias("s"),
+        F.sum(F.col("gap_m") * F.col("gap_m")).alias("ss"),
+    )
+    return agg.where((F.col("n") >= min_gaps) & (F.col("s") > 0)).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("s div n").cast("long").alias("mean_gap_min"),
+        F.expr("(1000000 * (n * ss - s * s)) div (s * s)")
+        .cast("long")
+        .alias("cv2_ppm"),
+    )
+
+
+def interarrival_regularity_sql(
+    min_gaps: int = 10, table: str = "events"
+) -> str:
+    """DuckDB twin of :func:`interarrival_regularity`."""
+    return (
+        "WITH gaps AS (SELECT user_id, "
+        "(epoch_us(ts) - epoch_us(LAG(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id))) // 60000000 AS gap_m "
+        f"FROM {table}), "
+        "agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(gap_m) AS BIGINT) AS s, "
+        "CAST(SUM(gap_m * gap_m) AS BIGINT) AS ss "
+        "FROM gaps WHERE gap_m IS NOT NULL GROUP BY user_id) "
+        "SELECT user_id, n AS n_gaps, s // n AS mean_gap_min, "
+        "CAST((1000000 * (n * ss - s * s)) // (s * s) AS BIGINT) AS cv2_ppm "
+        f"FROM agg WHERE n >= {min_gaps} AND s > 0"
+    )
