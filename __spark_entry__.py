@@ -5002,6 +5002,62 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Per-doc mean bigram surprisal (add-1 conditional model) in
+    micro-nats — the word-salad detector next to unigram surprisal
+    (corpusstats.bigram_surprisal)."""
+    from drone_spark.ops.corpusstats import bigram_surprisal
+
+    return bigram_surprisal(_read(spark, sf_dir, "documents"))
+
+
+def _bigram_surprisal_sql() -> str:
+    from drone_spark.ops.corpusstats import bigram_surprisal_sql
+
+    return bigram_surprisal_sql()
+
+
+def q_encoding_flags(spark, sf_dir):
+    """Per-doc encoding-health counters (textstats.encoding_flags)."""
+    from drone_spark.ops.textstats import encoding_flags
+
+    return encoding_flags(_read(spark, sf_dir, "documents"))
+
+
+def _encoding_flags_sql() -> str:
+    from drone_spark.ops.textstats import encoding_flags_sql
+
+    return encoding_flags_sql()
+
+
+def q_dwell_times(spark, sf_dir):
+    """Per-event-type dwell-time stats with EXACT discrete percentiles
+    (ops/events.dwell_times)."""
+    from drone_spark.ops.events import dwell_times
+
+    return dwell_times(_read(spark, sf_dir, "events"))
+
+
+def _dwell_times_sql() -> str:
+    from drone_spark.ops.events import dwell_times_sql
+
+    return dwell_times_sql()
+
+
+def q_label_separation(spark, sf_dir):
+    """Pairwise label-centroid cosines — embedding cluster
+    separability scorecard (ops/similarity.label_separation)."""
+    from drone_spark.ops.similarity import label_separation
+
+    return label_separation(_read(spark, sf_dir, "embeddings"))
+
+
+def _label_separation_sql() -> str:
+    from drone_spark.ops.similarity import label_separation_sql
+
+    return label_separation_sql()
+
+
 def q_host_h_index(spark, sf_dir):
     """Host h-index — max h such that the host serves ≥h pages with
     in-degree ≥h (the Hirsch rollup of page authority; ranks hosts by
@@ -5306,6 +5362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_h_index": q_host_h_index,
         "rake_phrases": q_rake_phrases,
         "interarrival": q_interarrival,
+        "bigram_surprisal": q_bigram_surprisal,
+        "encoding_flags": q_encoding_flags,
+        "dwell_times": q_dwell_times,
+        "label_separation": q_label_separation,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -6092,6 +6152,10 @@ def oracle_sql() -> dict[str, str]:
     out["host_h_index"] = _host_h_index_sql()
     out["rake_phrases"] = _rake_phrases_sql()
     out["interarrival"] = _interarrival_sql()
+    out["bigram_surprisal"] = _bigram_surprisal_sql()
+    out["encoding_flags"] = _encoding_flags_sql()
+    out["dwell_times"] = _dwell_times_sql()
+    out["label_separation"] = _label_separation_sql()
     return out
 
 

@@ -1007,3 +1007,103 @@ def rake_phrases_sql(
         f"WHERE p.n_occ >= {min_occ} "
         f"ORDER BY sc.score_ppm DESC, p.phrase LIMIT {k}"
     )
+
+
+def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean BIGRAM surprisal in micro-nats under the
+    corpus conditional bigram model with add-1 smoothing:
+    s(t1→t2) = FLOOR(1e6·ln((c1 + V)/(c12 + 1))) where c12 is the
+    corpus count of the bigram, c1 the count of bigrams starting with
+    t1 and V the first-token vocabulary size. The sequence-aware
+    upgrade of :func:`unigram_surprisal`: a doc built from common
+    words in IMPROBABLE order (shuffled spam, keyword stuffing) reads
+    low-unigram but high-bigram surprisal — the gap between the two is
+    the word-salad detector.
+
+    Same contract as the unigram op: the only ln runs on the distinct
+    bigram-type table, everything after the floor is exact integers,
+    per-doc totals are one weighted join + integer DIV.
+
+    Result: (doc_id, n_bigrams, mean_surprisal_micro) — docs with ≥1
+    bigram."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(norm_text(text_col), " ")).alias(
+                "pos", "token"
+            ),
+        )
+        .where(F.length("token") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("t2", F.lead("token").over(w))
+        .where(F.col("t2").isNotNull())
+        .select("doc_id", F.col("token").alias("t1"), "t2")
+    )
+    dbc = big.groupBy("doc_id", "t1", "t2").agg(
+        F.count(F.lit(1)).alias("c_d")
+    )
+    c12 = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    s = (
+        c12.join(c1, "t1")
+        .join(F.broadcast(v))
+        .select(
+            "t1",
+            "t2",
+            F.floor(
+                F.lit(1_000_000)
+                * F.log(
+                    (F.col("c1") + F.col("v")).cast("double")
+                    / (F.col("c12") + 1)
+                )
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    return (
+        dbc.join(s, ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_d").alias("n_bigrams"),
+            F.sum(F.col("c_d") * F.col("s_micro")).alias("total"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.expr("total DIV n_bigrams").cast("long").alias(
+                "mean_surprisal_micro"
+            ),
+        )
+    )
+
+
+def bigram_surprisal_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_surprisal`."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, token, ord FROM (SELECT doc_id, "
+        "UNNEST(string_split(nt, ' ')) AS token, "
+        "generate_subscripts(string_split(nt, ' '), 1) AS ord FROM norm) "
+        "WHERE length(token) > 0), "
+        "big AS (SELECT doc_id, t1, t2 FROM (SELECT doc_id, token AS t1, "
+        "LEAD(token) OVER (PARTITION BY doc_id ORDER BY ord) AS t2 "
+        "FROM toks) WHERE t2 IS NOT NULL), "
+        "dbc AS (SELECT doc_id, t1, t2, CAST(COUNT(*) AS BIGINT) AS c_d "
+        "FROM big GROUP BY doc_id, t1, t2), "
+        "b12 AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c12 "
+        "FROM big GROUP BY t1, t2), "
+        "b1 AS (SELECT t1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY t1), "
+        "vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM b1), "
+        "s AS (SELECT b12.t1, b12.t2, CAST(FLOOR(1000000 * "
+        "LN(CAST(b1.c1 + vv.v AS DOUBLE) / (b12.c12 + 1))) AS BIGINT) "
+        "AS s_micro FROM b12 JOIN b1 ON b1.t1 = b12.t1, vv) "
+        "SELECT dbc.doc_id, CAST(SUM(c_d) AS BIGINT) AS n_bigrams, "
+        "CAST(SUM(c_d * s_micro) // SUM(c_d) AS BIGINT) "
+        "AS mean_surprisal_micro "
+        "FROM dbc JOIN s ON s.t1 = dbc.t1 AND s.t2 = dbc.t2 "
+        "GROUP BY dbc.doc_id"
+    )

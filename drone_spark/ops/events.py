@@ -776,3 +776,116 @@ def interarrival_regularity_sql(
         "CAST((1000000 * (n * ss - s * s)) // (s * s) AS BIGINT) AS cv2_ppm "
         f"FROM agg WHERE n >= {min_gaps} AND s > 0"
     )
+
+
+def dwell_times(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-event-type dwell times: how long a user stays on an event
+    before their NEXT in-session action (the session's last event has
+    no dwell). The engagement read UX/ranking teams pull from
+    clickstreams — 'error' pages with near-zero dwell and long-dwell
+    'view's mean opposite things to a quality model.
+
+    Session boundaries reuse the gaps-and-islands µs contract
+    (sessionize); dwells are whole seconds (µs div 10⁶). Percentiles
+    are EXACT discrete order statistics — value at rank ⌈q·n⌉ under
+    (dwell, deterministic tie order) — computed with one
+    type-partitioned rank window, never percentile_approx (whose
+    sketch is not cross-engine reproducible).
+
+    Result: (event_type, n, mean_dwell_s, p50_s, p90_s)."""
+    from pyspark.sql import Window
+
+    from ..streaming.windows import _us
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (_us("ts") - _us(F.lag("ts").over(w)) > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    dwells = (
+        sess.withColumn("nxt", F.lead("ts").over(ws))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "event_type",
+            ((_us("nxt") - _us("ts")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("dwell_s"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("dwell_s")
+    ranked = dwells.withColumn("rn", F.row_number().over(wr))
+    agg = dwells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dwell_s").alias("s")
+    )
+    p50 = (
+        ranked.join(agg, "event_type")
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dwell_s").alias("p50_s"))
+    )
+    p90 = (
+        ranked.join(agg, "event_type")
+        .where(F.col("rn") == F.expr("(9 * n + 9) div 10"))
+        .select("event_type", F.col("dwell_s").alias("p90_s"))
+    )
+    return (
+        agg.join(p50, "event_type")
+        .join(p90, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("s div n").cast("long").alias("mean_dwell_s"),
+            F.col("p50_s").cast("long"),
+            F.col("p90_s").cast("long"),
+        )
+    )
+
+
+def dwell_times_sql(gap_minutes: int = 30, table: str = "events") -> str:
+    """DuckDB twin of :func:`dwell_times`."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        "WITH flagged AS (SELECT user_id, ts, event_id, event_type, "
+        "CASE WHEN LAG(ts) OVER w IS NULL OR "
+        f"epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {gap_us} "
+        "THEN 1 ELSE 0 END AS new_sess "
+        f"FROM {table} WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT *, SUM(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), "
+        "dwells AS (SELECT event_type, "
+        "(epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dwell_s FROM "
+        "(SELECT event_type, ts, LEAD(ts) OVER "
+        "(PARTITION BY user_id, sid ORDER BY ts, event_id) AS nxt FROM sess) "
+        "WHERE nxt IS NOT NULL), "
+        "ranked AS (SELECT event_type, dwell_s, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY dwell_s) AS rn FROM dwells), "
+        "agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(dwell_s) AS BIGINT) AS s FROM dwells GROUP BY event_type), "
+        "p50 AS (SELECT r.event_type, r.dwell_s AS p50_s FROM ranked r "
+        "JOIN agg a ON a.event_type = r.event_type "
+        "WHERE r.rn = (a.n + 1) // 2), "
+        "p90 AS (SELECT r.event_type, r.dwell_s AS p90_s FROM ranked r "
+        "JOIN agg a ON a.event_type = r.event_type "
+        "WHERE r.rn = (9 * a.n + 9) // 10) "
+        "SELECT a.event_type, a.n, s // n AS mean_dwell_s, "
+        "CAST(p50.p50_s AS BIGINT) AS p50_s, "
+        "CAST(p90.p90_s AS BIGINT) AS p90_s "
+        "FROM agg a JOIN p50 ON p50.event_type = a.event_type "
+        "JOIN p90 ON p90.event_type = a.event_type"
+    )

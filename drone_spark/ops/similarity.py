@@ -908,3 +908,74 @@ def hubness_sql(k: int = 5, table: str = "embeddings") -> str:
         "SELECT CAST(occ AS BIGINT) AS occ, "
         "CAST(COUNT(*) AS BIGINT) AS n_vecs FROM per_vec GROUP BY occ"
     )
+
+
+def label_separation(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    cluster-separability scorecard: labels whose centroids sit near
+    cosine 1 are indistinguishable to a retrieval/classifier pass over
+    these vectors; a healthy labeled corpus shows a bright diagonal
+    and dim off-diagonal. (Mean vectors, not medoids — one agg.)
+
+    Works entirely in long (label, dim, val) form: one posexplode +
+    partial-agg mean per (label, dim) — |labels|·d rows regardless of
+    corpus size — then a dim-keyed join for the |labels|² dot
+    products. Cosine rounded to 6 (means of many doubles agree to
+    ~1e-14 across engines; 1e-6 quantization absorbs it).
+
+    Result: (label_a, label_b, centroid_cosine), label_a < label_b."""
+    long = embeddings.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(
+            F.transform(vec_col, lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    cent = long.groupBy("lbl", "dim").agg(F.avg("val").alias("c"))
+    ca = cent.select(F.col("lbl").alias("label_a"), "dim", F.col("c").alias("va"))
+    cb = cent.select(F.col("lbl").alias("label_b"), "dim", F.col("c").alias("vb"))
+    dots = (
+        ca.join(cb, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    norms = cent.groupBy("lbl").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    na = norms.select(F.col("lbl").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("lbl").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )
+
+
+def label_separation_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`label_separation`."""
+    return (
+        f"WITH lv AS (SELECT label AS lbl, "
+        "UNNEST(embedding::DOUBLE[]) AS val, "
+        "generate_subscripts(embedding, 1) AS dim "
+        f"FROM {table}), "
+        "cent AS (SELECT lbl, dim, AVG(val) AS c FROM lv GROUP BY lbl, dim), "
+        "dots AS (SELECT a.lbl AS label_a, b.lbl AS label_b, "
+        "SUM(a.c * b.c) AS dot FROM cent a JOIN cent b "
+        "ON a.dim = b.dim AND a.lbl < b.lbl GROUP BY a.lbl, b.lbl), "
+        "norms AS (SELECT lbl, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY lbl) "
+        "SELECT d.label_a, d.label_b, "
+        "ROUND(d.dot / (na.nrm * nb.nrm), 6) AS centroid_cosine "
+        "FROM dots d JOIN norms na ON na.lbl = d.label_a "
+        "JOIN norms nb ON nb.lbl = d.label_b"
+    )

@@ -1158,3 +1158,68 @@ def lm_dirichlet_topk_sql(
         f"SELECT did AS doc_id, score FROM scored "
         f"ORDER BY score DESC, did ASC LIMIT {k}"
     )
+
+
+def encoding_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document encoding-health counters — the mojibake/corruption
+    gate every crawl curation pass runs before tokenization:
+
+    - ``non_ascii``     chars outside 0x00-0x7F
+    - ``control``       C0 control chars except tab/newline/CR
+    - ``replacement``   U+FFFD replacement chars (a decoder already
+                        gave up on these bytes)
+    - ``ascii_ppm``     ⌊10⁶·ascii / chars⌋ (10⁶ for empty docs)
+
+    Counting is length-minus-stripped (one regexp_replace per class,
+    chars not bytes — identical in Spark and DuckDB's UTF-8 length).
+    Legit non-Latin text scores high non_ascii but zero
+    control/replacement — the two must gate differently downstream.
+    Pure codegen, no Python. Result: (doc_id, n_chars, non_ascii,
+    control, replacement, ascii_ppm)."""
+    t = F.col(text_col)
+
+    def stripped(pattern: str):
+        return F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+
+    non_ascii = stripped(r"[^\x00-\x7F]")
+    control = stripped(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    replacement = stripped("�")
+    base = docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        non_ascii.cast("long").alias("non_ascii"),
+        control.cast("long").alias("control"),
+        replacement.cast("long").alias("replacement"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "non_ascii",
+        "control",
+        "replacement",
+        F.when(F.col("n_chars") == 0, F.lit(1_000_000))
+        .otherwise(
+            F.expr("(1000000 * (n_chars - non_ascii)) div n_chars")
+        )
+        .cast("long")
+        .alias("ascii_ppm"),
+    )
+
+
+def encoding_flags_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`encoding_flags`."""
+    na = r"length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))"
+    ctl = (
+        r"length(text) - length(regexp_replace(text, "
+        r"'[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))"
+    )
+    rep = "length(text) - length(replace(text, chr(65533), ''))"
+    return (
+        f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        f"CAST({na} AS BIGINT) AS non_ascii, "
+        f"CAST({ctl} AS BIGINT) AS control, "
+        f"CAST({rep} AS BIGINT) AS replacement, "
+        "CAST(CASE WHEN length(text) = 0 THEN 1000000 ELSE "
+        f"(1000000 * (length(text) - ({na}))) // length(text) END AS BIGINT) "
+        f"AS ascii_ppm FROM {doc_table}"
+    )
