@@ -5002,6 +5002,152 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_host_local_pr_gap(spark, sf_dir):
+    """Subgraph-centric locality gap: 5-superstep PageRank run on each
+    host's INTERNAL subgraph (intra-host edges only — every host is an
+    isolated component, so one engine run computes all hosts' local
+    PR at once) vs the global fixed point, L1-aggregated per host in
+    the exact integer domain. The DRONE-flavored diagnostic: hosts
+    with a small gap are exactly the partitions a subgraph-centric
+    engine can iterate locally between sync rounds; a large gap means
+    the host's rank is set by cross-host structure. Integer-quotient
+    ppm via the host_pr_share DIV idiom (error < 1 ppm)."""
+    edges = _bipartite_edges(spark, sf_dir)
+    intra = edges.where(F.col("src") % 199 == F.col("dst") % 199)
+    loc = _pagerank5_on(spark, intra, "entry_prloc").select(
+        "vid", F.col("pr_fx").alias("lpr")
+    )
+    glob = _pagerank5_on(spark, edges, "entry_prglob").select(
+        "vid", F.col("pr_fx").alias("gpr")
+    )
+    j = loc.join(glob, "vid")
+    return j.groupBy((F.col("vid") % 199).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.abs(F.col("lpr") - F.col("gpr"))).cast("long").alias("l1_fx"),
+        F.expr(
+            "((sum(abs(lpr - gpr)) DIV 1000000) * 1000000)"
+            " DIV (sum(gpr) DIV 1000000)"
+        )
+        .cast("long")
+        .alias("gap_ppm"),
+    )
+
+
+def _host_local_pr_gap_sql() -> str:
+    intra_cte = (
+        "edges AS (SELECT DISTINCT l_orderkey AS src,"
+        f" {PART_OFFSET} + l_partkey AS dst FROM lineitem"
+        f" WHERE l_orderkey % 199 = ({PART_OFFSET} + l_partkey) % 199)"
+    )
+    return (
+        f"WITH gq AS ({_pagerank5_sql()}), "
+        f"lq AS ({_pagerank5_sql().replace(SQL_BIPARTITE, intra_cte)}) "
+        "SELECT l.vid % 199 AS host, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+        "CAST(SUM(ABS(l.pr_fx - g.pr_fx)) AS BIGINT) AS l1_fx, "
+        "CAST(((SUM(ABS(l.pr_fx - g.pr_fx)) // 1000000) * 1000000) "
+        "// (SUM(g.pr_fx) // 1000000) AS BIGINT) AS gap_ppm "
+        "FROM lq l JOIN gq g ON g.vid = l.vid GROUP BY l.vid % 199"
+    )
+
+
+def q_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day: exact distinct actives per epoch-day
+    over distinct actives in the day's 30-day epoch block — the
+    engagement ratio every growth dashboard tracks; exact-integer twin
+    of the HLL-windowed variant (hll_daily_users)."""
+    ev = _read(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    um = ud.select("user_id", F.expr("day div 30").alias("blk")).distinct()
+    mau = um.groupBy("blk").agg(F.count(F.lit(1)).alias("mau"))
+    return (
+        dau.withColumn("blk", F.expr("day div 30"))
+        .join(mau, "blk")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr("(1000000 * dau) div mau").cast("long").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
+
+
+def _stickiness_sql() -> str:
+    return (
+        "WITH ud AS (SELECT DISTINCT user_id, "
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events), "
+        "dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau "
+        "FROM ud GROUP BY day), "
+        "um AS (SELECT DISTINCT user_id, day // 30 AS blk FROM ud), "
+        "mau AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS mau "
+        "FROM um GROUP BY blk) "
+        "SELECT d.day, d.dau, m.mau, "
+        "CAST((1000000 * d.dau) // m.mau AS BIGINT) AS stickiness_ppm "
+        "FROM dau d JOIN mau m ON m.blk = d.day // 30"
+    )
+
+
+def q_hourweek_profile(spark, sf_dir):
+    """Circadian activity matrix: events bucketed by (day-of-week,
+    hour-of-day) with the independence-model deviation in ppm —
+    dev = 10⁶·n·N div (row_total·col_total); flat traffic reads 10⁶,
+    bots pin narrow cells far above it. Epoch arithmetic only (day 0 =
+    Thursday), identical in both engines."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr(
+            "CAST(FLOOR(CAST(CAST(ts AS TIMESTAMP) AS BIGINT) / 86400) AS BIGINT) % 7"
+        ).alias("dow"),
+        F.expr(
+            "CAST(FLOOR(CAST(CAST(ts AS TIMESTAMP) AS BIGINT) / 3600) AS BIGINT) % 24"
+        ).alias("hour"),
+    )
+    cells = base.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
+    rows = base.groupBy("dow").agg(F.count(F.lit(1)).alias("rt"))
+    cols = base.groupBy("hour").agg(F.count(F.lit(1)).alias("ct"))
+    tot = base.agg(F.count(F.lit(1)).alias("tot_n"))
+    return (
+        cells.join(rows, "dow")
+        .join(cols, "hour")
+        .join(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(1000000 * n * tot_n) div (rt * ct)")
+            .cast("long")
+            .alias("dev_ppm"),
+        )
+    )
+
+
+def _hourweek_profile_sql() -> str:
+    return (
+        "WITH base AS (SELECT "
+        "(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow, "
+        "(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour "
+        "FROM events), "
+        "cells AS (SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM base GROUP BY dow, hour), "
+        "rws AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS rt "
+        "FROM base GROUP BY dow), "
+        "cls AS (SELECT hour, CAST(COUNT(*) AS BIGINT) AS ct "
+        "FROM base GROUP BY hour), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM base) "
+        "SELECT c.dow, c.hour, c.n, "
+        "CAST((1000000 * c.n * t.N) // (r.rt * l.ct) AS BIGINT) AS dev_ppm "
+        "FROM cells c JOIN rws r ON r.dow = c.dow "
+        "JOIN cls l ON l.hour = c.hour, tot t"
+    )
+
+
 def q_bigram_surprisal(spark, sf_dir):
     """Per-doc mean bigram surprisal (add-1 conditional model) in
     micro-nats — the word-salad detector next to unigram surprisal
@@ -5366,6 +5512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_flags": q_encoding_flags,
         "dwell_times": q_dwell_times,
         "label_separation": q_label_separation,
+        "host_local_pr_gap": q_host_local_pr_gap,
+        "stickiness": q_stickiness,
+        "hourweek_profile": q_hourweek_profile,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -6156,6 +6305,9 @@ def oracle_sql() -> dict[str, str]:
     out["encoding_flags"] = _encoding_flags_sql()
     out["dwell_times"] = _dwell_times_sql()
     out["label_separation"] = _label_separation_sql()
+    out["host_local_pr_gap"] = _host_local_pr_gap_sql()
+    out["stickiness"] = _stickiness_sql()
+    out["hourweek_profile"] = _hourweek_profile_sql()
     return out
 
 
