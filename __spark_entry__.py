@@ -5002,6 +5002,76 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+LEXRANK_THR = 0.8
+
+
+def q_lexrank5(spark, sf_dir):
+    """LexRank (Erkan & Radev 2004): PageRank over the TF-IDF
+    cosine document-similarity graph — the extractive-summarization /
+    representative-document ranking. Edges are tfidf_cosine_pairs ≥
+    0.8 (round-6 cosines, so the edge set is cross-engine exact),
+    symmetrized, then the standard 5-superstep integer PR kernel —
+    the engine doesn't care that vertices are docs, not pages."""
+    from drone_spark.ops.corpusstats import tfidf_cosine_pairs
+
+    pairs = tfidf_cosine_pairs(
+        _read(spark, sf_dir, "documents"),
+        threshold=LEXRANK_THR,
+        max_df_den=1,
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return _pagerank5_on(spark, edges, "entry_lexrank5")
+
+
+def _lexrank5_sql() -> str:
+    from drone_spark.ops.corpusstats import tfidf_cosine_cte
+
+    chain = (
+        f"{tfidf_cosine_cte(max_df_den=1)}, "
+        "edges AS (SELECT a AS src, b AS dst FROM simpairs "
+        f"WHERE cosine >= {LEXRANK_THR} "
+        "UNION ALL SELECT b AS src, a AS dst FROM simpairs "
+        f"WHERE cosine >= {LEXRANK_THR})"
+    )
+    return _pagerank5_sql().replace(SQL_BIPARTITE, chain)
+
+
+def q_edge_locality(spark, sf_dir):
+    """Per-host edge locality: share of a host's out-edges that stay
+    inside the host (vid % 199 rollup) — the metric that decides
+    whether host-based placement co-locates the link graph's traffic
+    (the empirical basis for the host_local_pr_gap result above)."""
+    e = _bipartite_edges(spark, sf_dir)
+    tagged = e.select(
+        (F.col("src") % 199).alias("host"),
+        (F.col("src") % 199 == F.col("dst") % 199)
+        .cast("long")
+        .alias("intra"),
+    )
+    return tagged.groupBy("host").agg(
+        F.sum("intra").cast("long").alias("intra_edges"),
+        (F.count(F.lit(1)) - F.sum("intra")).cast("long").alias("cross_edges"),
+        F.expr("(1000000 * sum(intra)) div count(1)")
+        .cast("long")
+        .alias("locality_ppm"),
+    )
+
+
+def _edge_locality_sql() -> str:
+    return (
+        f"WITH {SQL_BIPARTITE}, "
+        "tagged AS (SELECT src % 199 AS host, "
+        "CASE WHEN src % 199 = dst % 199 THEN 1 ELSE 0 END AS intra "
+        "FROM edges) "
+        "SELECT host, CAST(SUM(intra) AS BIGINT) AS intra_edges, "
+        "CAST(COUNT(*) - SUM(intra) AS BIGINT) AS cross_edges, "
+        "CAST((1000000 * SUM(intra)) // COUNT(*) AS BIGINT) AS locality_ppm "
+        "FROM tagged GROUP BY host"
+    )
+
+
 def q_host_local_pr_gap(spark, sf_dir):
     """Subgraph-centric locality gap: 5-superstep PageRank run on each
     host's INTERNAL subgraph (intra-host edges only — every host is an
@@ -5515,6 +5585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_local_pr_gap": q_host_local_pr_gap,
         "stickiness": q_stickiness,
         "hourweek_profile": q_hourweek_profile,
+        "lexrank5": q_lexrank5,
+        "edge_locality": q_edge_locality,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -6308,6 +6380,8 @@ def oracle_sql() -> dict[str, str]:
     out["host_local_pr_gap"] = _host_local_pr_gap_sql()
     out["stickiness"] = _stickiness_sql()
     out["hourweek_profile"] = _hourweek_profile_sql()
+    out["lexrank5"] = _lexrank5_sql()
+    out["edge_locality"] = _edge_locality_sql()
     return out
 
 

@@ -723,6 +723,31 @@ def tfidf_cosine_topk(
     Determinism: tf and df are exact ints, idf = ln(N/df) on one IEEE
     divide (pmi discipline), cosine rounded to 6 with (a, b)
     tie-breaks. Result: (a, b, cosine), a < b."""
+    return (
+        _tfidf_cosine_scored(docs, min_df, max_df_den, text_col)
+        .orderBy(F.desc("cosine"), "a", "b")
+        .limit(k)
+    )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float,
+    min_df: int = 2,
+    max_df_den: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine ≥ ``threshold`` (same
+    scorer as :func:`tfidf_cosine_topk`) — the edge list of the
+    document-similarity graph (LexRank's input)."""
+    return _tfidf_cosine_scored(docs, min_df, max_df_den, text_col).where(
+        F.col("cosine") >= threshold
+    )
+
+
+def _tfidf_cosine_scored(
+    docs: DataFrame, min_df: int, max_df_den: int, text_col: str
+) -> DataFrame:
     tf = (
         _tokens(docs, text_col)
         .groupBy("doc_id", "token")
@@ -769,8 +794,6 @@ def tfidf_cosine_topk(
                 "cosine"
             ),
         )
-        .orderBy(F.desc("cosine"), "a", "b")
-        .limit(k)
     )
 
 
@@ -782,7 +805,21 @@ def tfidf_cosine_topk_sql(
 ) -> str:
     """DuckDB twin of :func:`tfidf_cosine_topk`."""
     return (
-        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        f"WITH {tfidf_cosine_cte(min_df, max_df_den, doc_table)} "
+        "SELECT a, b, cosine FROM simpairs "
+        f"ORDER BY cosine DESC, a, b LIMIT {k}"
+    )
+
+
+def tfidf_cosine_cte(
+    min_df: int = 2,
+    max_df_den: int = 5,
+    doc_table: str = "documents",
+) -> str:
+    """CTE chain ending in ``simpairs(a, b, cosine)`` — the shared
+    scorer for the top-k twin above and the LexRank edge oracle."""
+    return (
+        f"norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
         "tok AS (SELECT doc_id, token FROM (SELECT doc_id, "
         "UNNEST(string_split(nt, ' ')) AS token FROM norm) "
         "WHERE length(token) > 0), "
@@ -800,11 +837,11 @@ def tfidf_cosine_topk_sql(
         "dots AS (SELECT a.doc_id AS a, b.doc_id AS b, "
         "SUM(a.w * b.w) AS dot FROM wgt a JOIN wgt b "
         "ON a.token = b.token AND a.doc_id < b.doc_id "
-        "GROUP BY a.doc_id, b.doc_id) "
-        "SELECT d.a, d.b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine "
+        "GROUP BY a.doc_id, b.doc_id), "
+        "simpairs AS (SELECT d.a, d.b, "
+        "ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine "
         "FROM dots d JOIN norms na ON na.doc_id = d.a "
-        "JOIN norms nb ON nb.doc_id = d.b "
-        f"ORDER BY cosine DESC, d.a, d.b LIMIT {k}"
+        "JOIN norms nb ON nb.doc_id = d.b)"
     )
 
 
