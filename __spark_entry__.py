@@ -5002,6 +5002,48 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character Shannon entropy in micro-nats
+    (textstats.char_entropy — integer floor-per-class convention)."""
+    from drone_spark.ops.textstats import char_entropy
+
+    return char_entropy(_read(spark, sf_dir, "documents"))
+
+
+def _char_entropy_sql() -> str:
+    from drone_spark.ops.textstats import char_entropy_sql
+
+    return char_entropy_sql()
+
+
+def q_inout_correlation(spark, sf_dir):
+    """Per-vertex in/out-degree Pearson r (linkstats.inout_correlation)
+    on the directed co-purchase-derived graph."""
+    from drone_spark.algorithms.linkstats import inout_correlation
+
+    return inout_correlation(_directed_edges(spark, sf_dir))
+
+
+def _inout_correlation_sql() -> str:
+    from drone_spark.algorithms.linkstats import inout_correlation_sql
+
+    return inout_correlation_sql(SQL_DIRECTED)
+
+
+def q_conversion_lag(spark, sf_dir):
+    """Signup→purchase conversion-lag histogram in whole hours
+    (ops/events.conversion_lag)."""
+    from drone_spark.ops.events import conversion_lag
+
+    return conversion_lag(_read(spark, sf_dir, "events"))
+
+
+def _conversion_lag_sql() -> str:
+    from drone_spark.ops.events import conversion_lag_sql
+
+    return conversion_lag_sql()
+
+
 LEXRANK_THR = 0.8
 
 
@@ -5587,6 +5629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourweek_profile": q_hourweek_profile,
         "lexrank5": q_lexrank5,
         "edge_locality": q_edge_locality,
+        "char_entropy": q_char_entropy,
+        "inout_correlation": q_inout_correlation,
+        "conversion_lag": q_conversion_lag,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -6382,6 +6427,9 @@ def oracle_sql() -> dict[str, str]:
     out["hourweek_profile"] = _hourweek_profile_sql()
     out["lexrank5"] = _lexrank5_sql()
     out["edge_locality"] = _edge_locality_sql()
+    out["char_entropy"] = _char_entropy_sql()
+    out["inout_correlation"] = _inout_correlation_sql()
+    out["conversion_lag"] = _conversion_lag_sql()
     return out
 
 

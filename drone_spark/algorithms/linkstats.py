@@ -1488,3 +1488,74 @@ def molloy_reed_sql(edges_cte: str) -> str:
         "CAST((1000000 * SUM(d * d)) // SUM(d) AS BIGINT) AS kappa_ppm, "
         "SUM(d * d) > 2 * SUM(d) AS supercritical FROM deg"
     )
+
+
+def inout_correlation(edges: DataFrame) -> DataFrame:
+    """Pearson correlation between each vertex's in-degree and
+    out-degree on the directed simple graph — the one-scalar
+    hub/authority coupling: r ≈ 1 means pages that are linked-to also
+    link out (portal-like webs), r ≈ 0 means authorities and hubs are
+    disjoint populations (the classic HITS separation). Complements
+    :func:`degree_correlation` (edge-endpoint assortativity) with the
+    per-VERTEX view.
+
+    All five sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) are
+    exact BIGINTs; the final r takes one sqrt on the exact integer
+    discriminants and rounds to 6 — correctly-rounded IEEE sqrt is
+    engine-identical. Result: one row (n_vertices, r)."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    outd = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ind = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    both = (
+        outd.join(ind, "id", "full")
+        .select(
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("n").cast("long").alias("n_vertices"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+            6,
+        ).alias("r"),
+    )
+
+
+def inout_correlation_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`inout_correlation`."""
+    return (
+        f"WITH {edges_cte}, "
+        "e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst), "
+        "outd AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS x "
+        "FROM e GROUP BY src), "
+        "ind AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS y "
+        "FROM e GROUP BY dst), "
+        "xy AS (SELECT COALESCE(o.x, 0) AS x, COALESCE(i.y, 0) AS y "
+        "FROM outd o FULL JOIN ind i ON i.id = o.id), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        "CAST(SUM(y * y) AS BIGINT) AS syy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy FROM xy) "
+        "SELECT n AS n_vertices, "
+        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+        "CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r FROM agg"
+    )

@@ -889,3 +889,66 @@ def dwell_times_sql(gap_minutes: int = 30, table: str = "events") -> str:
         "FROM agg a JOIN p50 ON p50.event_type = a.event_type "
         "JOIN p90 ON p90.event_type = a.event_type"
     )
+
+
+def conversion_lag(
+    events: DataFrame,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Histogram of the lag from each user's FIRST ``from_type`` event
+    to their first ``to_type`` event at or after it, in whole hours —
+    the time-to-convert distribution behind funnel()'s horizon knob.
+    Only converting users appear.
+
+    Two type-filtered partial-agg mins + one user-keyed join + one
+    histogram groupBy — no window over raw events, fully parallel
+    (the reason this emits a histogram, not global percentiles: a
+    corpus-wide exact percentile needs a total order; the histogram
+    is the scale-safe form and percentiles read off its prefix sums).
+    Lags in integer µs → hours via one exact div.
+
+    Result: (lag_hours, n_users)."""
+    from ..streaming.windows import _us
+
+    first_from = (
+        events.where(F.col("event_type") == from_type)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_from"))
+    )
+    first_to = (
+        events.where(F.col("event_type") == to_type)
+        .select("user_id", "ts")
+        .join(first_from, "user_id")
+        .where(F.col("ts") >= F.col("t_from"))
+        .groupBy("user_id", "t_from")
+        .agg(F.min("ts").alias("t_to"))
+    )
+    return (
+        first_to.select(
+            ((_us("t_to") - _us("t_from")) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("lag_hours")
+        )
+        .groupBy("lag_hours")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def conversion_lag_sql(
+    from_type: str = "signup",
+    to_type: str = "purchase",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`conversion_lag`."""
+    return (
+        "WITH ff AS (SELECT user_id, MIN(ts) AS t_from "
+        f"FROM {table} WHERE event_type = '{from_type}' GROUP BY user_id), "
+        "ft AS (SELECT e.user_id, ff.t_from, MIN(e.ts) AS t_to "
+        f"FROM {table} e JOIN ff ON ff.user_id = e.user_id "
+        f"WHERE e.event_type = '{to_type}' AND e.ts >= ff.t_from "
+        "GROUP BY e.user_id, ff.t_from) "
+        "SELECT (epoch_us(t_to) - epoch_us(t_from)) // 3600000000 "
+        "AS lag_hours, CAST(COUNT(*) AS BIGINT) AS n_users "
+        "FROM ft GROUP BY lag_hours"
+    )

@@ -1223,3 +1223,80 @@ def encoding_flags_sql(doc_table: str = "documents") -> str:
         f"(1000000 * (length(text) - ({na}))) // length(text) END AS BIGINT) "
         f"AS ascii_ppm FROM {doc_table}"
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy in micro-nats:
+    H = Σ_c (n_c/N)·ln(N/n_c), computed as Σ n_c·⌊10⁶·ln(N/n_c)⌋ DIV N
+    (the host_entropy/surprisal integer convention — floor per class,
+    then exact integer weighted mean). Near-zero entropy = one-glyph
+    padding/repetition junk; natural text sits ~3.0e6 µnats. The
+    character-distribution complement to the token-level
+    quality/surprisal gates.
+
+    Pure relational: one explode to (doc, char) via split(''),
+    one groupBy for class counts, one ln on the (doc, class) table —
+    bounded by alphabet size per doc — and one weighted sum.
+    Result: (doc_id, n_chars, entropy_micro); empty docs report 0."""
+    chars = (
+        docs.select(
+            "doc_id", F.explode(F.split(text_col, "")).alias("ch")
+        )
+        .where(F.length("ch") > 0)
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("n_c").alias("n"))
+    scored = counts.join(totals, "doc_id").select(
+        "doc_id",
+        "n_c",
+        "n",
+        F.floor(
+            F.lit(1_000_000)
+            * F.log(F.col("n").cast("double") / F.col("n_c"))
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    ent = scored.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_chars"),
+        F.expr("sum(n_c * s_micro) DIV max(n)").cast("long").alias(
+            "entropy_micro"
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("entropy_micro", F.lit(0))
+            .cast("long")
+            .alias("entropy_micro"),
+        )
+    )
+
+
+def char_entropy_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`char_entropy`. DuckDB's
+    string_split(text, '') yields the same per-character list as
+    Spark's split on the empty pattern."""
+    return (
+        "WITH chars AS (SELECT doc_id, ch FROM (SELECT doc_id, "
+        f"UNNEST(string_split(text, '')) AS ch FROM {doc_table}) "
+        "WHERE length(ch) > 0), "
+        "counts AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n_c "
+        "FROM chars GROUP BY doc_id, ch), "
+        "totals AS (SELECT doc_id, CAST(SUM(n_c) AS BIGINT) AS n "
+        "FROM counts GROUP BY doc_id), "
+        "scored AS (SELECT c.doc_id, c.n_c, t.n, "
+        "CAST(FLOOR(1000000 * LN(CAST(t.n AS DOUBLE) / c.n_c)) AS BIGINT) "
+        "AS s_micro FROM counts c JOIN totals t ON t.doc_id = c.doc_id), "
+        "ent AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars, "
+        "CAST(SUM(n_c * s_micro) // MAX(n) AS BIGINT) AS entropy_micro "
+        "FROM scored GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(e.n_chars, 0) AS BIGINT) AS n_chars, "
+        "CAST(COALESCE(e.entropy_micro, 0) AS BIGINT) AS entropy_micro "
+        f"FROM {doc_table} d LEFT JOIN ent e ON e.doc_id = d.doc_id"
+    )
