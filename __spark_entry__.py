@@ -5002,6 +5002,93 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_widest_path4(spark, sf_dir):
+    """4-hop widest (max-min bottleneck) path widths from the seed
+    host over the weighted host graph — the (max,min) semiring run on
+    the same scatter-gather superstep shape as SSSP
+    (algorithms/sssp.widest_path_fixed)."""
+    from drone_spark.algorithms.sssp import widest_path_fixed
+
+    hw = _spark_host_edges_weighted(spark, sf_dir)
+    return widest_path_fixed(hw, F.lit("site0.example"), iters=4)
+
+
+def _widest_path4_sql() -> str:
+    from drone_spark.algorithms.sssp import widest_path_fixed_sql
+
+    hw = (
+        f"{SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hostsq AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls), "
+        "hw AS (SELECT src_host AS src, dst_host AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM hostsq WHERE src_host <> dst_host GROUP BY 1, 2)"
+    )
+    return widest_path_fixed_sql(hw, "'site0.example'", iters=4)
+
+
+def q_centroid_margin(spark, sf_dir):
+    """Per-label centroid-classifier margin (silhouette-lite,
+    ops/similarity.centroid_margin)."""
+    from drone_spark.ops.similarity import centroid_margin
+
+    return centroid_margin(_read(spark, sf_dir, "embeddings"))
+
+
+def _centroid_margin_sql() -> str:
+    from drone_spark.ops.similarity import centroid_margin_sql
+
+    return centroid_margin_sql()
+
+
+def q_dangling_stats(spark, sf_dir):
+    """Dangling-vertex accounting on the directed graph + the PR mass
+    they hold at the 5-superstep point: the teleport-redistribution
+    load a 10^12-page crawl must budget for (sinks are where PageRank
+    implementations silently diverge)."""
+    edges = _bipartite_edges(spark, sf_dir)
+    pr = _pagerank5_on(spark, edges, "entry_prdang")
+    outdeg = edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    j = pr.join(outdeg, "vid", "left").select(
+        "pr_fx", F.coalesce("od", F.lit(0)).alias("od")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum((F.col("od") == 0).cast("long")).cast("long").alias(
+            "n_dangling"
+        ),
+        F.expr(
+            "(1000000 * sum(cast(od = 0 as long))) div count(1)"
+        )
+        .cast("long")
+        .alias("dangling_ppm"),
+        F.sum(F.when(F.col("od") == 0, F.col("pr_fx")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dangling_pr_mass_fx"),
+    )
+
+
+def _dangling_stats_sql() -> str:
+    return (
+        f"WITH pr AS ({_pagerank5_sql()}), "
+        f"{SQL_BIPARTITE.replace('edges AS', 'edges2 AS')}, "
+        "outdeg AS (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS od "
+        "FROM edges2 GROUP BY src), "
+        "j AS (SELECT pr.pr_fx, COALESCE(o.od, 0) AS od "
+        "FROM pr LEFT JOIN outdeg o ON o.vid = pr.vid) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        "CAST(SUM(CASE WHEN od = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dangling, "
+        "CAST((1000000 * SUM(CASE WHEN od = 0 THEN 1 ELSE 0 END)) "
+        "// COUNT(*) AS BIGINT) AS dangling_ppm, "
+        "CAST(SUM(CASE WHEN od = 0 THEN pr_fx ELSE 0 END) AS BIGINT) "
+        "AS dangling_pr_mass_fx FROM j"
+    )
+
+
 def q_char_entropy(spark, sf_dir):
     """Per-doc character Shannon entropy in micro-nats
     (textstats.char_entropy — integer floor-per-class convention)."""
@@ -5632,6 +5719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "inout_correlation": q_inout_correlation,
         "conversion_lag": q_conversion_lag,
+        "widest_path4": q_widest_path4,
+        "centroid_margin": q_centroid_margin,
+        "dangling_stats": q_dangling_stats,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -6430,6 +6520,9 @@ def oracle_sql() -> dict[str, str]:
     out["char_entropy"] = _char_entropy_sql()
     out["inout_correlation"] = _inout_correlation_sql()
     out["conversion_lag"] = _conversion_lag_sql()
+    out["widest_path4"] = _widest_path4_sql()
+    out["centroid_margin"] = _centroid_margin_sql()
+    out["dangling_stats"] = _dangling_stats_sql()
     return out
 
 

@@ -297,3 +297,84 @@ def sssp(
 def reached(result_state: DataFrame) -> DataFrame:
     """Result sink semantics: drop unreached vertices (SSSPworker.go:270)."""
     return result_state.where(F.col("dist") != INF).select("vid", "dist")
+
+
+WIDEST_INF = 1 << 60
+
+
+def widest_path_fixed(
+    edges_w: DataFrame,
+    seed,
+    iters: int = 4,
+) -> DataFrame:
+    """Bounded-hop WIDEST path (max-min semiring) from ``seed``: after
+    k rounds, w(v) = the maximum over ≤k-hop paths seed→v of the
+    minimum edge capacity along the path — the bottleneck bandwidth /
+    "strongest chain of endorsements" query. Same scatter-gather
+    superstep shape as SSSP with (min,+) swapped for (max,min): the
+    engine family is semiring-generic, this materializes the second
+    semiring. Monotone non-decreasing per vertex, so a fixed iteration
+    count is a safe under-approximation exactly like katz_fixed.
+
+    edges_w: (src, dst, w) integer capacities. Exact integers
+    end-to-end (seed starts at 2⁶⁰ ≫ any capacity, so min(seed, cap)
+    = cap). Result: (vid, width) for vertices with width > 0 —
+    i.e. reachable within ``iters`` hops (seed reports 2⁶⁰)."""
+    verts = (
+        edges_w.select(F.col("src").alias("vid"))
+        .unionAll(edges_w.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    state = verts.select(
+        "vid",
+        F.when(F.col("vid") == seed, F.lit(WIDEST_INF))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("width"),
+    )
+    for _ in range(iters):
+        msgs = (
+            state.where(F.col("width") > 0)
+            .join(edges_w, state["vid"] == edges_w["src"])
+            .groupBy("dst")
+            .agg(F.max(F.least(F.col("width"), F.col("w"))).alias("best"))
+        )
+        state = (
+            state.join(msgs, state["vid"] == msgs["dst"], "left")
+            .select(
+                "vid",
+                F.greatest(
+                    F.col("width"), F.coalesce(F.col("best"), F.lit(0))
+                )
+                .cast("long")
+                .alias("width"),
+            )
+        )
+    return state.where(F.col("width") > 0)
+
+
+def widest_path_fixed_sql(
+    edges_cte: str, seed_sql: str, iters: int = 4
+) -> str:
+    """DuckDB twin of :func:`widest_path_fixed` (edges CTE must be
+    named ``hw`` with columns src, dst, w)."""
+    ctes = [
+        edges_cte,
+        "v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM hw "
+        "UNION ALL SELECT dst FROM hw))",
+        f"w0 AS (SELECT vid, CASE WHEN vid = {seed_sql} THEN "
+        f"{WIDEST_INF}::BIGINT ELSE 0::BIGINT END AS width FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"w{k} AS (SELECT v.vid, CAST(GREATEST(p.width, "
+            "COALESCE(m.best, 0)) AS BIGINT) AS width FROM v "
+            f"JOIN w{k-1} p ON p.vid = v.vid LEFT JOIN "
+            f"(SELECT e.dst AS vid, MAX(LEAST(p.width, e.w)) AS best "
+            f"FROM w{k-1} p JOIN hw e ON e.src = p.vid WHERE p.width > 0 "
+            "GROUP BY e.dst) m ON m.vid = v.vid)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, width FROM w{iters} WHERE width > 0"
+    )

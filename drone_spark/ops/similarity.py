@@ -979,3 +979,102 @@ def label_separation_sql(table: str = "embeddings") -> str:
         "FROM dots d JOIN norms na ON na.lbl = d.label_a "
         "JOIN norms nb ON nb.lbl = d.label_b"
     )
+
+
+def centroid_margin(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label silhouette-lite: for every vector, margin = cos(v,
+    own-label centroid) − max over other labels of cos(v, centroid);
+    aggregated to (label, n_vecs, mean_margin). Positive mean = the
+    label is linearly recoverable from these embeddings; ≤0 labels
+    are the ones a centroid classifier confuses — the per-VECTOR
+    companion to :func:`label_separation` (which only compares
+    centroids to each other).
+
+    Centroids live as a broadcast-sized (labels × dim) long-form
+    table; scoring is one dim-keyed join + partial agg per (vec,
+    label) — no all-pairs over vectors. Margins round to 6 before the
+    mean; the mean rounds to 6 (same double-tolerance argument as
+    label_separation).
+
+    Result: (label, n_vecs, mean_margin)."""
+    e = embeddings.select(
+        id_col,
+        F.col(label_col).alias("own"),
+        F.posexplode(
+            F.transform(vec_col, lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    cent = e.groupBy(F.col("own").alias("lbl"), "dim").agg(
+        F.avg("val").alias("c")
+    )
+    cnorm = cent.groupBy("lbl").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    vnorm = e.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    dots = (
+        e.join(cent, "dim")
+        .groupBy(id_col, "own", "lbl")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+    )
+    scored = (
+        dots.join(cnorm, "lbl")
+        .join(vnorm, id_col)
+        .select(
+            id_col,
+            "own",
+            "lbl",
+            F.round(F.col("dot") / (F.col("cn") * F.col("vn")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    own_cos = scored.where(F.col("own") == F.col("lbl")).select(
+        id_col, "own", F.col("cos").alias("oc")
+    )
+    other_max = (
+        scored.where(F.col("own") != F.col("lbl"))
+        .groupBy(id_col)
+        .agg(F.max("cos").alias("mc"))
+    )
+    margins = own_cos.join(other_max, id_col).select(
+        "own", F.round(F.col("oc") - F.col("mc"), 6).alias("margin")
+    )
+    return margins.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("margin"), 6).alias("mean_margin"),
+    )
+
+
+def centroid_margin_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`centroid_margin`."""
+    return (
+        "WITH lv AS (SELECT vec_id, label AS own, "
+        "UNNEST(embedding::DOUBLE[]) AS val, "
+        f"generate_subscripts(embedding, 1) AS dim FROM {table}), "
+        "cent AS (SELECT own AS lbl, dim, AVG(val) AS c "
+        "FROM lv GROUP BY own, dim), "
+        "cnorm AS (SELECT lbl, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY lbl), "
+        "vnorm AS (SELECT vec_id, sqrt(SUM(val * val)) AS vn "
+        "FROM lv GROUP BY vec_id), "
+        "dots AS (SELECT lv.vec_id, lv.own, cent.lbl, "
+        "SUM(lv.val * cent.c) AS dot FROM lv JOIN cent ON cent.dim = lv.dim "
+        "GROUP BY lv.vec_id, lv.own, cent.lbl), "
+        "scored AS (SELECT d.vec_id, d.own, d.lbl, "
+        "ROUND(d.dot / (cn.cn * vn.vn), 6) AS cos FROM dots d "
+        "JOIN cnorm cn ON cn.lbl = d.lbl "
+        "JOIN vnorm vn ON vn.vec_id = d.vec_id), "
+        "oc AS (SELECT vec_id, own, cos AS oc FROM scored WHERE own = lbl), "
+        "mx AS (SELECT vec_id, MAX(cos) AS mc FROM scored "
+        "WHERE own <> lbl GROUP BY vec_id), "
+        "margins AS (SELECT oc.own, ROUND(oc.oc - mx.mc, 6) AS margin "
+        "FROM oc JOIN mx ON mx.vec_id = oc.vec_id) "
+        "SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "ROUND(AVG(margin), 6) AS mean_margin FROM margins GROUP BY own"
+    )
