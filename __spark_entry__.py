@@ -5002,6 +5002,166 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_graph_profile(spark, sf_dir):
+    """One-row graph describe() — the pre-partitioning summary
+    (linkstats.graph_profile)."""
+    from drone_spark.algorithms.linkstats import graph_profile
+
+    return graph_profile(_bipartite_edges(spark, sf_dir))
+
+
+def _graph_profile_sql() -> str:
+    from drone_spark.algorithms.linkstats import graph_profile_sql
+
+    return graph_profile_sql(SQL_BIPARTITE)
+
+
+def q_pareto_share(spark, sf_dir):
+    """User-concentration (Pareto) profile: users ranked into deciles
+    by event count; per decile the exact share of events and revenue
+    in ppm — the 80/20 read on traffic concentration (the user-side
+    twin of the host PR-mass deciles)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(cents).alias("cents"),
+    )
+    w = Window.orderBy(F.desc("n_ev"), F.desc("cents"), "user_id")
+    deciled = per_user.withColumn("rnk", F.ntile(10).over(w))
+    tot = per_user.agg(
+        F.sum("n_ev").alias("te"), F.sum("cents").alias("tc")
+    )
+    return (
+        deciled.groupBy(F.col("rnk").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_ev").alias("events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long"),
+            F.col("n_users").cast("long"),
+            F.col("events").cast("long"),
+            F.col("value_cents").cast("long"),
+            F.expr("(1000000 * events) div te").cast("long").alias(
+                "event_share_ppm"
+            ),
+            F.expr("(1000000 * value_cents) div tc").cast("long").alias(
+                "value_share_ppm"
+            ),
+        )
+    )
+
+
+def _pareto_share_sql() -> str:
+    return (
+        "WITH per_user AS (SELECT user_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_ev, "
+        "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "AS BIGINT) AS cents FROM events GROUP BY user_id), "
+        "deciled AS (SELECT *, NTILE(10) OVER "
+        "(ORDER BY n_ev DESC, cents DESC, user_id) AS decile FROM per_user), "
+        "tot AS (SELECT CAST(SUM(n_ev) AS BIGINT) AS te, "
+        "CAST(SUM(cents) AS BIGINT) AS tc FROM per_user) "
+        "SELECT CAST(decile AS BIGINT) AS decile, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(SUM(n_ev) AS BIGINT) AS events, "
+        "CAST(SUM(cents) AS BIGINT) AS value_cents, "
+        "CAST((1000000 * SUM(n_ev)) // MAX(t.te) AS BIGINT) "
+        "AS event_share_ppm, "
+        "CAST((1000000 * SUM(cents)) // MAX(t.tc) AS BIGINT) "
+        "AS value_share_ppm "
+        "FROM deciled, tot t GROUP BY decile"
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analog (shipping priority): top-10 undelivered orders
+    of a market segment by discounted revenue before a date — the
+    canonical 3-way join + agg + top-k the relational tier must
+    express next to the graph tier. Revenue in exact integer
+    hundredths-of-cents (price·(1−disc) scaled by 10⁴)."""
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    price_c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    disc_e4 = (F.col("l_discount").cast("decimal(18,4)") * 10000).cast("long")
+    rev = price_c * (F.lit(10000) - disc_e4)  # cents · 1e4 scale, exact
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("long").alias("revenue_e6"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "revenue_e6",
+        )
+        .orderBy(F.desc("revenue_e6"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _shipping_priority_sql() -> str:
+    return (
+        "SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, "
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT) * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) "
+        "* 10000 AS BIGINT))) AS BIGINT) AS revenue_e6 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1995-03-15' "
+        "AND l_shipdate > '1995-03-15' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue_e6 DESC, l_orderkey LIMIT 10"
+    )
+
+
+def q_order_priority(spark, sf_dir):
+    """TPC-H Q4 analog (order-priority checking): orders placed in a
+    quarter with at least one late line item, counted per priority —
+    the EXISTS-semi-join idiom."""
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    late = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_linestatus") == "O")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            late, orders["o_orderkey"] == late["l_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def _order_priority_sql() -> str:
+    return (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+        "FROM orders WHERE o_orderdate >= '1996-07-01' "
+        "AND o_orderdate < '1996-10-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_linestatus = 'O') "
+        "GROUP BY o_orderpriority"
+    )
+
+
 def q_widest_path4(spark, sf_dir):
     """4-hop widest (max-min bottleneck) path widths from the seed
     host over the weighted host graph — the (max,min) semiring run on
@@ -5722,6 +5882,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "widest_path4": q_widest_path4,
         "centroid_margin": q_centroid_margin,
         "dangling_stats": q_dangling_stats,
+        "graph_profile": q_graph_profile,
+        "pareto_share": q_pareto_share,
+        "shipping_priority": q_shipping_priority,
+        "order_priority": q_order_priority,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -6523,6 +6687,10 @@ def oracle_sql() -> dict[str, str]:
     out["widest_path4"] = _widest_path4_sql()
     out["centroid_margin"] = _centroid_margin_sql()
     out["dangling_stats"] = _dangling_stats_sql()
+    out["graph_profile"] = _graph_profile_sql()
+    out["pareto_share"] = _pareto_share_sql()
+    out["shipping_priority"] = _shipping_priority_sql()
+    out["order_priority"] = _order_priority_sql()
     return out
 
 

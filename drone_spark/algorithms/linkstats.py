@@ -1559,3 +1559,73 @@ def inout_correlation_sql(edges_cte: str) -> str:
         "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
         "CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r FROM agg"
     )
+
+
+def graph_profile(edges: DataFrame) -> DataFrame:
+    """One-row graph describe() — the summary a pipeline logs before
+    choosing partitioning/skew strategy: vertex & edge counts (raw
+    directed rows, distinct simple edges, self-loops), density in ppb
+    (m / n(n−1), directed simple), max/mean degree, and the share of
+    edges touching the single highest-degree hub (the salting
+    trigger). All exact integers: density uses ppb (10⁹) because web
+    graphs live at densities below 1 ppm.
+
+    Result: one row (n_vertices, n_edges_raw, n_edges, n_selfloops,
+    density_ppb, max_out_deg, mean_out_deg_ppm, top_hub_share_ppm)."""
+    raw = edges.select("src", "dst")
+    simple = raw.where(F.col("src") != F.col("dst")).distinct()
+    loops = raw.where(F.col("src") == F.col("dst"))
+    outd = simple.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    verts = (
+        simple.select(F.col("src").alias("id"))
+        .unionAll(simple.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    stats = (
+        verts.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(simple.agg(F.count(F.lit(1)).alias("m")))
+        .crossJoin(raw.agg(F.count(F.lit(1)).alias("m_raw")))
+        .crossJoin(loops.agg(F.count(F.lit(1)).alias("nl")))
+        .crossJoin(outd.agg(F.max("d").alias("dmax")))
+    )
+    return stats.select(
+        F.col("n").cast("long").alias("n_vertices"),
+        F.col("m_raw").cast("long").alias("n_edges_raw"),
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("nl").cast("long").alias("n_selfloops"),
+        F.expr("(1000000000 * m) div (n * (n - 1))")
+        .cast("long")
+        .alias("density_ppb"),
+        F.col("dmax").cast("long").alias("max_out_deg"),
+        F.expr("(1000000 * m) div n").cast("long").alias("mean_out_deg_ppm"),
+        F.expr("(1000000 * dmax) div m").cast("long").alias(
+            "top_hub_share_ppm"
+        ),
+    )
+
+
+def graph_profile_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`graph_profile` (edges CTE may contain
+    duplicate/self-loop rows — the profile reports both views)."""
+    return (
+        f"WITH {edges_cte}, "
+        "simple AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst), "
+        "outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM simple GROUP BY src), "
+        "stats AS (SELECT "
+        "(SELECT COUNT(*) FROM (SELECT src AS id FROM simple "
+        "UNION SELECT dst FROM simple)) AS n, "
+        "(SELECT COUNT(*) FROM simple) AS m, "
+        "(SELECT COUNT(*) FROM edges) AS m_raw, "
+        "(SELECT COUNT(*) FROM edges WHERE src = dst) AS nl, "
+        "(SELECT MAX(d) FROM outd) AS dmax) "
+        "SELECT CAST(n AS BIGINT) AS n_vertices, "
+        "CAST(m_raw AS BIGINT) AS n_edges_raw, "
+        "CAST(m AS BIGINT) AS n_edges, "
+        "CAST(nl AS BIGINT) AS n_selfloops, "
+        "CAST((1000000000 * m) // (n * (n - 1)) AS BIGINT) AS density_ppb, "
+        "CAST(dmax AS BIGINT) AS max_out_deg, "
+        "CAST((1000000 * m) // n AS BIGINT) AS mean_out_deg_ppm, "
+        "CAST((1000000 * dmax) // m AS BIGINT) AS top_hub_share_ppm "
+        "FROM stats"
+    )
