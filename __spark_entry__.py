@@ -5002,6 +5002,35 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_next_token_top3(spark, sf_dir):
+    """Bigram continuation table — per frequent context, top-3 next
+    tokens with conditional probability in ppm
+    (corpusstats.next_token_top3)."""
+    from drone_spark.ops.corpusstats import next_token_top3
+
+    return next_token_top3(_read(spark, sf_dir, "documents"))
+
+
+def _next_token_top3_sql() -> str:
+    from drone_spark.ops.corpusstats import next_token_top3_sql
+
+    return next_token_top3_sql()
+
+
+def q_basket_lift(spark, sf_dir):
+    """Within-session event-type co-presence lift in ppm
+    (ops/events.basket_lift)."""
+    from drone_spark.ops.events import basket_lift
+
+    return basket_lift(_read(spark, sf_dir, "events"))
+
+
+def _basket_lift_sql() -> str:
+    from drone_spark.ops.events import basket_lift_sql
+
+    return basket_lift_sql()
+
+
 def q_graph_profile(spark, sf_dir):
     """One-row graph describe() — the pre-partitioning summary
     (linkstats.graph_profile)."""
@@ -5884,6 +5913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dangling_stats": q_dangling_stats,
         "graph_profile": q_graph_profile,
         "pareto_share": q_pareto_share,
+        "next_token_top3": q_next_token_top3,
+        "basket_lift": q_basket_lift,
         "shipping_priority": q_shipping_priority,
         "order_priority": q_order_priority,
         "graph_simulation": q_graph_simulation,
@@ -6691,6 +6722,8 @@ def oracle_sql() -> dict[str, str]:
     out["pareto_share"] = _pareto_share_sql()
     out["shipping_priority"] = _shipping_priority_sql()
     out["order_priority"] = _order_priority_sql()
+    out["next_token_top3"] = _next_token_top3_sql()
+    out["basket_lift"] = _basket_lift_sql()
     return out
 
 

@@ -1144,3 +1144,80 @@ def bigram_surprisal_sql(doc_table: str = "documents") -> str:
         "FROM dbc JOIN s ON s.t1 = dbc.t1 AND s.t2 = dbc.t2 "
         "GROUP BY dbc.doc_id"
     )
+
+
+def next_token_top3(
+    docs: DataFrame,
+    min_ctx: int = 10,
+    per_ctx: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram continuation table — for every context token with ≥
+    ``min_ctx`` bigram occurrences, its top-``per_ctx`` continuations
+    with counts and conditional probability in ppm. The inspection
+    table for the corpus' Markov structure (what an autocomplete or a
+    contamination-probe would read), the word-level twin of
+    event_transitions.
+
+    One bigram pass (doc-partitioned lead window), one groupBy, one
+    token-partitioned top-k window — hot-context state is per_ctx
+    rows. Exact integers; ranking ties break by continuation token.
+
+    Result: (t1, rank, t2, n12, p_ppm)."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(norm_text(text_col), " ")).alias(
+                "pos", "token"
+            ),
+        )
+        .where(F.length("token") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("t2", F.lead("token").over(w))
+        .where(F.col("t2").isNotNull())
+        .select(F.col("token").alias("t1"), "t2")
+    )
+    c12 = big.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
+    wr = Window.partitionBy("t1").orderBy(F.desc("n12"), "t2")
+    return (
+        c12.join(c1.where(F.col("c1") >= min_ctx), "t1")
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= per_ctx)
+        .select(
+            "t1",
+            F.col("rank").cast("long").alias("rank"),
+            "t2",
+            F.col("n12").cast("long").alias("n12"),
+            F.expr("(1000000 * n12) div c1").cast("long").alias("p_ppm"),
+        )
+    )
+
+
+def next_token_top3_sql(
+    min_ctx: int = 10, per_ctx: int = 3, doc_table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`next_token_top3`."""
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id, token, ord FROM (SELECT doc_id, "
+        "UNNEST(string_split(nt, ' ')) AS token, "
+        "generate_subscripts(string_split(nt, ' '), 1) AS ord FROM norm) "
+        "WHERE length(token) > 0), "
+        "big AS (SELECT t1, t2 FROM (SELECT token AS t1, LEAD(token) OVER "
+        "(PARTITION BY doc_id ORDER BY ord) AS t2 FROM toks) "
+        "WHERE t2 IS NOT NULL), "
+        "c12 AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n12 "
+        "FROM big GROUP BY t1, t2), "
+        "c1 AS (SELECT t1, CAST(COUNT(*) AS BIGINT) AS c1 "
+        f"FROM big GROUP BY t1 HAVING COUNT(*) >= {min_ctx}), "
+        "ranked AS (SELECT c12.t1, c12.t2, c12.n12, c1.c1, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY c12.t1 "
+        "ORDER BY c12.n12 DESC, c12.t2) AS BIGINT) AS rank "
+        "FROM c12 JOIN c1 ON c1.t1 = c12.t1) "
+        "SELECT t1, rank, t2, n12, "
+        "CAST((1000000 * n12) // c1 AS BIGINT) AS p_ppm "
+        f"FROM ranked WHERE rank <= {per_ctx}"
+    )

@@ -952,3 +952,106 @@ def conversion_lag_sql(
         "AS lag_hours, CAST(COUNT(*) AS BIGINT) AS n_users "
         "FROM ft GROUP BY lag_hours"
     )
+
+
+def basket_lift(
+    events: DataFrame, gap_minutes: int = 30, min_pair: int = 5
+) -> DataFrame:
+    """Market-basket lift of event-type pairs WITHIN sessions: for
+    types a < b, lift = P(a,b in same session)/(P(a)·P(b)) in ppm of
+    1.0 — the whole-session co-presence signal (event_transitions
+    reads only ADJACENT steps; lift catches "users who error also
+    purchase, eventually"). Sessions are the gaps-and-islands µs
+    contract.
+
+    Exact integers: with S sessions, n_a/n_b sessions containing each
+    type, n_ab containing both — lift_ppm = ⌊10⁶·n_ab·S / (n_a·n_b)⌋.
+    Distinct-per-session first, so hot sessions can't blow the pair
+    join: pairs per session ≤ C(|event_types|,2), a constant.
+
+    Result: (a, b, n_ab, lift_ppm), pairs with n_ab ≥ min_pair."""
+    from pyspark.sql import Window
+
+    from ..streaming.windows import _us
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (_us("ts") - _us(F.lag("ts").over(w)) > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    st = sess.select("user_id", "sid", "event_type").distinct()
+    n_sessions = st.select("user_id", "sid").distinct().count()
+    singles = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select("user_id", "sid", F.col("event_type").alias("a"))
+    b = st.select("user_id", "sid", F.col("event_type").alias("b"))
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair)
+    )
+    na = singles.select(F.col("event_type").alias("a"), F.col("n").alias("na"))
+    nb = singles.select(F.col("event_type").alias("b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            (
+                (F.lit(1_000_000) * F.col("n_ab") * F.lit(n_sessions))
+                .cast("long")
+                / (F.col("na") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+def basket_lift_sql(
+    gap_minutes: int = 30, min_pair: int = 5, table: str = "events"
+) -> str:
+    """DuckDB twin of :func:`basket_lift`."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        "WITH flagged AS (SELECT user_id, ts, event_id, event_type, "
+        "CASE WHEN LAG(ts) OVER w IS NULL OR "
+        f"epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {gap_us} "
+        "THEN 1 ELSE 0 END AS new_sess "
+        f"FROM {table} WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT *, SUM(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), "
+        "st AS (SELECT DISTINCT user_id, sid, event_type FROM sess), "
+        "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM "
+        "(SELECT DISTINCT user_id, sid FROM st)), "
+        "singles AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM st GROUP BY event_type), "
+        "pairs AS (SELECT a.event_type AS a, b.event_type AS b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_ab FROM st a JOIN st b "
+        "ON a.user_id = b.user_id AND a.sid = b.sid "
+        "AND a.event_type < b.event_type "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair}) "
+        "SELECT p.a, p.b, p.n_ab, "
+        "CAST(CAST(1000000 * p.n_ab * ns.s AS BIGINT) "
+        "// (na.n * nb.n) AS BIGINT) AS lift_ppm "
+        "FROM pairs p JOIN singles na ON na.event_type = p.a "
+        "JOIN singles nb ON nb.event_type = p.b, ns"
+    )
