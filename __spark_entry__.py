@@ -5002,6 +5002,48 @@ def _heavy_hitters_sql() -> str:
     return heavy_hitters_sql(vals, k=100)
 
 
+def q_user_type_entropy(spark, sf_dir):
+    """Per-user event-type-mix entropy in micro-nats
+    (ops/events.user_type_entropy — behavioral-diversity bot axis)."""
+    from drone_spark.ops.events import user_type_entropy
+
+    return user_type_entropy(_read(spark, sf_dir, "events"))
+
+
+def _user_type_entropy_sql() -> str:
+    from drone_spark.ops.events import user_type_entropy_sql
+
+    return user_type_entropy_sql()
+
+
+def q_value_outliers(spark, sf_dir):
+    """Median/MAD robust value outliers per event_type with exact
+    discrete order statistics (ops/events.value_outliers)."""
+    from drone_spark.ops.events import value_outliers
+
+    return value_outliers(_read(spark, sf_dir, "events"))
+
+
+def _value_outliers_sql() -> str:
+    from drone_spark.ops.events import value_outliers_sql
+
+    return value_outliers_sql()
+
+
+def q_label_medoids(spark, sf_dir):
+    """Per-label exemplar vector (max cosine to own centroid,
+    ops/similarity.label_medoids)."""
+    from drone_spark.ops.similarity import label_medoids
+
+    return label_medoids(_read(spark, sf_dir, "embeddings"))
+
+
+def _label_medoids_sql() -> str:
+    from drone_spark.ops.similarity import label_medoids_sql
+
+    return label_medoids_sql()
+
+
 def q_next_token_top3(spark, sf_dir):
     """Bigram continuation table — per frequent context, top-3 next
     tokens with conditional probability in ppm
@@ -5915,6 +5957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_share": q_pareto_share,
         "next_token_top3": q_next_token_top3,
         "basket_lift": q_basket_lift,
+        "user_type_entropy": q_user_type_entropy,
+        "value_outliers": q_value_outliers,
+        "label_medoids": q_label_medoids,
         "shipping_priority": q_shipping_priority,
         "order_priority": q_order_priority,
         "graph_simulation": q_graph_simulation,
@@ -6724,6 +6769,9 @@ def oracle_sql() -> dict[str, str]:
     out["order_priority"] = _order_priority_sql()
     out["next_token_top3"] = _next_token_top3_sql()
     out["basket_lift"] = _basket_lift_sql()
+    out["user_type_entropy"] = _user_type_entropy_sql()
+    out["value_outliers"] = _value_outliers_sql()
+    out["label_medoids"] = _label_medoids_sql()
     return out
 
 

@@ -1055,3 +1055,139 @@ def basket_lift_sql(
         "FROM pairs p JOIN singles na ON na.event_type = p.a "
         "JOIN singles nb ON nb.event_type = p.b, ns"
     )
+
+
+def user_type_entropy(events: DataFrame, min_events: int = 20) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix in micro-nats
+    (the surprisal/host_entropy integer-floor convention): H =
+    Σ_t n_t·⌊10⁶·ln(N/n_t)⌋ DIV N. Single-type users read 0
+    (scripted/bot-like); diverse organic users read near ln(#types).
+    The behavioral-diversity axis next to rate (bot_flags) and timing
+    (interarrival_regularity).
+
+    One (user, type) partial-agg + one per-user weighted mean — two
+    shuffles, no windows. Result: (user_id, n_events, entropy_micro)
+    for users with ≥ min_events."""
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    tot = ut.groupBy("user_id").agg(F.sum("n_t").alias("n"))
+    scored = ut.join(tot, "user_id").select(
+        "user_id",
+        "n_t",
+        "n",
+        F.floor(
+            F.lit(1_000_000)
+            * F.log(F.col("n").cast("double") / F.col("n_t"))
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.expr("sum(n_t * s_micro) DIV max(n)")
+            .cast("long")
+            .alias("entropy_micro"),
+        )
+        .where(F.col("n_events") >= min_events)
+    )
+
+
+def user_type_entropy_sql(min_events: int = 20, table: str = "events") -> str:
+    """DuckDB twin of :func:`user_type_entropy`."""
+    return (
+        "WITH ut AS (SELECT user_id, event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_t FROM {table} "
+        "GROUP BY user_id, event_type), "
+        "tot AS (SELECT user_id, CAST(SUM(n_t) AS BIGINT) AS n "
+        "FROM ut GROUP BY user_id), "
+        "scored AS (SELECT ut.user_id, ut.n_t, t.n, "
+        "CAST(FLOOR(1000000 * LN(CAST(t.n AS DOUBLE) / ut.n_t)) AS BIGINT) "
+        "AS s_micro FROM ut JOIN tot t ON t.user_id = ut.user_id) "
+        "SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events, "
+        "CAST(SUM(n_t * s_micro) // MAX(n) AS BIGINT) AS entropy_micro "
+        f"FROM scored GROUP BY user_id HAVING MAX(n) >= {min_events}"
+    )
+
+
+def value_outliers(
+    events: DataFrame, k_times_10: int = 50
+) -> DataFrame:
+    """Robust per-event-type value outliers by the median/MAD rule:
+    flag events whose |value − median| exceeds (k_times_10/10)·MAD,
+    with median and MAD as EXACT discrete order statistics (rank
+    ⌈n/2⌉ under deterministic tie order — the dwell_times percentile
+    idiom, never percentile_approx). The z-score variant (`bursts`)
+    breaks on heavy-tailed revenue; median/MAD is the standard robust
+    gate for transaction anomalies.
+
+    Integer cents end-to-end; the comparison is 10·|x−med| > k·MAD so
+    the half-steps stay integral. Two type-partitioned rank windows
+    (median of values, then median of deviations) + one broadcast
+    join back. Result: (event_id, event_type, cents, median_c, mad_c)
+    for flagged events."""
+    from pyspark.sql import Window
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = events.select("event_id", "event_type", cents.alias("c"))
+    wv = Window.partitionBy("event_type").orderBy("c", "event_id")
+    nn = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        base.withColumn("rn", F.row_number().over(wv))
+        .join(nn, "event_type")
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("c").alias("median_c"))
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "c",
+        "median_c",
+        F.abs(F.col("c") - F.col("median_c")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .join(nn, "event_type")
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad_c"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("d") * 10 > F.lit(k_times_10) * F.col("mad_c"))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("c").alias("cents"),
+            "median_c",
+            "mad_c",
+        )
+    )
+
+
+def value_outliers_sql(k_times_10: int = 50, table: str = "events") -> str:
+    """DuckDB twin of :func:`value_outliers`."""
+    return (
+        "WITH base AS (SELECT event_id, event_type, "
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c "
+        f"FROM {table}), "
+        "nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM base GROUP BY event_type), "
+        "medr AS (SELECT event_type, c, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY c, event_id) AS rn FROM base), "
+        "med AS (SELECT m.event_type, m.c AS median_c FROM medr m "
+        "JOIN nn ON nn.event_type = m.event_type WHERE m.rn = (nn.n + 1) // 2), "
+        "dev AS (SELECT b.event_id, b.event_type, b.c, med.median_c, "
+        "ABS(b.c - med.median_c) AS d FROM base b "
+        "JOIN med ON med.event_type = b.event_type), "
+        "madr AS (SELECT event_type, d, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY d, event_id) AS rn FROM dev), "
+        "mad AS (SELECT m.event_type, m.d AS mad_c FROM madr m "
+        "JOIN nn ON nn.event_type = m.event_type WHERE m.rn = (nn.n + 1) // 2) "
+        "SELECT dev.event_id, dev.event_type, dev.c AS cents, "
+        "dev.median_c, mad.mad_c FROM dev "
+        "JOIN mad ON mad.event_type = dev.event_type "
+        f"WHERE dev.d * 10 > {k_times_10} * mad.mad_c"
+    )

@@ -1078,3 +1078,80 @@ def centroid_margin_sql(table: str = "embeddings") -> str:
         "SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
         "ROUND(AVG(margin), 6) AS mean_margin FROM margins GROUP BY own"
     )
+
+
+def label_medoids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label medoid-to-centroid: the vector with the highest
+    cosine to its own label's mean vector — the natural
+    representative/exemplar each label exports (for prototype
+    browsing, few-shot seed picking, or as the centroid-classifier's
+    anchor). Ties break by vec_id; cosines follow the round-6
+    centroid contract of :func:`centroid_margin`.
+
+    Result: (label, vec_id, cos)."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        id_col,
+        F.col(label_col).alias("lbl"),
+        F.posexplode(
+            F.transform(vec_col, lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    cent = e.groupBy("lbl", "dim").agg(F.avg("val").alias("c"))
+    cnorm = cent.groupBy("lbl").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    vnorm = e.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    dots = (
+        e.join(cent, ["lbl", "dim"])
+        .groupBy(id_col, "lbl")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+    )
+    scored = (
+        dots.join(cnorm, "lbl")
+        .join(vnorm, id_col)
+        .select(
+            "lbl",
+            F.col(id_col),
+            F.round(F.col("dot") / (F.col("cn") * F.col("vn")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("lbl").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("lbl").alias("label"), id_col, "cos")
+    )
+
+
+def label_medoids_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`label_medoids`."""
+    return (
+        "WITH lv AS (SELECT vec_id, label AS lbl, "
+        "UNNEST(embedding::DOUBLE[]) AS val, "
+        f"generate_subscripts(embedding, 1) AS dim FROM {table}), "
+        "cent AS (SELECT lbl, dim, AVG(val) AS c FROM lv GROUP BY lbl, dim), "
+        "cnorm AS (SELECT lbl, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY lbl), "
+        "vnorm AS (SELECT vec_id, sqrt(SUM(val * val)) AS vn "
+        "FROM lv GROUP BY vec_id), "
+        "dots AS (SELECT lv.vec_id, lv.lbl, SUM(lv.val * cent.c) AS dot "
+        "FROM lv JOIN cent ON cent.lbl = lv.lbl AND cent.dim = lv.dim "
+        "GROUP BY lv.vec_id, lv.lbl), "
+        "scored AS (SELECT d.lbl, d.vec_id, "
+        "ROUND(d.dot / (cn.cn * vn.vn), 6) AS cos FROM dots d "
+        "JOIN cnorm cn ON cn.lbl = d.lbl "
+        "JOIN vnorm vn ON vn.vec_id = d.vec_id), "
+        "ranked AS (SELECT lbl, vec_id, cos, ROW_NUMBER() OVER "
+        "(PARTITION BY lbl ORDER BY cos DESC, vec_id) AS rn FROM scored) "
+        "SELECT lbl AS label, vec_id, cos FROM ranked WHERE rn = 1"
+    )
