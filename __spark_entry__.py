@@ -5891,6 +5891,51 @@ def _llr_bigrams_sql() -> str:
     return llr_bigrams_sql()
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + LIX/RIX lexical terms per document in
+    exact integer fixed point (textstats.readability — the standard
+    pre-training prose-quality gate)."""
+    from drone_spark.ops.textstats import readability
+
+    return readability(_read(spark, sf_dir, "documents"))
+
+
+def _readability_sql() -> str:
+    from drone_spark.ops.textstats import readability_sql
+
+    return readability_sql()
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM quintile user segmentation via histogram-prefix ordinal
+    ranks — no NTILE, no single-partition window
+    (events.rfm_segments)."""
+    from drone_spark.ops.events import rfm_segments
+
+    return rfm_segments(_read(spark, sf_dir, "events"))
+
+
+def _rfm_segments_sql() -> str:
+    from drone_spark.ops.events import rfm_segments_sql
+
+    return rfm_segments_sql()
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain — 20
+    integer ppm power steps over the k×k transition matrix, the
+    behavioral twin of PageRank (events.markov_stationary)."""
+    from drone_spark.ops.events import markov_stationary
+
+    return markov_stationary(_read(spark, sf_dir, "events"))
+
+
+def _markov_stationary_sql() -> str:
+    from drone_spark.ops.events import markov_stationary_sql
+
+    return markov_stationary_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5960,6 +6005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_entropy": q_user_type_entropy,
         "value_outliers": q_value_outliers,
         "label_medoids": q_label_medoids,
+        "readability": q_readability,
+        "rfm_segments": q_rfm_segments,
+        "markov_stationary": q_markov_stationary,
         "shipping_priority": q_shipping_priority,
         "order_priority": q_order_priority,
         "graph_simulation": q_graph_simulation,
@@ -6772,6 +6820,9 @@ def oracle_sql() -> dict[str, str]:
     out["user_type_entropy"] = _user_type_entropy_sql()
     out["value_outliers"] = _value_outliers_sql()
     out["label_medoids"] = _label_medoids_sql()
+    out["readability"] = _readability_sql()
+    out["rfm_segments"] = _rfm_segments_sql()
+    out["markov_stationary"] = _markov_stationary_sql()
     return out
 
 

@@ -1191,3 +1191,231 @@ def value_outliers_sql(k_times_10: int = 50, table: str = "events") -> str:
         "JOIN mad ON mad.event_type = dev.event_type "
         f"WHERE dev.d * 10 > {k_times_10} * mad.mad_c"
     )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the canonical user-value banding for a behavioral corpus. Per
+    user: recency_days = whole days between the user's last event and
+    the corpus's last event, frequency = event count, monetary_cents
+    = exact integer cents (the value_outliers cents convention). Each
+    dimension is ranked corpus-wide under a deterministic total order
+    (dimension, then user_id) and banded into quintiles by the
+    pr_deciles formula q = 5 − (5·(rank−1)) DIV n, so the best-ranked
+    users read 5 — NTILE is deliberately avoided because its
+    big-buckets-first split disagrees between engines when n mod 5 ≠ 0.
+
+    One events→user partial agg, then three histogram-prefix ordinal
+    ranks (fusion.ordinal_rank — no single-partition global window;
+    at 10⁹-user scale the continuous monetary histogram swaps the
+    broadcast prefix for a range-partitioned one, the documented
+    ordinal_rank scale path). Result: (user_id, recency_days,
+    frequency, monetary_cents, r, f, m, rfm)."""
+    from drone_spark.ops.fusion import ordinal_rank
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ep"),
+        cents.alias("c"),
+    ).groupBy("user_id").agg(
+        F.max("ep").alias("last_ep"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("c").cast("long").alias("monetary_cents"),
+    )
+    gmax = per_user.agg(F.max("last_ep").alias("gmax"))
+    base = per_user.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        F.expr("(gmax - last_ep) DIV 86400").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    n = base.count()
+
+    def quintile(df, score_col, out_col):
+        ranked = ordinal_rank(
+            df.select("user_id", F.col(score_col).alias("score")),
+            "score",
+            "user_id",
+            rank_col="rk",
+        )
+        return ranked.select(
+            "user_id",
+            F.expr(f"5 - (5 * (rk - 1)) DIV {n}")
+            .cast("long")
+            .alias(out_col),
+        )
+
+    # recency: smaller days = better → rank on the negated value
+    r = quintile(
+        base.select("user_id", (-F.col("recency_days")).alias("neg")),
+        "neg",
+        "r",
+    )
+    f_ = quintile(base, "frequency", "f")
+    m = quintile(base, "monetary_cents", "m")
+    return (
+        base.join(r, "user_id")
+        .join(f_, "user_id")
+        .join(m, "user_id")
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r",
+            "f",
+            "m",
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("long")
+            .alias("rfm"),
+        )
+    )
+
+
+def rfm_segments_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`rfm_segments` (ROW_NUMBER with the same
+    (dimension, user_id) total order stands in for ordinal_rank)."""
+    return (
+        "WITH pu AS (SELECT user_id, "
+        "MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_ep, "
+        "CAST(COUNT(*) AS BIGINT) AS frequency, "
+        "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "AS BIGINT) AS monetary_cents FROM "
+        f"{table} GROUP BY user_id), "
+        "base AS (SELECT user_id, "
+        "((SELECT MAX(last_ep) FROM pu) - last_ep) // 86400 "
+        "AS recency_days, frequency, monetary_cents FROM pu), "
+        "nn AS (SELECT COUNT(*) AS n FROM base), "
+        "rr AS (SELECT user_id, 5 - (5 * (ROW_NUMBER() OVER "
+        "(ORDER BY recency_days ASC, user_id ASC) - 1)) // nn.n AS r "
+        "FROM base, nn), "
+        "ff AS (SELECT user_id, 5 - (5 * (ROW_NUMBER() OVER "
+        "(ORDER BY frequency DESC, user_id ASC) - 1)) // nn.n AS f "
+        "FROM base, nn), "
+        "mm AS (SELECT user_id, 5 - (5 * (ROW_NUMBER() OVER "
+        "(ORDER BY monetary_cents DESC, user_id ASC) - 1)) // nn.n AS m "
+        "FROM base, nn) "
+        "SELECT b.user_id, CAST(b.recency_days AS BIGINT) AS recency_days, "
+        "b.frequency, b.monetary_cents, CAST(rr.r AS BIGINT) AS r, "
+        "CAST(ff.f AS BIGINT) AS f, CAST(mm.m AS BIGINT) AS m, "
+        "CAST(rr.r * 100 + ff.f * 10 + mm.m AS BIGINT) AS rfm "
+        "FROM base b JOIN rr ON rr.user_id = b.user_id "
+        "JOIN ff ON ff.user_id = b.user_id "
+        "JOIN mm ON mm.user_id = b.user_id"
+    )
+
+
+def markov_stationary(events: DataFrame, iters: int = 20) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov
+    chain — the long-run share of each event type if users kept
+    clicking forever, the behavioral twin of PageRank's stationary
+    view of the link graph (and the summary event_transitions' raw
+    matrix feeds).
+
+    Transitions: consecutive event pairs per user under the
+    deterministic (ts, event_id) order, row-normalized to ppm
+    integers p(a→b) = 10⁶·n_ab DIV n_a. The distribution starts
+    uniform (10⁶ DIV k per type) and takes ``iters`` integer power
+    steps d'(b) = Σ_a d(a)·p(a,b) DIV 10⁶, renormalized to ppm after
+    every step — all-integer arithmetic, so the Spark run and the
+    DuckDB oracle (the same unrolled iterations) agree bit-for-bit.
+
+    Scale shape: ONE user-keyed exchange builds the pair counts (lag
+    window over events, the sessionize exchange); the chain itself is
+    k×k where k = #distinct event types — bounded by the SCHEMA, not
+    the corpus — so the power steps run on the collected k²-row ppm
+    matrix driver-side in exact integer arithmetic (the only collect
+    is O(k²), corpus-size-independent — the same scalar-metrics-read
+    exemption the superstep engine uses). One Spark job instead of
+    20 chained broadcast-join jobs. Result: (event_type,
+    stationary_ppm)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("b"),
+            F.lag("event_type").over(w).alias("a"),
+        )
+        .where(F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    totals = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    trans = pairs.join(totals, "a").select(
+        "a",
+        "b",
+        F.expr("(1000000 * n_ab) DIV n_a").cast("long").alias("p_ppm"),
+    )
+
+    mat = trans.collect()  # O(k^2) rows, k = #event types (schema-bound)
+    out_edges: dict[str, list[tuple[str, int]]] = {}
+    for r in mat:
+        out_edges.setdefault(r["a"], []).append((r["b"], r["p_ppm"]))
+    k = len(out_edges)
+    dist = {a: 1_000_000 // max(k, 1) for a in out_edges}
+    for _ in range(iters):
+        # key set per step = targets reachable from the current keys
+        # (matches the oracle's join: sink-only types enter, source-only
+        # types without inbound mass drop out)
+        raw: dict[str, int] = {}
+        for a, m in dist.items():
+            for b, ppm in out_edges.get(a, ()):
+                raw[b] = raw.get(b, 0) + m * ppm
+        raw = {b: v // 1_000_000 for b, v in raw.items()}
+        tot = sum(raw.values())
+        dist = {b: (1_000_000 * v) // tot for b, v in raw.items()}
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        sorted(dist.items()),
+        "event_type string, stationary_ppm long",
+    )
+
+
+def markov_stationary_sql(iters: int = 20, table: str = "events") -> str:
+    """DuckDB twin of :func:`markov_stationary` — the identical
+    integer power steps unrolled as chained CTEs (recursive CTEs with
+    aggregation in the recursive term are not portable; unrolling
+    keeps the oracle dialect-neutral). The base CTEs are MATERIALIZED:
+    DuckDB otherwise inlines ``trans`` into every unrolled step and
+    re-opens the events parquet ~20×, blowing the fd limit."""
+    head = (
+        "WITH pairs AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab "
+        "FROM (SELECT user_id, event_type AS b, LAG(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS a "
+        f"FROM {table}) WHERE a IS NOT NULL GROUP BY a, b), "
+        "totals AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a "
+        "FROM pairs GROUP BY a), "
+        "trans AS MATERIALIZED (SELECT p.a, p.b, "
+        "CAST((1000000 * p.n_ab) // t.n_a AS BIGINT) AS p_ppm "
+        "FROM pairs p JOIN totals t ON t.a = p.a), "
+        "kk AS (SELECT COUNT(DISTINCT a) AS k FROM trans), "
+        "d0 AS (SELECT DISTINCT a AS event_type, "
+        "CAST(1000000 // kk.k AS BIGINT) AS m FROM trans, kk)"
+    )
+    steps = []
+    prev = "d0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"s{i} AS (SELECT t.b AS event_type, "
+            f"CAST(SUM(d.m * t.p_ppm) // 1000000 AS BIGINT) AS m_raw "
+            f"FROM {prev} d JOIN trans t ON t.a = d.event_type "
+            f"GROUP BY t.b), "
+            # SUM(...) OVER () not a scalar subquery: the subquery form
+            # references s{i} twice, and CTE inlining then doubles the
+            # plan per step -> 2^iters blowup in the unrolled oracle.
+            f"d{i} AS (SELECT event_type, CAST((1000000 * m_raw) // "
+            f"SUM(m_raw) OVER () AS BIGINT) AS m FROM s{i})"
+        )
+        prev = f"d{i}"
+    return (
+        head
+        + ", "
+        + ", ".join(steps)
+        + f" SELECT event_type, CAST(m AS BIGINT) AS stationary_ppm "
+        f"FROM {prev}"
+    )

@@ -1300,3 +1300,97 @@ def char_entropy_sql(doc_table: str = "documents") -> str:
         "CAST(COALESCE(e.entropy_micro, 0) AS BIGINT) AS entropy_micro "
         f"FROM {doc_table} d LEFT JOIN ent e ON e.doc_id = d.doc_id"
     )
+
+
+def readability(docs: DataFrame, long_len: int = 7) -> DataFrame:
+    """Per-document readability panel: Flesch reading ease plus the
+    lexical terms it is built from, all in exact integer fixed point.
+    On web text the Flesch score is the standard pre-training quality
+    gate ("drop score < 30 legalese / keep 60-80 prose"); the lexical
+    columns (mean word length, long-word share, syllables-per-word)
+    are the LIX/RIX family terms and stay meaningful even on corpora
+    with no sentence punctuation (sentence count floors at 1, so the
+    whole doc reads as one sentence — deterministic, and on real
+    crawl text the [.!?]+ runs give true sentence counts).
+
+    Definitions (ints; ⌊·⌋ = integer DIV, identical in Spark and
+    DuckDB on non-negative operands):
+      n_words  = whitespace tokens of trim(text)
+      n_sent   = max(1, #runs of [.!?]+)
+      n_syll   = max(1, #runs of [aeiouy]+ in lower(text)) — the
+                 classic vowel-group syllable proxy
+      avg_wlen_milli      = 1000·Σ len(token) DIV max(1, n_words)
+      long_pct            = 100·#{len(token) ≥ long_len} DIV max(1, n_words)
+      syll_per_word_micro = 10⁶·n_syll DIV max(1, n_words)
+      flesch_milli        = 206835 − 1015·n_words DIV n_sent
+                            − 84600·n_syll DIV max(1, n_words)
+
+    One projection over the documents scan — no shuffle, no UDF;
+    every expression is JVM codegen (regexp_count / split /
+    higher-order filter), so it streams at columnar scan speed at
+    100 TB. Result: (doc_id, n_words, n_sent, n_syll, avg_wlen_milli,
+    long_pct, syll_per_word_micro, flesch_milli)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nw = token_count("text")
+    nw1 = F.greatest(F.lit(1), nw)
+    ns = F.greatest(
+        F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    ).cast("long")
+    syl = F.greatest(
+        F.lit(1),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")),
+    ).cast("long")
+    # Σ token length == chars left after deleting ALL whitespace
+    letters = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    nlong = F.size(F.filter(toks, lambda t: F.length(t) >= long_len))
+    return docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        ns.alias("n_sent"),
+        syl.alias("n_syll"),
+        (F.lit(1000) * letters).cast("long").alias("_lm"),
+        nw1.cast("long").alias("_nw1"),
+        (F.lit(100) * nlong).cast("long").alias("_lg"),
+        (F.lit(1_000_000) * syl).cast("long").alias("_sy"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sent",
+        "n_syll",
+        F.expr("_lm DIV _nw1").alias("avg_wlen_milli"),
+        F.expr("_lg DIV _nw1").alias("long_pct"),
+        F.expr("_sy DIV _nw1").alias("syll_per_word_micro"),
+        (
+            F.lit(206_835)
+            - F.expr("(1015 * n_words) DIV n_sent")
+            - F.expr("(84600 * n_syll) DIV _nw1")
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    )
+
+
+def readability_sql(long_len: int = 7, doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`readability`."""
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS nw, "
+        "GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns, "
+        "GREATEST(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) "
+        "AS syl, "
+        "length(regexp_replace(trim(text), '\\s+', '', 'g')) AS letters, "
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"t -> length(t) >= {long_len})) AS nlong "
+        f"FROM {doc_table}) "
+        "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, "
+        "CAST(ns AS BIGINT) AS n_sent, CAST(syl AS BIGINT) AS n_syll, "
+        "CAST(1000 * letters // GREATEST(1, nw) AS BIGINT) "
+        "AS avg_wlen_milli, "
+        "CAST(100 * nlong // GREATEST(1, nw) AS BIGINT) AS long_pct, "
+        "CAST(1000000 * syl // GREATEST(1, nw) AS BIGINT) "
+        "AS syll_per_word_micro, "
+        "CAST(206835 - (1015 * nw) // ns "
+        "- (84600 * syl) // GREATEST(1, nw) AS BIGINT) AS flesch_milli "
+        "FROM base"
+    )
