@@ -5233,6 +5233,584 @@ def _order_priority_sql() -> str:
     )
 
 
+# shared exact-money building blocks for the TPC-H analog batch:
+# price cents (1e2) × discount basis-points-of-1 (1e4) → revenue at
+# 1e6 "micro-dollar" scale, all BIGINT (see _cents for why int64).
+# A function, not a module constant: F.col needs a live SparkContext.
+def _rev_e6() -> F.Column:
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("long") * (
+        F.lit(10000)
+        - (F.col("l_discount").cast("decimal(18,4)") * 10000).cast("long")
+    )
+
+
+_SQL_REV_E6 = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * "
+    "(10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))"
+)
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 analog (local supplier volume): revenue per nation in
+    one region and order-year where the customer and supplier share a
+    nation — the 6-way star join; nation/region broadcast, the
+    customer⋈supplier nation equality done on the joined fact row."""
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev_e6()).cast("long").alias("revenue_e6"))
+    )
+
+
+def _local_supplier_volume_sql() -> str:
+    return (
+        f"SELECT n_name, CAST(SUM({_SQL_REV_E6}) AS BIGINT) AS revenue_e6 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
+        "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01' "
+        "GROUP BY n_name"
+    )
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 analog (forecasting revenue change): the pure
+    filter+agg probe — ship-year window, discount band, small
+    quantities; revenue forgone = Σ price·discount. The whole query is
+    a single parquet scan with every predicate pushed down; the
+    discount band compares the exact 1e4 fixed-point value, not the
+    raw double."""
+    li = _read(spark, sf_dir, "lineitem")
+    disc_e4 = (F.col("l_discount").cast("decimal(18,4)") * 10000).cast("long")
+    price_c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_quantity") < 24)
+        )
+        .where(disc_e4.between(500, 700))
+        .agg(F.sum(price_c * disc_e4).cast("long").alias("forgone_e6"))
+    )
+
+
+def _forecast_revenue_sql() -> str:
+    return (
+        "SELECT CAST(SUM("
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * "
+        "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ") AS BIGINT) AS forgone_e6 FROM lineitem "
+        "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+        "AND l_quantity < 24 "
+        "AND CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) "
+        "BETWEEN 500 AND 700"
+    )
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 analog (volume shipping): revenue flowing between two
+    named nations per ship-year and direction — supplier nation ≠
+    customer nation, both pinned to a 2-nation set."""
+    pair = ("NATION_1", "NATION_2")
+    n = _read(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin(*pair))
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin(*pair))
+    s = _read(spark, sf_dir, "supplier")
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_rev_e6()).cast("long").alias("revenue_e6"))
+    )
+
+
+def _volume_shipping_sql() -> str:
+    return (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        f"CAST(SUM({_SQL_REV_E6}) AS BIGINT) AS revenue_e6 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "WHERE sn.n_name IN ('NATION_1', 'NATION_2') "
+        "AND cn.n_name IN ('NATION_1', 'NATION_2') "
+        "AND sn.n_name <> cn.n_name "
+        "GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 analog (national market share): NATION_3 suppliers'
+    ppm share of PROMO-part revenue sold into the ASIA region, per
+    order-year — the conditional-aggregate-over-join idiom, share as
+    exact integer ppm."""
+    p = _read(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", _rev_e6()).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nat"),
+            F.sum(_rev_e6()).alias("tot"),
+        )
+        .select(
+            "o_year",
+            F.expr("(1000000 * nat) DIV tot").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+def _market_share_sql() -> str:
+    return (
+        "WITH j AS (SELECT year(o_orderdate) AS o_year, "
+        f"{_SQL_REV_E6} AS rev, sn.n_name AS supp_nation "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "JOIN region ON cn.n_regionkey = r_regionkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "WHERE p_type = 'PROMO' AND r_name = 'ASIA') "
+        "SELECT CAST(o_year AS BIGINT) AS o_year, "
+        "CAST((1000000 * SUM(CASE WHEN supp_nation = 'NATION_3' "
+        "THEN rev ELSE 0 END)) // SUM(rev) AS BIGINT) AS share_ppm "
+        "FROM j GROUP BY o_year"
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 analog (product-type profit): profit per supplier
+    nation and order-year on PROMO parts, with cost proxied at 80% of
+    the part's retail price (the reduced schema has no partsupp) —
+    profit_e6 = price_c·(1e4 − disc_e4) − 80·qty_c·retail_c, exact
+    BIGINT at 1e6 dollar scale in both engines."""
+    p = _read(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    retail_c = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    profit = _rev_e6() - F.lit(80) * qty_c * retail_c
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("long").alias("profit_e6"))
+    )
+
+
+def _product_profit_sql() -> str:
+    return (
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) "
+        f"AS o_year, CAST(SUM({_SQL_REV_E6} - 80 * "
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * "
+        "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ") AS BIGINT) AS profit_e6 "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_type = 'PROMO' "
+        "GROUP BY n_name, year(o_orderdate)"
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 analog (returned-item reporting): top-20 customers by
+    revenue lost to returns (l_returnflag = 'R') in a quarter, with
+    nation — join + agg + deterministic top-k."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    from pyspark.sql import Window
+
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_e6()).cast("long").alias("revenue_e6"))
+    )
+    w = Window.orderBy(F.desc("revenue_e6"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue_e6", "rnk")
+    )
+
+
+def _returned_items_sql() -> str:
+    return (
+        "WITH agg AS (SELECT c_custkey, c_name, n_name, "
+        f"CAST(SUM({_SQL_REV_E6}) AS BIGINT) AS revenue_e6 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' AND o_orderdate >= '1996-10-01' "
+        "AND o_orderdate < '1997-01-01' "
+        "GROUP BY c_custkey, c_name, n_name) "
+        "SELECT c_custkey, c_name, n_name, revenue_e6, rnk FROM ("
+        "SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY revenue_e6 DESC, "
+        "c_custkey) AS BIGINT) AS rnk FROM agg) WHERE rnk <= 20"
+    )
+
+
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 analog (customer distribution): histogram of
+    orders-per-customer INCLUDING the zero bucket — the left-outer
+    join + double aggregation idiom."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+def _customer_distribution_sql() -> str:
+    return (
+        "WITH per_cust AS (SELECT c_custkey, "
+        "CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) "
+        "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist "
+        "FROM per_cust GROUP BY c_count"
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 analog (promotion effect): PROMO parts' ppm share of
+    revenue per ship-month — conditional aggregate, exact integer
+    ppm."""
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _rev_e6()).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo"),
+            F.sum(_rev_e6()).alias("tot"),
+        )
+        .select(
+            "ship_month",
+            F.expr("(1000000 * promo) DIV tot")
+            .cast("long")
+            .alias("promo_ppm"),
+        )
+    )
+
+
+def _promo_revenue_sql() -> str:
+    return (
+        "SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, "
+        "CAST((1000000 * SUM(CASE WHEN p_type = 'PROMO' THEN "
+        f"{_SQL_REV_E6} ELSE 0 END)) // SUM({_SQL_REV_E6}) AS BIGINT) "
+        "AS promo_ppm "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY strftime(l_shipdate, '%Y-%m')"
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 analog (top supplier): supplier(s) achieving the
+    global maximum quarterly revenue — revenue view + join-to-max, the
+    argmax-without-ORDER-BY idiom (ties all surface)."""
+    s = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_e6()).cast("long").alias("total_revenue_e6")
+    )
+    mx = rev.agg(F.max("total_revenue_e6").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue_e6") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_e6")
+    )
+
+
+def _top_supplier_sql() -> str:
+    return (
+        "WITH rev AS (SELECT l_suppkey, "
+        f"CAST(SUM({_SQL_REV_E6}) AS BIGINT) AS total_revenue_e6 "
+        "FROM lineitem WHERE l_shipdate >= '1996-01-01' "
+        "AND l_shipdate < '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue_e6 "
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_revenue_e6 = (SELECT MAX(total_revenue_e6) FROM rev)"
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 analog (small-quantity-order revenue): per brand, the
+    average yearly revenue that would be lost by refusing orders below
+    20% of the part's mean quantity. The 0.2·avg comparison is kept in
+    integers (5·n·qty < Σqty ⟺ qty < Σqty/(5n), all positive)."""
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    price_c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    per_part = (
+        li.select("l_partkey", qty_c.alias("qc"))
+        .groupBy("l_partkey")
+        .agg(F.sum("qc").alias("sum_qc"), F.count(F.lit(1)).alias("n_li"))
+    )
+    return (
+        li.select("l_partkey", qty_c.alias("qc"), price_c.alias("pc"))
+        .join(per_part, "l_partkey")
+        .where(F.lit(5) * F.col("n_li") * F.col("qc") < F.col("sum_qc"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.expr("sum(pc) DIV 7").cast("long").alias("avg_yearly_c"))
+    )
+
+
+def _small_qty_revenue_sql() -> str:
+    return (
+        "WITH li AS (SELECT l_partkey, "
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc, "
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS pc FROM lineitem), "
+        "per_part AS (SELECT l_partkey, CAST(SUM(qc) AS BIGINT) AS sum_qc, "
+        "COUNT(*) AS n_li FROM li GROUP BY l_partkey) "
+        "SELECT p_brand, CAST(SUM(pc) // 7 AS BIGINT) AS avg_yearly_c "
+        "FROM li JOIN per_part USING (l_partkey) "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE 5 * n_li * qc < sum_qc GROUP BY p_brand"
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 analog (large-volume customers): orders whose total
+    quantity exceeds 150, with customer and order facts — the
+    having-on-join-key idiom."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    qty_c = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).cast("long").alias("sum_qty_c"))
+        .where(F.col("sum_qty_c") > 150 * 100)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("o_totalprice_c"),
+            "sum_qty_c",
+        )
+    )
+
+
+def _large_orders_sql() -> str:
+    return (
+        "WITH big AS (SELECT l_orderkey, CAST(SUM("
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ") AS BIGINT) AS sum_qty_c FROM lineitem GROUP BY l_orderkey "
+        "HAVING SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT)) > 15000) "
+        "SELECT c_custkey, c_name, o_orderkey, "
+        "CAST(o_orderdate AS VARCHAR) AS o_orderdate, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS o_totalprice_c, sum_qty_c "
+        "FROM big JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey"
+    )
+
+
+def q_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 analog (discounted revenue): revenue from lineitems
+    matching any of three brand×size×quantity windows — the OR-of-
+    conjunctions predicate the optimizer must not collapse into a
+    cross join."""
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return j.where(cond).agg(
+        F.sum(_rev_e6()).cast("long").alias("revenue_e6"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+def _discounted_revenue_sql() -> str:
+    return (
+        f"SELECT CAST(SUM({_SQL_REV_E6}) AS BIGINT) AS revenue_e6, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lineitems "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 "
+        "AND l_quantity BETWEEN 10 AND 30) "
+        "OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 "
+        "AND l_quantity BETWEEN 20 AND 50)"
+    )
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 analog (global sales opportunity): per nation, the
+    count and total balance of customers whose balance beats the
+    positive-balance average but who placed no orders after mid-1998 —
+    scalar-subquery threshold + anti-join. The avg comparison is kept
+    exact in integers: acct_c·n_pos > sum_pos_c ⟺ acct_c > avg."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-07-01")
+    )
+    acct_c = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    pos = c.where(acct_c > 0).agg(
+        F.sum(acct_c).alias("sum_pos_c"), F.count(F.lit(1)).alias("n_pos")
+    )
+    return (
+        c.select("c_custkey", "c_nationkey", acct_c.alias("acct_c"))
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("acct_c") * F.col("n_pos") > F.col("sum_pos_c"))
+        .join(
+            o.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("acct_c").cast("long").alias("totacctbal_c"),
+        )
+    )
+
+
+def _idle_customers_sql() -> str:
+    return (
+        "WITH cc AS (SELECT c_custkey, c_nationkey, "
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acct_c "
+        "FROM customer), "
+        "pos AS (SELECT CAST(SUM(acct_c) AS BIGINT) AS sum_pos_c, "
+        "COUNT(*) AS n_pos FROM cc WHERE acct_c > 0) "
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust, "
+        "CAST(SUM(acct_c) AS BIGINT) AS totacctbal_c "
+        "FROM cc, pos JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE acct_c * n_pos > sum_pos_c "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= '1998-07-01') "
+        "GROUP BY n_name"
+    )
+
+
 def q_widest_path4(spark, sf_dir):
     """4-hop widest (max-min bottleneck) path widths from the seed
     host over the weighted host graph — the (max,min) semiring run on
@@ -6010,6 +6588,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_stationary": q_markov_stationary,
         "shipping_priority": q_shipping_priority,
         "order_priority": q_order_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue": q_forecast_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_items": q_returned_items,
+        "customer_distribution": q_customer_distribution,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "discounted_revenue": q_discounted_revenue,
+        "idle_customers": q_idle_customers,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -6815,6 +7406,19 @@ def oracle_sql() -> dict[str, str]:
     out["pareto_share"] = _pareto_share_sql()
     out["shipping_priority"] = _shipping_priority_sql()
     out["order_priority"] = _order_priority_sql()
+    out["local_supplier_volume"] = _local_supplier_volume_sql()
+    out["forecast_revenue"] = _forecast_revenue_sql()
+    out["volume_shipping"] = _volume_shipping_sql()
+    out["market_share"] = _market_share_sql()
+    out["product_profit"] = _product_profit_sql()
+    out["returned_items"] = _returned_items_sql()
+    out["customer_distribution"] = _customer_distribution_sql()
+    out["promo_revenue"] = _promo_revenue_sql()
+    out["top_supplier"] = _top_supplier_sql()
+    out["small_qty_revenue"] = _small_qty_revenue_sql()
+    out["large_orders"] = _large_orders_sql()
+    out["discounted_revenue"] = _discounted_revenue_sql()
+    out["idle_customers"] = _idle_customers_sql()
     out["next_token_top3"] = _next_token_top3_sql()
     out["basket_lift"] = _basket_lift_sql()
     out["user_type_entropy"] = _user_type_entropy_sql()
