@@ -5811,6 +5811,47 @@ def _idle_customers_sql() -> str:
     )
 
 
+def q_hitting_time(spark, sf_dir):
+    """Expected random-walk steps (6-step truncated horizon, exact
+    milli-step integers) from every host to the seed host on the
+    weighted host graph — the absorbing-chain dual of PageRank
+    (algorithms/sssp.hitting_time_fixed)."""
+    from drone_spark.algorithms.sssp import hitting_time_fixed
+
+    hw = _spark_host_edges_weighted(spark, sf_dir)
+    return hitting_time_fixed(hw, F.lit("site0.example"), iters=6)
+
+
+def _hitting_time_sql() -> str:
+    from drone_spark.algorithms.sssp import hitting_time_fixed_sql
+
+    hw = (
+        f"{SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hostsq AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls), "
+        "hw AS (SELECT src_host AS src, dst_host AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w "
+        "FROM hostsq WHERE src_host <> dst_host GROUP BY 1, 2)"
+    )
+    return hitting_time_fixed_sql(hw, "'site0.example'", iters=6)
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """One-sided CUSUM change detector over each event type's daily
+    volume — running-sum-minus-running-min closed form, integer-exact
+    (events.cusum_changepoints)."""
+    from drone_spark.ops.events import cusum_changepoints
+
+    return cusum_changepoints(_read(spark, sf_dir, "events"))
+
+
+def _cusum_changepoints_sql() -> str:
+    from drone_spark.ops.events import cusum_changepoints_sql
+
+    return cusum_changepoints_sql()
+
+
 def q_widest_path4(spark, sf_dir):
     """4-hop widest (max-min bottleneck) path widths from the seed
     host over the weighted host graph — the (max,min) semiring run on
@@ -6601,6 +6642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "discounted_revenue": q_discounted_revenue,
         "idle_customers": q_idle_customers,
+        "hitting_time": q_hitting_time,
+        "cusum_changepoints": q_cusum_changepoints,
         "graph_simulation": q_graph_simulation,
         "msf": q_msf,
         # ---- round-5 additions
@@ -7419,6 +7462,8 @@ def oracle_sql() -> dict[str, str]:
     out["large_orders"] = _large_orders_sql()
     out["discounted_revenue"] = _discounted_revenue_sql()
     out["idle_customers"] = _idle_customers_sql()
+    out["hitting_time"] = _hitting_time_sql()
+    out["cusum_changepoints"] = _cusum_changepoints_sql()
     out["next_token_top3"] = _next_token_top3_sql()
     out["basket_lift"] = _basket_lift_sql()
     out["user_type_entropy"] = _user_type_entropy_sql()

@@ -378,3 +378,88 @@ def widest_path_fixed_sql(
         "WITH " + ", ".join(ctes)
         + f" SELECT vid, width FROM w{iters} WHERE width > 0"
     )
+
+
+def hitting_time_fixed(
+    edges_w: DataFrame,
+    target,
+    iters: int = 6,
+) -> DataFrame:
+    """Expected random-walk steps to ABSORB at ``target``, truncated
+    at an ``iters``-step horizon — the absorbing-chain dual of
+    PageRank's stationary view, and the "how many clicks from here to
+    the seed host" crawl-diagnostics query. Walk follows out-edges
+    with probability proportional to weight; dynamic programming
+    h₀ ≡ 0, h_{i+1}(v) = 0 if v = target else
+    1 + Σ_u P(v,u)·h_i(u), so h_k(v) = E[min(steps to target, k)-ish
+    truncated recursion] — monotone non-decreasing in k, exact.
+
+    All arithmetic is integer fixed point: P in ppm (1e6·w DIV outw,
+    the markov_stationary convention), h in milli-steps, the product
+    re-scaled with DIV 1e6 each round — bit-identical to the unrolled
+    SQL oracle. Hosts that cannot reach the target within the horizon
+    drift toward k·1000 (every step costs 1 and never absorbs), which
+    is exactly the truncated-expectation reading.
+
+    Same bounded-iteration join shape as widest_path_fixed: each round
+    is one shuffle on dst + one left join back to the vertex set; the
+    transition table is computed once and reused (plan-pinned, no
+    re-shuffle per round). Result: (vid, h_milli)."""
+    outw = edges_w.groupBy("src").agg(F.sum("w").alias("outw"))
+    trans = edges_w.join(outw, "src").select(
+        "src",
+        "dst",
+        F.expr("(1000000 * w) DIV outw").cast("long").alias("p_ppm"),
+    )
+    verts = (
+        edges_w.select(F.col("src").alias("vid"))
+        .unionAll(edges_w.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    state = verts.select("vid", F.lit(0).cast("long").alias("h"))
+    for _ in range(iters):
+        msgs = (
+            state.join(trans, state["vid"] == trans["dst"])
+            .groupBy("src")
+            .agg(F.expr("sum(p_ppm * h) DIV 1000000").alias("acc"))
+        )
+        state = verts.join(
+            msgs, verts["vid"] == msgs["src"], "left"
+        ).select(
+            "vid",
+            F.when(F.col("vid") == target, F.lit(0))
+            .otherwise(F.lit(1000) + F.coalesce(F.col("acc"), F.lit(0)))
+            .cast("long")
+            .alias("h"),
+        )
+    return state.select("vid", F.col("h").alias("h_milli"))
+
+
+def hitting_time_fixed_sql(
+    edges_cte: str, target_sql: str, iters: int = 6
+) -> str:
+    """DuckDB twin of :func:`hitting_time_fixed` (edges CTE must be
+    named ``hw`` with columns src, dst, w). Each unrolled step
+    references the previous one exactly once, so CTE inlining stays
+    linear (cf. the markov_stationary oracle lesson)."""
+    ctes = [
+        edges_cte,
+        "tw AS (SELECT e.src, e.dst, CAST((1000000 * e.w) // o.outw "
+        "AS BIGINT) AS p_ppm FROM hw e JOIN (SELECT src, SUM(w) AS outw "
+        "FROM hw GROUP BY src) o ON o.src = e.src)",
+        "v AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM hw "
+        "UNION ALL SELECT dst FROM hw))",
+        "h0 AS (SELECT vid, 0::BIGINT AS h FROM v)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"h{k} AS (SELECT v.vid, CAST(CASE WHEN v.vid = {target_sql} "
+            "THEN 0 ELSE 1000 + COALESCE(m.acc, 0) END AS BIGINT) AS h "
+            "FROM v LEFT JOIN (SELECT t.src, SUM(t.p_ppm * p.h) // 1000000 "
+            f"AS acc FROM h{k-1} p JOIN tw t ON t.dst = p.vid "
+            "GROUP BY t.src) m ON m.src = v.vid)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vid, h AS h_milli FROM h{iters}"
+    )

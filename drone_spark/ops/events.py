@@ -1419,3 +1419,84 @@ def markov_stationary_sql(iters: int = 20, table: str = "events") -> str:
         + f" SELECT event_type, CAST(m AS BIGINT) AS stationary_ppm "
         f"FROM {prev}"
     )
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """One-sided CUSUM over each event type's daily volume — the
+    standard streaming change detector ("did traffic for this type
+    step up, and when"). Deviations are zero-meaned exactly in
+    integers by cross-multiplying: dev_d = D·n_d − T where D = #days
+    and T = total events of the type, so Σ dev = 0 without division.
+
+    The textbook recursion S_d = max(0, S_{d-1} + dev_d) is not a
+    plain window aggregate, but it has the closed form
+    S_d = R_d − min(0, min_{j≤d} R_j) with R the running sum of dev —
+    two window functions, both available and integer-exact in Spark
+    and DuckDB, so the whole detector is one events scan + one
+    per-type window (no UDF, no iteration). At 100 TB the partition
+    key is event_type (bounded cardinality ×: re-key by (type, shard)
+    and merge if a single type's day count ever outgrew a partition —
+    days are ≤ a few thousand, so it never does).
+
+    Result: (event_type, day, n_events, cusum_scaled) where
+    cusum_scaled is in D·events units (divide by D for events)."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").cast("string").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    per_type = Window.partitionBy("event_type")
+    seq = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_dev = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        (
+            F.count(F.lit(1)).over(per_type) * F.col("n_events")
+            - F.sum("n_events").over(per_type)
+        ).alias("dev"),
+    )
+    runs = with_dev.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("dev").over(seq).alias("r"),
+    )
+    return runs.select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("r") - F.least(F.lit(0), F.min("r").over(seq)))
+        .cast("long")
+        .alias("cusum_scaled"),
+    )
+
+
+def cusum_changepoints_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`cusum_changepoints`."""
+    return (
+        "WITH daily AS (SELECT event_type, "
+        "CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_events FROM {table} "
+        "GROUP BY 1, 2), "
+        "dev AS (SELECT event_type, day, n_events, "
+        "COUNT(*) OVER (PARTITION BY event_type) * n_events - "
+        "SUM(n_events) OVER (PARTITION BY event_type) AS dev "
+        "FROM daily), "
+        "runs AS (SELECT event_type, day, n_events, "
+        "SUM(dev) OVER w AS r FROM dev "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day "
+        "ROWS UNBOUNDED PRECEDING)) "
+        "SELECT event_type, day, n_events, "
+        "CAST(r - LEAST(0, MIN(r) OVER w) AS BIGINT) AS cusum_scaled "
+        "FROM runs "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day "
+        "ROWS UNBOUNDED PRECEDING)"
+    )
