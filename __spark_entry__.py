@@ -6555,6 +6555,266 @@ def _markov_stationary_sql() -> str:
     return markov_stationary_sql()
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (pandas merge_asof / kdb aj semantics) inside the
+    events stream: for each purchase, the same user's most recent
+    click at-or-before it — union+window single-shuffle form, gated
+    by a deliberately different LATERAL-scan oracle
+    (events.asof_last_touch)."""
+    from drone_spark.ops.events import asof_last_touch
+
+    return asof_last_touch(_read(spark, sf_dir, "events"))
+
+
+def _asof_join_sql() -> str:
+    from drone_spark.ops.events import asof_last_touch_sql
+
+    return asof_last_touch_sql()
+
+
+def q_interval_join(spark, sf_dir):
+    """Bucketed interval join: per purchase, count + cents-sum of the
+    user's other events in the preceding hour; fan-out bounded at 2×
+    probe rows by time-bucketing, vs the oracle's naive BETWEEN range
+    join (events.interval_join_counts)."""
+    from drone_spark.ops.events import interval_join_counts
+
+    return interval_join_counts(_read(spark, sf_dir, "events"))
+
+
+def _interval_join_sql() -> str:
+    from drone_spark.ops.events import interval_join_counts_sql
+
+    return interval_join_counts_sql()
+
+
+def q_rolling_actives(spark, sf_dir):
+    """Exact trailing-7-day distinct users per day via
+    dedupe-then-spread (COUNT DISTINCT can't ride a sliding frame)
+    (events.rolling_distinct_users)."""
+    from drone_spark.ops.events import rolling_distinct_users
+
+    return rolling_distinct_users(_read(spark, sf_dir, "events"))
+
+
+def _rolling_actives_sql() -> str:
+    from drone_spark.ops.events import rolling_distinct_users_sql
+
+    return rolling_distinct_users_sql()
+
+
+def q_autocorr(spark, sf_dir):
+    """Integer-exact autocorrelation of daily event volume, lags 1..7
+    — cross-multiplied zero-meaning, (num, den) emitted undivided
+    (events.autocorr_daily)."""
+    from drone_spark.ops.events import autocorr_daily
+
+    return autocorr_daily(_read(spark, sf_dir, "events"))
+
+
+def _autocorr_sql() -> str:
+    from drone_spark.ops.events import autocorr_daily_sql
+
+    return autocorr_daily_sql()
+
+
+def q_frequent_triples(spark, sf_dir):
+    """Frequent event-type 3-itemsets within sessions (apriori tier
+    above basket_lift), distinct-per-session bounded
+    (events.frequent_triples)."""
+    from drone_spark.ops.events import frequent_triples
+
+    return frequent_triples(_read(spark, sf_dir, "events"))
+
+
+def _frequent_triples_sql() -> str:
+    from drone_spark.ops.events import frequent_triples_sql
+
+    return frequent_triples_sql()
+
+
+def q_tile_dedup(spark, sf_dir):
+    """C4-style sub-document dedup: per-doc count of 8-word tiles
+    whose exact text repeats corpus-wide (dedup.tile_dedup_stats)."""
+    from drone_spark.ops.dedup import tile_dedup_stats
+
+    return tile_dedup_stats(_read(spark, sf_dir, "documents"))
+
+
+def _tile_dedup_sql() -> str:
+    from drone_spark.ops.dedup import tile_dedup_stats_sql
+
+    return tile_dedup_stats_sql()
+
+
+# Benford expected first-digit frequencies, round(log10(1+1/d)·1e6):
+# hardcoded in BOTH engines so no runtime log10 has to agree at ulp
+# level (the nine constants sum to exactly 1,000,000).
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-significant-digit audit of order totals: observed
+    digit counts vs the hardcoded expected ppm table (anomaly /
+    fabrication screen; first digit read off the integer-cents
+    string, so no float log anywhere)."""
+    o = _read(spark, sf_dir, "orders")
+    digit = F.substring(_cents("o_totalprice").cast("string"), 1, 1).cast("int")
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        o.where(_cents("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            expected[F.col("digit")].cast("long").alias("expected_ppm"),
+        )
+    )
+
+
+def _benford_sql() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {ppm}" for d, ppm in BENFORD_PPM.items()
+    )
+    return (
+        "WITH cents AS (SELECT "
+        f"{_sql_cents('o_totalprice')} AS c FROM orders), "
+        "digits AS (SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) "
+        "AS INT) AS digit FROM cents WHERE c > 0) "
+        "SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        f"CAST(CASE digit {case} END AS BIGINT) AS expected_ppm "
+        "FROM digits GROUP BY digit"
+    )
+
+
+N_TOPICS = 3  # batched personalization vectors in topic_ppr5
+
+
+def q_topic_ppr5(spark, sf_dir):
+    """BATCHED topic-sensitive PageRank (Haveliwala): 3 personalization
+    vectors (seed sets id%61==t, order side) advance TOGETHER through
+    5 fixed-point supersteps with ONE edge join per superstep — the
+    state is wide (one pr column per topic), so k topics cost one
+    traversal, not k. At 100 TB this is how a production PPR tier
+    amortizes the edge scan across many seed sets (batch-PPR); the
+    shuffle volume is identical to single-source ppr5 plus k-1 extra
+    long columns per message. Integer fixed point, same contract as
+    pagerank5/ppr5. Output long-form (vid, topic, pr_fx)."""
+    from drone_spark.graph.builder import out_degrees, vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    eng = _engine(spark)
+    topics = list(range(N_TOPICS))
+
+    def init():
+        base = (
+            vertices(edges)
+            .join(out_degrees(edges), "id", "left")
+            .select(
+                F.col("id").alias("vid"),
+                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            )
+        )
+        cols = ["vid", "outdeg"]
+        for t in topics:
+            seeded = (F.col("vid") % 61 == t) & (F.col("vid") < PART_OFFSET)
+            base = base.withColumn(
+                f"pr{t}_fx",
+                F.when(seeded, F.lit(PR_SCALE)).otherwise(F.lit(0)),
+            ).withColumn(
+                f"base{t}",
+                F.when(seeded, F.lit(15 * PR_SCALE // 100)).otherwise(F.lit(0)),
+            )
+            cols += [f"pr{t}_fx", f"base{t}"]
+        return base.select(*cols, F.lit(1.0).alias("delta"))
+
+    def step(state, _k):
+        contribs = (
+            state.where(F.col("outdeg") > 0)
+            .select(
+                "vid",
+                *[
+                    F.expr(f"pr{t}_fx div outdeg").alias(f"w{t}")
+                    for t in topics
+                ],
+            )
+            .join(edges, F.col("vid") == F.col("src"))
+            .groupBy("dst")
+            .agg(*[F.sum(f"w{t}").alias(f"acc{t}") for t in topics])
+        )
+        new_pr = {
+            t: F.col(f"base{t}")
+            + F.expr(f"(85 * coalesce(acc{t}, 0L)) div 100")
+            for t in topics
+        }
+        out_cols = ["vid", "outdeg"]
+        proj = [state[c] for c in ("vid", "outdeg")]
+        for t in topics:
+            proj += [new_pr[t].alias(f"pr{t}_fx"), state[f"base{t}"]]
+            out_cols += [f"pr{t}_fx", f"base{t}"]
+        delta = F.greatest(
+            *[F.abs(new_pr[t] - F.col(f"pr{t}_fx")) for t in topics]
+        ).cast("double")
+        return state.join(
+            contribs, state["vid"] == contribs["dst"], "left"
+        ).select(*proj, delta.alias("delta"))
+
+    res = eng.run("entry_topic_ppr5", init, step, tol=0.0, max_supersteps=5)
+    stack = ", ".join(f"{t}, pr{t}_fx" for t in topics)
+    return res.state.selectExpr(
+        "vid", f"stack({N_TOPICS}, {stack}) as (topic, pr_fx)"
+    ).select("vid", F.col("topic").cast("int").alias("topic"), "pr_fx")
+
+
+def _topic_ppr5_sql() -> str:
+    """Unrolled batched-PPR oracle: the 3 topic columns advance through
+    the same 5 integer iterations, then unpivot (see _pagerank5_sql for
+    the BIGINT-pinning rationale)."""
+    topics = list(range(N_TOPICS))
+    seed_cols = ", ".join(
+        f"CAST(CASE WHEN v.id % 61 = {t} AND v.id < {PART_OFFSET} "
+        f"THEN {PR_SCALE} ELSE 0 END AS BIGINT) AS pr{t}, "
+        f"CAST(CASE WHEN v.id % 61 = {t} AND v.id < {PART_OFFSET} "
+        f"THEN {15 * PR_SCALE // 100} ELSE 0 END AS BIGINT) AS base{t}"
+        for t in topics
+    )
+    ctes = [
+        f"WITH {SQL_BIPARTITE}",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        f"pr0 AS (SELECT v.id, {seed_cols} FROM v)",
+    ]
+    for k in range(1, 6):
+        accs = ", ".join(
+            f"CAST(SUM(p.pr{t} // d.outdeg) AS BIGINT) AS acc{t}"
+            for t in topics
+        )
+        news = ", ".join(
+            f"CAST(p0.base{t} + (85 * COALESCE(s.acc{t}, 0)) // 100 "
+            f"AS BIGINT) AS pr{t}, p0.base{t}"
+            for t in topics
+        )
+        ctes.append(
+            f"pr{k} AS (SELECT p0.id, {news} "
+            f"FROM pr0 p0 LEFT JOIN (SELECT e.dst AS id, {accs} "
+            f"FROM pr{k-1} p JOIN deg d ON p.id = d.id "
+            f"JOIN edges e ON e.src = p.id GROUP BY e.dst) s ON p0.id = s.id)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT id AS vid, {t} AS topic, CAST(pr{t} AS BIGINT) AS pr_fx "
+        "FROM pr5"
+        for t in topics
+    )
+    return ", ".join(ctes) + " " + unions
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6583,6 +6843,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
         "sssp": q_sssp,
+        # ---- round-5 continuation batch 2 (newest, driver-unchecked)
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "rolling_actives": q_rolling_actives,
+        "autocorr": q_autocorr,
+        "frequent_triples": q_frequent_triples,
+        "tile_dedup": q_tile_dedup,
+        "benford": q_benford,
+        "topic_ppr5": q_topic_ppr5,
         # ---- round-5 continuation: new families front the rotation
         "dispersion": q_dispersion,
         "heavy_hitters": q_heavy_hitters,
@@ -7472,6 +7741,14 @@ def oracle_sql() -> dict[str, str]:
     out["readability"] = _readability_sql()
     out["rfm_segments"] = _rfm_segments_sql()
     out["markov_stationary"] = _markov_stationary_sql()
+    out["asof_join"] = _asof_join_sql()
+    out["interval_join"] = _interval_join_sql()
+    out["rolling_actives"] = _rolling_actives_sql()
+    out["autocorr"] = _autocorr_sql()
+    out["frequent_triples"] = _frequent_triples_sql()
+    out["tile_dedup"] = _tile_dedup_sql()
+    out["benford"] = _benford_sql()
+    out["topic_ppr5"] = _topic_ppr5_sql()
     return out
 
 

@@ -1596,3 +1596,90 @@ def weighted_jaccard_sql(
         "JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b) "
         f"WHERE wjaccard_ppm >= {threshold_ppm}"
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document tile (line) dedup
+# ---------------------------------------------------------------------------
+def tile_dedup_stats(
+    docs: DataFrame, tile_words: int = 8, min_count: int = 2
+) -> DataFrame:
+    """C4-style sub-document dedup statistics: chop every document
+    into consecutive non-overlapping `tile_words`-word tiles (the
+    corpus has no newlines, so fixed word windows stand in for the
+    "lines" C4/RefinedWeb hash), and flag tiles whose exact text
+    occurs ≥ `min_count` times corpus-wide — the signal those
+    pipelines use to strip boilerplate lines before training.
+
+    Plan at 100 TB: tiles are generated by a pure-codegen
+    transform/slice over the token array (no explode until after
+    per-doc tiling, no Python), the global tile histogram is one
+    partial-agg groupBy on the tile text (hash in production to fix
+    key width — kept as text here so the oracle can recompute it),
+    and the flag joins back on the same key. Trailing partial tiles
+    are dropped (C4 keeps only full lines ≥ a minimum length, same
+    idea).
+
+    Result: (doc_id, n_tiles, n_dup_tiles) — every doc appears,
+    zero-tiled docs included."""
+    toks = docs.select(
+        "doc_id", F.split(norm_text("text"), " ").alias("toks")
+    )
+    tiles = toks.select(
+        "doc_id",
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark (vs DuckDB's empty
+            # generate_series), so short docs need the explicit guard
+            F.expr(
+                f"CASE WHEN size(toks) >= {tile_words} THEN "
+                f"transform(sequence(1, size(toks) div {tile_words}), "
+                f"i -> array_join(slice(toks, (i-1)*{tile_words}+1, "
+                f"{tile_words}), ' ')) ELSE array() END"
+            )
+        ).alias("tile"),
+    )
+    hist = tiles.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    per_doc = (
+        tiles.join(hist, "tile")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tiles"),
+            F.sum((F.col("n_occ") >= min_count).cast("long"))
+            .cast("long")
+            .alias("n_dup_tiles"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tiles", F.lit(0)).cast("long").alias("n_tiles"),
+        F.coalesce("n_dup_tiles", F.lit(0)).cast("long").alias("n_dup_tiles"),
+    )
+
+
+def tile_dedup_stats_sql(
+    tile_words: int = 8, min_count: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`tile_dedup_stats` (normalizer sourced
+    from textstats.NORM_SQL, the one oracle-side normalizer)."""
+    from .textstats import NORM_SQL
+
+    return (
+        f"WITH toks AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS t "
+        f"FROM {table}), "
+        "idx AS (SELECT doc_id, t, "
+        f"UNNEST(generate_series(1, len(t) // {tile_words})) AS i "
+        "FROM toks), "
+        "tiles AS (SELECT doc_id, array_to_string("
+        f"t[(i-1)*{tile_words}+1 : i*{tile_words}], ' ') AS tile FROM idx), "
+        "hist AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_occ "
+        "FROM tiles GROUP BY tile), "
+        "per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tiles, "
+        f"CAST(SUM(CASE WHEN h.n_occ >= {min_count} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup_tiles "
+        "FROM tiles JOIN hist h USING (tile) GROUP BY doc_id) "
+        f"SELECT d.doc_id, COALESCE(p.n_tiles, 0) AS n_tiles, "
+        "COALESCE(p.n_dup_tiles, 0) AS n_dup_tiles "
+        f"FROM {table} d LEFT JOIN per_doc p USING (doc_id)"
+    )

@@ -1500,3 +1500,366 @@ def cusum_changepoints_sql(table: str = "events") -> str:
         "WINDOW w AS (PARTITION BY event_type ORDER BY day "
         "ROWS UNBOUNDED PRECEDING)"
     )
+
+
+def asof_last_touch(
+    events: DataFrame,
+    probe_type: str = "purchase",
+    build_type: str = "click",
+) -> DataFrame:
+    """As-of join INSIDE one keyed stream: for every probe event (a
+    purchase), the most recent build event (a click) by the same user
+    at-or-before it — the temporal operator Spark has no built-in for
+    (pandas calls it merge_asof; kdb calls it aj).
+
+    Implemented as the scalable union+window form, not a range join:
+    tag both sides, union, ONE shuffle on user_id, sort by
+    (ts, side, event_id) inside each user, and carry the last
+    non-null build row forward with last(..., ignorenulls). Cost is a
+    single exchange + sort of probe+build rows — no per-key join
+    blowup, no range-join quadratic corner, and hot users are bounded
+    by their own row count (contrast the naive per-probe backward
+    scan, O(probe·build) per user). At 100 TB this is the same plan
+    shape as sessionization: key exchange + in-partition sort.
+
+    Ties: a build at exactly probe.ts counts (side orders build
+    first); among equal-ts builds the largest event_id wins.
+
+    Result: (event_id, user_id, touch_event_id, gap_us) — nullable
+    touch columns when the user has no prior build event."""
+    from pyspark.sql import Window
+
+    from ..streaming.windows import _us
+
+    tagged = events.where(
+        F.col("event_type").isin(probe_type, build_type)
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        _us("ts").alias("ts_us"),
+        (F.col("event_type") == probe_type).cast("int").alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "touch",
+        F.last(
+            F.when(
+                F.col("side") == 0,
+                F.struct(
+                    F.col("ts_us").alias("bts"),
+                    F.col("event_id").alias("bid"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.where(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("touch.bid").alias("touch_event_id"),
+        (F.col("ts_us") - F.col("touch.bts")).cast("long").alias("gap_us"),
+    )
+
+
+def asof_last_touch_sql(
+    probe_type: str = "purchase",
+    build_type: str = "click",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`asof_last_touch` — deliberately a
+    DIFFERENT formulation (per-probe LATERAL backward scan) so the
+    oracle does not share the union+window algorithm it checks."""
+    return (
+        f"SELECT p.event_id, p.user_id, b.bid AS touch_event_id, "
+        "b.gap_us FROM "
+        f"(SELECT * FROM {table} WHERE event_type = '{probe_type}') p "
+        "LEFT JOIN LATERAL (SELECT c.event_id AS bid, "
+        "epoch_us(p.ts) - epoch_us(c.ts) AS gap_us "
+        f"FROM {table} c WHERE c.event_type = '{build_type}' "
+        "AND c.user_id = p.user_id AND c.ts <= p.ts "
+        "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) b ON TRUE"
+    )
+
+
+def interval_join_counts(
+    events: DataFrame,
+    probe_type: str = "purchase",
+    window_minutes: int = 60,
+) -> DataFrame:
+    """Bucketed interval join: for every probe event, how many OTHER
+    events (any non-probe type) the same user produced in the
+    preceding `window_minutes`, and their total value in cents.
+
+    A naive range join (user equi-key + BETWEEN) degenerates to a
+    per-user nested loop. Bucketing bounds it: both sides get a
+    time-bucket key of width = the window, the probe side is expanded
+    to the (at most 2) buckets its window overlaps, the join is a
+    plain equi-join on (user_id, bucket), and the exact µs range
+    predicate filters inside matched buckets. Fan-out is ≤ 2× probe
+    rows by construction at any scale; all arithmetic is integer µs.
+
+    Result: (event_id, n_prior, value_c) with zeros for probes whose
+    window is empty."""
+    from ..streaming.windows import _us
+
+    win_us = window_minutes * 60 * 1_000_000
+    probes = events.where(F.col("event_type") == probe_type).select(
+        "event_id", "user_id", _us("ts").alias("p_us")
+    )
+    builds = events.where(F.col("event_type") != probe_type).select(
+        F.col("user_id").alias("b_user"),
+        _us("ts").alias("b_us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v_c"),
+        (_us("ts") / F.lit(win_us)).cast("long").alias("bucket"),
+    )
+    expanded = probes.select(
+        "event_id",
+        "user_id",
+        "p_us",
+        F.explode(
+            F.array(
+                (F.col("p_us") / win_us).cast("long") - 1,
+                (F.col("p_us") / win_us).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    matched = (
+        expanded.join(
+            builds,
+            (F.col("user_id") == F.col("b_user"))
+            & (expanded["bucket"] == builds["bucket"]),
+        )
+        .where(
+            (F.col("b_us") >= F.col("p_us") - win_us)
+            & (F.col("b_us") <= F.col("p_us"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prior"),
+            F.sum("v_c").cast("long").alias("value_c"),
+        )
+    )
+    return (
+        probes.join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_prior", F.lit(0)).cast("long").alias("n_prior"),
+            F.coalesce("value_c", F.lit(0)).cast("long").alias("value_c"),
+        )
+    )
+
+
+def interval_join_counts_sql(
+    probe_type: str = "purchase",
+    window_minutes: int = 60,
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`interval_join_counts` — the naive
+    BETWEEN range join the bucketed plan must agree with."""
+    win_us = window_minutes * 60 * 1_000_000
+    return (
+        "SELECT p.event_id, CAST(COUNT(c.user_id) AS BIGINT) AS n_prior, "
+        "CAST(COALESCE(SUM(CAST(CAST(c.value AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT)), 0) AS BIGINT) AS value_c "
+        f"FROM (SELECT * FROM {table} WHERE event_type = '{probe_type}') p "
+        f"LEFT JOIN (SELECT * FROM {table} "
+        f"WHERE event_type <> '{probe_type}') c "
+        "ON c.user_id = p.user_id "
+        f"AND epoch_us(c.ts) >= epoch_us(p.ts) - {win_us} "
+        "AND epoch_us(c.ts) <= epoch_us(p.ts) "
+        "GROUP BY p.event_id"
+    )
+
+
+def rolling_distinct_users(events: DataFrame, days: int = 7) -> DataFrame:
+    """Trailing-`days` distinct active users per day (the rolling
+    WAU/MAU denominator), EXACT. COUNT(DISTINCT) cannot ride a
+    sliding window frame, so the scalable form is dedupe-then-spread:
+    collapse events to distinct (user, day) pairs first (the only
+    big shuffle), spread each pair to the ≤`days` target days it
+    covers (a constant-factor explode of already-deduped rows — at
+    100 TB this is ×7 on the SMALL deduped table, not on raw events),
+    dedupe (user, target_day), and count per day. Days outside the
+    observed range are clipped by a broadcast semi-join on real days.
+
+    Result: (day, users_w) — day as string, exact distinct count."""
+    pairs = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    observed = pairs.select("day").distinct()
+    spread = (
+        pairs.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("off"),
+            "day",
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("off")).alias("day"))
+        .distinct()
+    )
+    return (
+        spread.join(F.broadcast(observed), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("users_w"))
+        .select(F.col("day").cast("string").alias("day"), "users_w")
+    )
+
+
+def rolling_distinct_users_sql(days: int = 7, table: str = "events") -> str:
+    """DuckDB twin of :func:`rolling_distinct_users` — direct range
+    join + COUNT(DISTINCT), the O(days·pairs) formulation the spread
+    plan must match."""
+    return (
+        "WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        f"FROM {table}), "
+        "days AS (SELECT DISTINCT day FROM pairs) "
+        "SELECT CAST(d.day AS VARCHAR) AS day, "
+        "CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS users_w "
+        f"FROM days d JOIN pairs p ON p.day BETWEEN d.day - {days - 1} "
+        "AND d.day GROUP BY 1"
+    )
+
+
+def autocorr_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation of total daily event volume at lags 1..max_lag,
+    in EXACT integer arithmetic: with D days and T total events, the
+    zero-meaned deviation is dev_d = D·n_d − T (Σ dev = 0 without a
+    float division, same trick as cusum_changepoints); the lag-L
+    statistic is the integer pair (num_L = Σ_d dev_d·dev_{d+L},
+    den = Σ_d dev_d²) — the caller divides for the float r_L, the
+    engine never does, so both engines agree bit-for-bit.
+
+    The daily rollup is the only real shuffle; the lag self-join runs
+    on the D-row daily table (bounded by calendar length, never by
+    data volume — at 100 TB D is still a few thousand).
+
+    Result: (lag, n_pairs, num, den) — all BIGINT."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("d_days"),
+        F.sum("n").cast("long").alias("t_total"),
+    )
+    dev = daily.crossJoin(F.broadcast(totals)).select(
+        "day",
+        (F.col("d_days") * F.col("n") - F.col("t_total")).alias("dev"),
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den"))
+    lags = (
+        dev.sparkSession.range(1, max_lag + 1)
+        .select(F.col("id").cast("int").alias("lag"))
+    )
+    a = dev.select(F.col("day").alias("d0"), F.col("dev").alias("dev0"))
+    b = dev.select(F.col("day").alias("d1"), F.col("dev").alias("dev1"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d1") == F.date_add(F.col("d0"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("dev0") * F.col("dev1")).cast("long").alias("num"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        "lag", "n_pairs", "num", F.col("den").cast("long").alias("den")
+    )
+
+
+def autocorr_daily_sql(max_lag: int = 7, table: str = "events") -> str:
+    """DuckDB twin of :func:`autocorr_daily`."""
+    return (
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM {table} GROUP BY 1), "
+        "dev AS (SELECT day, "
+        "(SELECT COUNT(*) FROM daily) * n - (SELECT SUM(n) FROM daily) "
+        "AS dev FROM daily), "
+        "den AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev), "
+        f"lags AS (SELECT CAST(UNNEST(generate_series(1, {max_lag})) "
+        "AS INT) AS lag) "
+        "SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(a.dev * b.dev) AS BIGINT) AS num, "
+        "CAST(den.den AS BIGINT) AS den "
+        "FROM lags l JOIN dev a ON TRUE "
+        "JOIN dev b ON b.day = a.day + l.lag, den "
+        "GROUP BY l.lag, den.den"
+    )
+
+
+
+
+def frequent_triples(
+    events: DataFrame, min_triple: int = 5
+) -> DataFrame:
+    """Frequent 3-itemsets of event types within DAILY user baskets
+    (the apriori step above basket_lift's session pairs — sessions in
+    this corpus are too short to co-contain three types, so the
+    basket here is the (user, day) grain): for types a < b < c, how
+    many baskets contain all three, and the support in ppm of all
+    baskets.
+
+    The classic apriori prune (candidates from frequent pairs) exists
+    to bound the candidate space when items are unbounded; here the
+    per-basket item domain is distinct event TYPES, so after the
+    per-basket distinct the three-way self-join is bounded by
+    C(|types|, 3) rows per basket — a constant — and the prune would
+    only add a pass. The distinct-first step is what makes this safe
+    at 100 TB (hot baskets contribute the same ≤C(k,3) triples as
+    cold ones); for unbounded item domains filter through the pair
+    support table first.
+
+    Result: (a, b, c, n_abc, support_ppm), triples with
+    n_abc ≥ min_triple."""
+    st = events.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = st.select("user_id", "day").distinct().count()
+    a = st.select("user_id", "day", F.col("event_type").alias("a"))
+    b = st.select("user_id", "day", F.col("event_type").alias("b"))
+    c = st.select("user_id", "day", F.col("event_type").alias("c"))
+    return (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("a") < F.col("b"))
+        .join(c, ["user_id", "day"])
+        .where(F.col("b") < F.col("c"))
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_abc"))
+        .where(F.col("n_abc") >= min_triple)
+        .select(
+            "a",
+            "b",
+            "c",
+            "n_abc",
+            F.expr(f"(1000000 * n_abc) div {n_baskets}")
+            .cast("long")
+            .alias("support_ppm"),
+        )
+    )
+
+
+def frequent_triples_sql(min_triple: int = 5, table: str = "events") -> str:
+    """DuckDB twin of :func:`frequent_triples`."""
+    return (
+        "WITH st AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, "
+        f"event_type FROM {table}), "
+        "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM "
+        "(SELECT DISTINCT user_id, day FROM st)), "
+        "triples AS (SELECT a.event_type AS a, b.event_type AS b, "
+        "c.event_type AS c, CAST(COUNT(*) AS BIGINT) AS n_abc "
+        "FROM st a JOIN st b ON a.user_id = b.user_id AND a.day = b.day "
+        "AND a.event_type < b.event_type "
+        "JOIN st c ON a.user_id = c.user_id AND a.day = c.day "
+        "AND b.event_type < c.event_type "
+        f"GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_triple}) "
+        "SELECT t.a, t.b, t.c, t.n_abc, "
+        "CAST(1000000 * t.n_abc // ns.s AS BIGINT) AS support_ppm "
+        "FROM triples t, ns"
+    )
