@@ -6815,6 +6815,157 @@ def _topic_ppr5_sql() -> str:
     return ", ".join(ctes) + " " + unions
 
 
+def q_host_mirrors(spark, sf_dir):
+    """Mirror/template-twin host candidates: exact Jaccard of
+    out-neighbor host sets over the host graph, popular targets
+    dropped by the in-degree cap before sizes and the intersection
+    join (linkstats.neighbor_jaccard)."""
+    from drone_spark.algorithms.linkstats import neighbor_jaccard
+    from drone_spark.extraction import host_graph
+
+    hg = host_graph(_url_edges(spark, sf_dir))
+    edges = hg.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return neighbor_jaccard(
+        edges, min_jaccard_ppm=700_000, max_in_degree=256, min_inter=2
+    ).select(
+        F.col("src_a").alias("host_a"),
+        F.col("src_b").alias("host_b"),
+        "inter",
+        "union_sz",
+        "jaccard_ppm",
+    )
+
+
+def _host_mirrors_sql() -> str:
+    from drone_spark.algorithms.linkstats import neighbor_jaccard_sql
+
+    chain = (
+        f"{SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hostg AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls), "
+        "hedges AS (SELECT src_host AS src, dst_host AS dst FROM hostg "
+        "WHERE src_host <> dst_host)"
+    )
+    inner = neighbor_jaccard_sql(
+        chain, min_jaccard_ppm=700_000, max_in_degree=256, min_inter=2,
+        edges_rel="hedges",
+    )
+    return (
+        f"SELECT src_a AS host_a, src_b AS host_b, inter, union_sz, "
+        f"jaccard_ppm FROM ({inner})"
+    )
+
+
+def q_pr_convergence(spark, sf_dir):
+    """PageRank residual curve — the convergence-monitoring metric the
+    north rule requires persisted per superstep, surfaced as a query:
+    for each of 5 fixed-point iterations, the L1 delta (fixed-point
+    units) and the count of vertices whose score changed. In
+    production these rows come free from the engine's per-superstep
+    metrics sink (engine/superstep.py); here they are recomputed
+    relationally so DuckDB can gate them. localCheckpoint per
+    iteration keeps the metric branches from recomputing the whole
+    prefix."""
+    from drone_spark.graph.builder import out_degrees, vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    prev = (
+        vertices(edges)
+        .join(out_degrees(edges), "id", "left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.lit(PR_SCALE).cast("long").alias("pr"),
+        )
+        .localCheckpoint()
+    )
+    metrics = []
+    for k in range(1, 6):
+        contribs = (
+            prev.where(F.col("outdeg") > 0)
+            .select("id", F.expr("pr div outdeg").alias("w"))
+            .join(edges, F.col("id") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("acc"))
+        )
+        new_pr = F.lit(15 * PR_SCALE // 100) + F.expr(
+            "(85 * coalesce(acc, 0L)) div 100"
+        )
+        nxt = (
+            prev.join(contribs, prev["id"] == contribs["dst"], "left")
+            .select(
+                prev["id"],
+                "outdeg",
+                new_pr.alias("pr_new"),
+                prev["pr"].alias("pr_old"),
+            )
+            .localCheckpoint()
+        )
+        metrics.append(
+            nxt.agg(
+                F.sum(F.abs(F.col("pr_new") - F.col("pr_old")))
+                .cast("long")
+                .alias("l1_fx"),
+                F.sum((F.col("pr_new") != F.col("pr_old")).cast("long"))
+                .cast("long")
+                .alias("n_changed"),
+            ).select(F.lit(k).alias("iteration"), "l1_fx", "n_changed")
+        )
+        prev = nxt.select("id", "outdeg", F.col("pr_new").alias("pr"))
+    out = metrics[0]
+    for m in metrics[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _pr_convergence_sql() -> str:
+    """Residual-curve oracle: the _pagerank5_sql CTE chain, then one
+    SUM(ABS(...)) join per successive pair."""
+    base = _pagerank5_sql()
+    ctes = base[: base.rindex(" SELECT id AS vid")]
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS iteration, "
+        f"CAST(SUM(ABS(a.pr - b.pr)) AS BIGINT) AS l1_fx, "
+        f"CAST(SUM(CASE WHEN a.pr <> b.pr THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_changed FROM pr{k} a JOIN pr{k-1} b ON a.id = b.id"
+        for k in range(1, 6)
+    )
+    return ctes + " " + unions
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText quality rule flags per document — word-count
+    band, mean-word-length band by cross-multiplication, alpha-word
+    share, stopword presence (textstats.gopher_rules)."""
+    from drone_spark.ops.textstats import gopher_rules
+
+    return gopher_rules(_read(spark, sf_dir, "documents"), min_words=30)
+
+
+def _gopher_rules_sql() -> str:
+    from drone_spark.ops.textstats import gopher_rules_sql
+
+    return gopher_rules_sql(min_words=30)
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Value-weighted cohort matrix: purchases + revenue cents by
+    (first-event epoch-week cohort, week offset)
+    (events.cohort_ltv)."""
+    from drone_spark.ops.events import cohort_ltv
+
+    return cohort_ltv(_read(spark, sf_dir, "events"))
+
+
+def _cohort_ltv_sql() -> str:
+    from drone_spark.ops.events import cohort_ltv_sql
+
+    return cohort_ltv_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6852,6 +7003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_dedup": q_tile_dedup,
         "benford": q_benford,
         "topic_ppr5": q_topic_ppr5,
+        "host_mirrors": q_host_mirrors,
+        "pr_convergence": q_pr_convergence,
+        "gopher_rules": q_gopher_rules,
+        "cohort_ltv": q_cohort_ltv,
         # ---- round-5 continuation: new families front the rotation
         "dispersion": q_dispersion,
         "heavy_hitters": q_heavy_hitters,
@@ -7749,6 +7904,10 @@ def oracle_sql() -> dict[str, str]:
     out["tile_dedup"] = _tile_dedup_sql()
     out["benford"] = _benford_sql()
     out["topic_ppr5"] = _topic_ppr5_sql()
+    out["host_mirrors"] = _host_mirrors_sql()
+    out["pr_convergence"] = _pr_convergence_sql()
+    out["gopher_rules"] = _gopher_rules_sql()
+    out["cohort_ltv"] = _cohort_ltv_sql()
     return out
 
 

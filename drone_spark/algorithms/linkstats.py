@@ -1629,3 +1629,92 @@ def graph_profile_sql(edges_cte: str) -> str:
         "CAST((1000000 * dmax) // m AS BIGINT) AS top_hub_share_ppm "
         "FROM stats"
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    min_jaccard_ppm: int = 200_000,
+    max_in_degree: int = 256,
+    min_inter: int = 2,
+) -> DataFrame:
+    """Mirror/near-mirror candidates by exact Jaccard of OUT-neighbor
+    sets: two hosts that link to largely the same targets are mirrors,
+    boilerplate franchises, or template twins — the host-level analog
+    of document shingle Jaccard (dedup.ngram_jaccard_pairs), with the
+    same safe-by-default cap contract: targets whose in-degree exceeds
+    ``max_in_degree`` are dropped BEFORE set sizes and the
+    intersection join (a target linked by everyone carries no mirror
+    signal, exactly like a stopword shingle), so the candidate join is
+    bounded by cap² per target and the Jaccard is exact over the
+    reduced target universe.
+
+    Result: (src_a, src_b, inter, union_sz, jaccard_ppm) for pairs
+    with inter ≥ min_inter and jaccard_ppm ≥ min_jaccard_ppm,
+    jaccard_ppm = ⌊10⁶·|A∩B| / |A∪B|⌋."""
+    e = edges.select("src", "dst").distinct()
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d_in"))
+    kept = e.join(
+        indeg.where(F.col("d_in") <= max_in_degree), "dst", "left_semi"
+    )
+    sizes = kept.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col("dst").alias("z"), F.col("src").alias("src_a"))
+    b = kept.select(F.col("dst").alias("z"), F.col("src").alias("src_b"))
+    inter = (
+        a.join(b, "z")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .where(F.col("inter") >= min_inter)
+    )
+    sa = sizes.select(F.col("src").alias("src_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("src").alias("src_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            (F.col("sza") + F.col("szb") - F.col("inter"))
+            .cast("long")
+            .alias("union_sz"),
+            F.expr("(1000000 * inter) div (sza + szb - inter)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .where(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    )
+
+
+def neighbor_jaccard_sql(
+    edges_cte: str,
+    min_jaccard_ppm: int = 200_000,
+    max_in_degree: int = 256,
+    min_inter: int = 2,
+    edges_rel: str = "edges",
+) -> str:
+    """DuckDB twin of :func:`neighbor_jaccard`; ``edges_cte`` must
+    provide an ``edges_rel``(src, dst) relation (the name is a
+    parameter so callers whose CTE chains already bind `edges` can
+    avoid the duplicate-CTE clash)."""
+    return (
+        f"WITH {edges_cte}, "
+        f"e AS (SELECT DISTINCT src, dst FROM {edges_rel}), "
+        "indeg AS (SELECT dst, COUNT(*) AS d_in FROM e GROUP BY dst), "
+        "kept AS (SELECT e.src, e.dst FROM e JOIN indeg USING (dst) "
+        f"WHERE indeg.d_in <= {max_in_degree}), "
+        "sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS sz "
+        "FROM kept GROUP BY src), "
+        "inter AS (SELECT a.src AS src_a, b.src AS src_b, "
+        "CAST(COUNT(*) AS BIGINT) AS inter "
+        "FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_inter}) "
+        "SELECT i.src_a, i.src_b, i.inter, "
+        "CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_sz, "
+        "CAST(1000000 * i.inter // (sa.sz + sb.sz - i.inter) AS BIGINT) "
+        "AS jaccard_ppm "
+        "FROM inter i JOIN sizes sa ON sa.src = i.src_a "
+        "JOIN sizes sb ON sb.src = i.src_b "
+        f"WHERE 1000000 * i.inter // (sa.sz + sb.sz - i.inter) "
+        f">= {min_jaccard_ppm}"
+    )

@@ -1863,3 +1863,59 @@ def frequent_triples_sql(min_triple: int = 5, table: str = "events") -> str:
         "CAST(1000000 * t.n_abc // ns.s AS BIGINT) AS support_ppm "
         "FROM triples t, ns"
     )
+
+
+def cohort_ltv(events: DataFrame, conv_type: str = "purchase") -> DataFrame:
+    """Value-weighted cohort matrix (retention's revenue twin): users
+    are cohorted by the epoch-week of their FIRST event of any type;
+    each cell is purchases made `week_offset` weeks later — purchase
+    count, distinct buyers, and revenue in integer cents. The running
+    row-sum over offsets is the cohort's lifetime value curve.
+
+    Plan shape is retention's: one min-per-user agg, one user-keyed
+    join, final agg is weeks² rows.
+
+    Result: (cohort_week, week_offset, n_purchases, n_buyers,
+    revenue_c)."""
+    uw = events.select(
+        F.col("user_id").alias("u"),
+        F.floor(F.col("ts").cast("timestamp").cast("long") / WEEK_S)
+        .cast("long")
+        .alias("wk"),
+        "event_type",
+        "value",
+    )
+    cohort = uw.groupBy("u").agg(F.min("wk").alias("cw"))
+    buys = uw.where(F.col("event_type") == conv_type)
+    return (
+        buys.join(cohort, "u")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.countDistinct("u").cast("long").alias("n_buyers"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_c"),
+        )
+    )
+
+
+def cohort_ltv_sql(conv_type: str = "purchase", table: str = "events") -> str:
+    """DuckDB twin of :func:`cohort_ltv`."""
+    return (
+        "WITH uw AS (SELECT user_id AS u, "
+        f"CAST(FLOOR(epoch(ts)) AS BIGINT) // {WEEK_S} AS wk, "
+        f"event_type, value FROM {table}), "
+        "cohort AS (SELECT u, MIN(wk) AS cw FROM uw GROUP BY u) "
+        "SELECT c.cw AS cohort_week, b.wk - c.cw AS week_offset, "
+        "CAST(COUNT(*) AS BIGINT) AS n_purchases, "
+        "CAST(COUNT(DISTINCT b.u) AS BIGINT) AS n_buyers, "
+        "CAST(SUM(CAST(CAST(b.value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "AS BIGINT) AS revenue_c "
+        f"FROM uw b JOIN cohort c ON b.u = c.u "
+        f"WHERE b.event_type = '{conv_type}' "
+        "GROUP BY 1, 2"
+    )

@@ -1394,3 +1394,104 @@ def readability_sql(long_len: int = 7, doc_table: str = "documents") -> str:
         "- (84600 * syl) // GREATEST(1, nw) AS BIGINT) AS flesch_milli "
         "FROM base"
     )
+
+
+# Gopher/MassiveText repetition-free quality rule set (Rae et al. 2021,
+# table A1 subset that is exact-integer checkable): the five rules and
+# their thresholds are public constants; the stopword probe list is the
+# paper's ("the","be","to","of","and","that","have","with") — presence
+# of ≥ 2 distinct ones signals real running text.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-document Gopher-style quality rule flags, all integer/bool
+    exact (no float thresholds — the mean-word-length band 3..10 is
+    checked by cross-multiplication: 3·n ≤ Σlen ≤ 10·n):
+
+      r_wordcount   min_words ≤ n_words ≤ max_words
+      r_meanlen     3 ≤ mean word length ≤ 10
+      r_alpha       ≥ 80% of words contain an alphabetic char
+                    (5·n_alpha_words ≥ 4·n_words)
+      r_stopwords   ≥ 2 distinct probe stopwords present
+      passed        all four
+
+    One scan, pure codegen array ops — the filter tier a 100 TB
+    pretraining pipeline runs before any model-based scoring.
+
+    Result: (doc_id, n_words, r_wordcount, r_meanlen, r_alpha,
+    r_stopwords, passed)."""
+    toks = docs.select(
+        "doc_id", F.split(norm_text(text_col), " ").alias("w")
+    ).select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n_words"),
+        F.expr(
+            "aggregate(w, 0L, (acc, x) -> acc + length(x))"
+        ).alias("sum_len"),
+        F.expr(
+            "size(filter(w, x -> x rlike '[a-z]'))"
+        ).alias("n_alpha_words"),
+        F.expr(
+            "size(array_intersect(array_distinct(w), array({})))".format(
+                ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+            )
+        ).alias("n_stop"),
+    )
+    return toks.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        ).alias("r_wordcount"),
+        (
+            (F.lit(3) * F.col("n_words") <= F.col("sum_len"))
+            & (F.col("sum_len") <= F.lit(10) * F.col("n_words"))
+        ).alias("r_meanlen"),
+        (F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words"))
+        .alias("r_alpha"),
+        (F.col("n_stop") >= 2).alias("r_stopwords"),
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.lit(3) * F.col("n_words") <= F.col("sum_len"))
+            & (F.col("sum_len") <= F.lit(10) * F.col("n_words"))
+            & (F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words"))
+            & (F.col("n_stop") >= 2)
+        ).alias("passed"),
+    )
+
+
+def gopher_rules_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`gopher_rules`."""
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return (
+        f"WITH toks AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS w "
+        f"FROM {table}), "
+        "feats AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, "
+        "CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) "
+        "AS sum_len, "
+        "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) "
+        "AS BIGINT) AS n_alpha_words, "
+        f"CAST(len(list_intersect(list_distinct(w), [{stop}])) AS BIGINT) "
+        "AS n_stop FROM toks) "
+        "SELECT doc_id, n_words, "
+        f"(n_words >= {min_words} AND n_words <= {max_words}) AS r_wordcount, "
+        "(3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS r_meanlen, "
+        "(5 * n_alpha_words >= 4 * n_words) AS r_alpha, "
+        "(n_stop >= 2) AS r_stopwords, "
+        f"(n_words >= {min_words} AND n_words <= {max_words} "
+        "AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words "
+        "AND 5 * n_alpha_words >= 4 * n_words AND n_stop >= 2) AS passed "
+        "FROM feats"
+    )
