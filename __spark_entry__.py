@@ -6966,6 +6966,97 @@ def _cohort_ltv_sql() -> str:
     return cohort_ltv_sql()
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: k-means cells (kmeans2's
+    exact machinery), then within-cell cosine ≥ 0.35 against a
+    lower-id cluster-mate marks the vector a semantic duplicate
+    (similarity.semdedup; threshold matches embedding_near_dups —
+    the corpus max pairwise cosine is ≈0.51)."""
+    from drone_spark.ops.similarity import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return semdedup(emb, k=10, iters=2, tau=0.35)
+
+
+def _semdedup_sql() -> str:
+    """kmeans2's unrolled CTE chain as a subquery, then the in-cluster
+    quantized-cosine pair scan (list_cosine_similarity is
+    bit-identical to Spark's fold — see q_embedding_near_dups_exact)."""
+    return (
+        f"WITH clusters AS (SELECT * FROM ({_kmeans2_sql()})), "
+        "embd AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "wv AS (SELECT c.vec_id, c.cluster, e.v FROM clusters c "
+        "JOIN embd e USING (vec_id)), "
+        "dups AS (SELECT DISTINCT b.vec_id FROM wv a JOIN wv b "
+        "ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        "WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.35) "
+        "SELECT w.vec_id, w.cluster, (d.vec_id IS NOT NULL) AS is_dup "
+        "FROM wv w LEFT JOIN dups d ON w.vec_id = d.vec_id"
+    )
+
+
+def q_triangles_incremental(spark, sf_dir):
+    """Incremental triangle accounting: co-purchase edges with
+    (src+dst)%5==0 marked as the 'newly inserted' batch; histogram of
+    triangles by number of new edges — bucket 0 is what the previous
+    snapshot already knew, buckets 1-3 are the delta attribution
+    (triangles.triangle_delta)."""
+    from drone_spark.algorithms.triangles import triangle_delta
+
+    edges = _copurchase_edges(spark, sf_dir).withColumn(
+        "is_new", (F.col("src") + F.col("dst")) % 5 == 0
+    )
+    return triangle_delta(edges)
+
+
+def _triangles_incremental_sql() -> str:
+    return (
+        f"WITH {SQL_COPURCHASE}, "
+        "fe AS (SELECT src, dst, CASE WHEN (src + dst) % 5 = 0 "
+        "THEN 1 ELSE 0 END AS f FROM edges) "
+        "SELECT CAST(e1.f + e2.f + e3.f AS INT) AS n_new_edges, "
+        "CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM fe e1 JOIN fe e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+        "JOIN fe e3 ON e3.src = e1.dst AND e3.dst = e2.dst "
+        "GROUP BY 1"
+    )
+
+
+def q_events_cube(spark, sf_dir):
+    """Full CUBE over (event_type, day) with grouping_id — the
+    grouping-sets surface (events_rollup covers ROLLUP; this is the
+    all-subsets lattice a dashboarding tier materializes in one
+    pass instead of four groupBys)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.to_date("ts").cast("string").alias("day"),
+            _cents("value").alias("v_c"),
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v_c").cast("long").alias("value_c"),
+        )
+    )
+
+
+def _events_cube_sql() -> str:
+    return (
+        "SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+        "CAST(2 * GROUPING(event_type) + "
+        "GROUPING(CAST(CAST(ts AS DATE) AS VARCHAR)) AS INT) AS gid, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        f"CAST(SUM({_sql_cents('value')}) AS BIGINT) AS value_c "
+        "FROM events GROUP BY CUBE(event_type, "
+        "CAST(CAST(ts AS DATE) AS VARCHAR))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7007,6 +7098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_convergence": q_pr_convergence,
         "gopher_rules": q_gopher_rules,
         "cohort_ltv": q_cohort_ltv,
+        "semdedup": q_semdedup,
+        "triangles_incremental": q_triangles_incremental,
+        "events_cube": q_events_cube,
         # ---- round-5 continuation: new families front the rotation
         "dispersion": q_dispersion,
         "heavy_hitters": q_heavy_hitters,
@@ -7908,6 +8002,9 @@ def oracle_sql() -> dict[str, str]:
     out["pr_convergence"] = _pr_convergence_sql()
     out["gopher_rules"] = _gopher_rules_sql()
     out["cohort_ltv"] = _cohort_ltv_sql()
+    out["semdedup"] = _semdedup_sql()
+    out["triangles_incremental"] = _triangles_incremental_sql()
+    out["events_cube"] = _events_cube_sql()
     return out
 
 
