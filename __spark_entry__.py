@@ -7057,6 +7057,171 @@ def _events_cube_sql() -> str:
     )
 
 
+def q_opic4(spark, sf_dir):
+    """OPIC (On-line Page Importance Computation, Abiteboul et al.
+    2003) — the crawl-frontier importance estimator that needs no
+    convergence: each page holds cash (init SCALE), every round
+    distributes it over its outlinks and banks the distributed amount
+    in its history; importance = history + cash. Unlike PageRank there
+    is no damping and the history accumulates forever, so a crawler
+    reads importance mid-run at any time. Dangling cash is
+    redistributed uniformly (the paper's virtual-root page, collapsed
+    to one round). 4 fixed-point integer rounds; floor-division
+    remainders vanish exactly as in the pagerank5 family.
+
+    Result: (vid, hist_fx, cash_fx, imp_fx = hist+cash)."""
+    from drone_spark.graph.builder import out_degrees, vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    v = vertices(edges)
+    n = v.count()
+    state = (
+        v.join(out_degrees(edges), "id", "left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.lit(PR_SCALE).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(4):
+        dang = (
+            state.where(F.col("outdeg") == 0)
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        recv = (
+            state.where(F.col("outdeg") > 0)
+            .select("id", F.expr("cash div outdeg").alias("w"))
+            .join(edges, F.col("id") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("recv"))
+        )
+        state = (
+            state.join(recv, state["id"] == recv["dst"], "left")
+            .select(
+                state["id"],
+                "outdeg",
+                (F.coalesce("recv", F.lit(0)) + F.lit(dang // n))
+                .cast("long")
+                .alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        F.col("id").alias("vid"),
+        F.col("hist").alias("hist_fx"),
+        F.col("cash").alias("cash_fx"),
+        (F.col("hist") + F.col("cash")).cast("long").alias("imp_fx"),
+    )
+
+
+def _opic4_sql() -> str:
+    ctes = [
+        f"WITH {SQL_BIPARTITE}",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        "nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
+        f"o0 AS (SELECT v.id, COALESCE(d.outdeg, 0) AS outdeg, "
+        f"CAST({PR_SCALE} AS BIGINT) AS cash, CAST(0 AS BIGINT) AS hist "
+        "FROM v LEFT JOIN deg d ON v.id = d.id)",
+    ]
+    for k in range(1, 5):
+        p = f"o{k-1}"
+        ctes.append(
+            f"dang{k} AS (SELECT CAST(COALESCE(SUM(cash), 0) AS BIGINT) "
+            f"AS d FROM {p} WHERE outdeg = 0)"
+        )
+        ctes.append(
+            f"o{k} AS (SELECT s.id, s.outdeg, "
+            f"CAST(COALESCE(r.recv, 0) + dang{k}.d // nv.n AS BIGINT) AS cash, "
+            "CAST(s.hist + s.cash AS BIGINT) AS hist "
+            f"FROM {p} s LEFT JOIN (SELECT e.dst AS id, "
+            f"CAST(SUM(c.cash // c.outdeg) AS BIGINT) AS recv "
+            f"FROM {p} c JOIN edges e ON e.src = c.id WHERE c.outdeg > 0 "
+            f"GROUP BY e.dst) r ON s.id = r.id, dang{k}, nv)"
+        )
+    return ", ".join(ctes) + (
+        " SELECT id AS vid, hist AS hist_fx, cash AS cash_fx, "
+        "CAST(hist + cash AS BIGINT) AS imp_fx FROM o4"
+    )
+
+
+def _zspread(x: str, shift_fn) -> str:
+    """Morton spread of an 8-bit value into even bit positions —
+    engine-agnostic generator; shift_fn('e', k) renders e << k."""
+    a = f"(({x}) & 255)"
+    b = f"(({a} | {shift_fn(a, 4)}) & 3855)"  # 0x0F0F
+    c = f"(({b} | {shift_fn(b, 2)}) & 13107)"  # 0x3333
+    return f"(({c} | {shift_fn(c, 1)}) & 21845)"  # 0x5555
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering audit for the events table — the
+    multidimensional sort key an Iceberg/Delta layout would cluster
+    files by so that BOTH user-keyed and time-keyed scans prune well.
+    x = user_id low byte, y = day-of-epoch low byte, z = bit
+    interleave (closed-form magic-number spread, pure codegen
+    arithmetic — no loop, no UDF); buckets are z >> 6. The per-bucket
+    user/day spans are the locality proof: every bucket covers a
+    narrow range of BOTH dimensions (a 1-D sort would give narrow
+    user spans but full-width day spans or vice versa).
+
+    Result: (zbucket, n_events, n_users, n_days, user_span,
+    day_span)."""
+    sl = lambda e, k: f"shiftleft({e}, {k})"  # noqa: E731
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("u"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+    zx = _zspread("u", sl)
+    zy = _zspread("d", sl)
+    keyed = ev.select(
+        "u",
+        "d",
+        F.expr(f"({zx} | {sl(zy, 1)})").cast("long").alias("z"),
+    )
+    return (
+        keyed.groupBy(F.expr("z div 64").cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("u").cast("long").alias("n_users"),
+            F.countDistinct("d").cast("long").alias("n_days"),
+            (F.max(F.col("u") % 256) - F.min(F.col("u") % 256))
+            .cast("long")
+            .alias("user_span"),
+            (F.max(F.col("d") % 256) - F.min(F.col("d") % 256))
+            .cast("long")
+            .alias("day_span"),
+        )
+    )
+
+
+def _zorder_layout_sql() -> str:
+    sl = lambda e, k: f"(({e}) << {k})"  # noqa: E731
+    zx = _zspread("u", sl)
+    zy = _zspread("d", sl)
+    return (
+        "WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u, "
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d "
+        "FROM events), "
+        f"keyed AS (SELECT u, d, CAST(({zx} | {sl(zy, 1)}) AS BIGINT) AS z "
+        "FROM ev) "
+        "SELECT CAST(z // 64 AS BIGINT) AS zbucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users, "
+        "CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days, "
+        "CAST(MAX(u % 256) - MIN(u % 256) AS BIGINT) AS user_span, "
+        "CAST(MAX(d % 256) - MIN(d % 256) AS BIGINT) AS day_span "
+        "FROM keyed GROUP BY 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7101,6 +7266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "triangles_incremental": q_triangles_incremental,
         "events_cube": q_events_cube,
+        "opic4": q_opic4,
+        "zorder_layout": q_zorder_layout,
         # ---- round-5 continuation: new families front the rotation
         "dispersion": q_dispersion,
         "heavy_hitters": q_heavy_hitters,
@@ -8005,6 +8172,8 @@ def oracle_sql() -> dict[str, str]:
     out["semdedup"] = _semdedup_sql()
     out["triangles_incremental"] = _triangles_incremental_sql()
     out["events_cube"] = _events_cube_sql()
+    out["opic4"] = _opic4_sql()
+    out["zorder_layout"] = _zorder_layout_sql()
     return out
 
 

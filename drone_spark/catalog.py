@@ -141,3 +141,67 @@ class Catalog:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)
+
+    # -- maintenance (Iceberg expire_snapshots / remove_orphan_files) --
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Expire history older than the last ``keep_last`` commits —
+        the Iceberg ``expire_snapshots`` maintenance action. A long-run
+        superstep engine commits per superstep, so without expiry the
+        checkpoint table grows without bound; expiry keeps resume
+        working (the latest chain survives intact) while capping
+        storage.
+
+        Every retained version must stay RESOLVABLE: :meth:`read` of
+        version v needs the last full snapshot at-or-before v plus the
+        appends after it, so the cut point is pulled back from the
+        Nth-newest commit to the snapshot that anchors it. Time travel
+        to an expired version raises (Iceberg parity).
+
+        Returns the expired version numbers (may be empty)."""
+        commits = self._load_manifest(name)
+        if len(commits) <= keep_last:
+            return []
+        window = commits[-keep_last:] if keep_last > 0 else commits[-1:]
+        anchor = 0
+        for i, c in enumerate(commits):
+            if c.mode == "snapshot" and c.version <= window[0].version:
+                anchor = i
+        expired = commits[:anchor]
+        if not expired:
+            return []
+        kept = commits[anchor:]
+        # manifest first: a reader that races sees the new manifest and
+        # never resolves into a directory we are about to delete
+        self._store_manifest(name, kept)
+        out = []
+        for c in expired:
+            shutil.rmtree(
+                os.path.join(self._table_dir(name), f"v={c.version:06d}"),
+                ignore_errors=True,
+            )
+            out.append(c.version)
+        return out
+
+    def vacuum(self, name: str) -> list[str]:
+        """Delete orphan directories — ``v=`` dirs absent from the
+        manifest (expired or never-committed) and ``.tmp-*`` debris
+        from crashed commits (Iceberg ``remove_orphan_files``). The
+        commit protocol makes these invisible to readers already;
+        vacuum reclaims the bytes. Returns removed directory names."""
+        table_dir = self._table_dir(name)
+        if not os.path.isdir(table_dir):
+            return []
+        live = {
+            f"v={c.version:06d}" for c in self._load_manifest(name)
+        }
+        removed = []
+        for entry in sorted(os.listdir(table_dir)):
+            full = os.path.join(table_dir, entry)
+            if not os.path.isdir(full):
+                continue
+            if entry.startswith(".tmp-") or (
+                entry.startswith("v=") and entry not in live
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(entry)
+        return removed
