@@ -276,3 +276,54 @@ def session_paths_sql(
         "(ORDER BY n_occurrences DESC, path) AS BIGINT) AS rank "
         f"FROM counts QUALIFY rank <= {k}"
     )
+
+
+def interval_pairs_stream(
+    events: DataFrame,
+    probe_type: str = "purchase",
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the canonical Structured Streaming
+    two-input stateful operator: purchases (probe stream) inner-joined
+    to the same user's other events (build stream) that occurred in the
+    preceding ``window_minutes``. Both sides carry watermarks and the
+    join predicate carries the time band, so Spark can bound both state
+    stores: a build row is dropped once the probe watermark passes
+    probe_ts − window (no unbounded buffering, the property that makes
+    this run forever at crawl scale).
+
+    The batch twin is ops.events.interval_join_counts (which
+    aggregates); this emits the matched PAIRS — pairs are what the
+    append-mode stream can emit incrementally, aggregation stacks a
+    second stateful stage on top.
+
+    Result rows: (event_id, touch_event_id) — probe id, matched build
+    id."""
+    probes = (
+        events.where(F.col("event_type") == probe_type)
+        .select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    builds = (
+        events.where(F.col("event_type") != probe_type)
+        .select(
+            F.col("event_id").alias("touch_event_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    return probes.join(
+        builds,
+        F.expr(
+            "user_id = b_user AND "
+            f"b_ts BETWEEN p_ts - INTERVAL {window_minutes} MINUTES "
+            "AND p_ts"
+        ),
+        "inner",
+    ).select("event_id", "touch_event_id")

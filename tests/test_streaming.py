@@ -372,3 +372,32 @@ def test_near_dup_stream_matches_incremental_batch(spark, tmp_path):
         for r in minhash_lsh_pairs_incremental(old, new, threshold=0.7).collect()
     )
     assert got == want == [(1, 100)]
+
+
+def test_interval_pairs_stream_matches_batch(spark, events_batch, events_dir):
+    """Stream-stream interval join ≡ the same join run as a batch —
+    every (purchase, prior-hour event) pair, no more, no fewer."""
+    from drone_spark.streaming.windows import interval_pairs_stream
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(
+        interval_pairs_stream(stream), "t_ssjoin", mode="append"
+    )
+    p = events_batch.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    b = events_batch.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("touch_event_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    exp = p.join(
+        b,
+        F.expr(
+            "user_id = b_user AND b_ts BETWEEN p_ts - INTERVAL 60 MINUTES"
+            " AND p_ts"
+        ),
+    ).select("event_id", "touch_event_id")
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
