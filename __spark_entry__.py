@@ -7222,6 +7222,51 @@ def _zorder_layout_sql() -> str:
     )
 
 
+def q_theilsen_trend(spark, sf_dir):
+    """Theil-Sen robust slope of daily event volume — median of
+    pairwise slopes in ppm/day (events.theilsen_trend)."""
+    from drone_spark.ops.events import theilsen_trend
+
+    return theilsen_trend(_read(spark, sf_dir, "events"))
+
+
+def _theilsen_trend_sql() -> str:
+    from drone_spark.ops.events import theilsen_trend_sql
+
+    return theilsen_trend_sql()
+
+
+def q_twin_classes(spark, sf_dir):
+    """Structural-twin census of the bipartite order→part graph:
+    orders with identical part sets collapse to one supernode —
+    the compression a template-heavy web graph wins before iterating
+    (linkstats.twin_classes)."""
+    from drone_spark.algorithms.linkstats import twin_classes
+
+    return twin_classes(_bipartite_edges(spark, sf_dir))
+
+
+def _twin_classes_sql() -> str:
+    from drone_spark.algorithms.linkstats import twin_classes_sql
+
+    return twin_classes_sql(SQL_BIPARTITE)
+
+
+def q_nb_confusion(spark, sf_dir):
+    """Multinomial naive-Bayes source attribution (train even doc_ids,
+    classify odd) → confusion matrix; quantized-micronat weights keep
+    both engines bit-identical (classify.nb_confusion)."""
+    from drone_spark.ops.classify import nb_confusion
+
+    return nb_confusion(_read(spark, sf_dir, "documents"))
+
+
+def _nb_confusion_sql() -> str:
+    from drone_spark.ops.classify import nb_confusion_sql
+
+    return nb_confusion_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7268,6 +7313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "opic4": q_opic4,
         "zorder_layout": q_zorder_layout,
+        "theilsen_trend": q_theilsen_trend,
+        "twin_classes": q_twin_classes,
+        "nb_confusion": q_nb_confusion,
         # ---- round-5 continuation: new families front the rotation
         "dispersion": q_dispersion,
         "heavy_hitters": q_heavy_hitters,
@@ -8174,6 +8222,9 @@ def oracle_sql() -> dict[str, str]:
     out["events_cube"] = _events_cube_sql()
     out["opic4"] = _opic4_sql()
     out["zorder_layout"] = _zorder_layout_sql()
+    out["theilsen_trend"] = _theilsen_trend_sql()
+    out["twin_classes"] = _twin_classes_sql()
+    out["nb_confusion"] = _nb_confusion_sql()
     return out
 
 

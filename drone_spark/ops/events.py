@@ -1919,3 +1919,80 @@ def cohort_ltv_sql(conv_type: str = "purchase", table: str = "events") -> str:
         f"WHERE b.event_type = '{conv_type}' "
         "GROUP BY 1, 2"
     )
+
+
+def theilsen_trend(events: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of total daily event volume: the median
+    of all pairwise slopes (n_j − n_i)/(j − i) over day indices — the
+    estimator that shrugs off the outlier days that wreck an OLS
+    slope (launch spikes, outages). Slopes are floored to ppm-per-day
+    BEFORE the median so the median picks among exact integers; the
+    median itself is the deterministic lower-median by
+    (slope, i, j) order.
+
+    The pair join runs on the daily rollup (D rows, calendar-bounded)
+    — D² pairs of a few-thousand-row table, never data-volume-bound,
+    same argument as autocorr_daily.
+
+    Result: one row (n_days, n_pairs, median_slope_ppm)."""
+    from pyspark.sql import Window
+
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    idx = daily.select(
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("long")
+        .alias("i"),
+        "n",
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("n").alias("na"))
+    b = idx.select(F.col("i").alias("ib"), F.col("n").alias("nb"))
+    slopes = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.col("nb") - F.col("na"))
+                / (F.col("ib") - F.col("ia"))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    w = Window.orderBy("s", "ia", "ib")
+    n_days = idx.count()
+    n_pairs = n_days * (n_days - 1) // 2
+    mid = (n_pairs + 1) // 2
+    return (
+        slopes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == mid)
+        .select(
+            F.lit(n_days).cast("long").alias("n_days"),
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            F.col("s").alias("median_slope_ppm"),
+        )
+    )
+
+
+def theilsen_trend_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`theilsen_trend`."""
+    return (
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM {table} GROUP BY 1), "
+        "idx AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) "
+        "AS i, n FROM daily), "
+        "slopes AS (SELECT a.i AS ia, b.i AS ib, "
+        "CAST(FLOOR(1000000.0 * (b.n - a.n) / (b.i - a.i)) AS BIGINT) AS s "
+        "FROM idx a JOIN idx b ON a.i < b.i), "
+        "meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx), "
+        "ranked AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, ia, ib) AS r "
+        "FROM slopes) "
+        "SELECT meta.n_days, "
+        "CAST(meta.n_days * (meta.n_days - 1) // 2 AS BIGINT) AS n_pairs, "
+        "ranked.s AS median_slope_ppm FROM ranked, meta "
+        "WHERE ranked.r = (meta.n_days * (meta.n_days - 1) // 2 + 1) // 2"
+    )
