@@ -7267,6 +7267,81 @@ def _nb_confusion_sql() -> str:
     return nb_confusion_sql()
 
 
+def q_pagerank5_compressed(spark, sf_dir):
+    """pagerank5 with structural-twin SCATTER COMPRESSION — the
+    optimization twin_classes counts the win for: vertices with
+    identical out-neighbor sets floor-divide their rank individually
+    (bit-exactness preserved) but their contributions are summed per
+    twin class BEFORE the edge join, which then runs on the DEDUPED
+    (class, dst) edge table. On a template-heavy web graph the class
+    edge table is a fraction of the raw one, cutting the dominant
+    scatter shuffle by the same fraction; here it proves exactness —
+    the oracle is pagerank5's own unrolled SQL, so any deviation
+    hash-fails. Σ_{v∈class} (pr_v div d) scattered once ≡ scattering
+    each v: every class member links to exactly the same dst set.
+
+    Measured honestly: this synthetic basket graph has few twins
+    (class_edges/edges = 0.996 at sf0.01 — 14,743 srcs → 14,474
+    classes), so the win here is nil; the query exists to prove the
+    transformation exact. Real template-heavy web graphs are the
+    payoff case (boilerplate nav pages share link sets)."""
+    from drone_spark.graph.builder import out_degrees, vertices
+
+    edges = _bipartite_edges(spark, sf_dir)
+    # twin classes by md5 of the sorted out-set; class edges deduped
+    assign = (
+        edges.distinct()
+        .groupBy("src")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.sort_array(F.collect_set(F.col("dst").cast("string"))),
+                    ",",
+                )
+            ).alias("csig")
+        )
+        .localCheckpoint()
+    )
+    class_edges = (
+        edges.join(assign, "src")
+        .select("csig", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    state = (
+        vertices(edges)
+        .join(out_degrees(edges), "id", "left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.lit(PR_SCALE).cast("long").alias("pr"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(5):
+        per_class = (
+            state.where(F.col("outdeg") > 0)
+            .select("id", F.expr("pr div outdeg").alias("w"))
+            .join(assign, F.col("id") == F.col("src"))
+            .groupBy("csig")
+            .agg(F.sum("w").alias("wc"))
+        )
+        contribs = (
+            per_class.join(class_edges, "csig")
+            .groupBy("dst")
+            .agg(F.sum("wc").alias("acc"))
+        )
+        new_pr = F.lit(15 * PR_SCALE // 100) + F.expr(
+            "(85 * coalesce(acc, 0L)) div 100"
+        )
+        state = (
+            state.join(contribs, state["id"] == contribs["dst"], "left")
+            .select(state["id"], "outdeg", new_pr.cast("long").alias("pr"))
+            .localCheckpoint()
+        )
+    return state.select(F.col("id").alias("vid"), F.col("pr").alias("pr_fx"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7316,6 +7391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_trend": q_theilsen_trend,
         "twin_classes": q_twin_classes,
         "nb_confusion": q_nb_confusion,
+        "pagerank5_compressed": q_pagerank5_compressed,
         # ---- round-5 continuation: new families front the rotation
         "dispersion": q_dispersion,
         "heavy_hitters": q_heavy_hitters,
@@ -8225,6 +8301,7 @@ def oracle_sql() -> dict[str, str]:
     out["theilsen_trend"] = _theilsen_trend_sql()
     out["twin_classes"] = _twin_classes_sql()
     out["nb_confusion"] = _nb_confusion_sql()
+    out["pagerank5_compressed"] = _pagerank5_sql()
     return out
 
 
