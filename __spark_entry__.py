@@ -7342,6 +7342,160 @@ def q_pagerank5_compressed(spark, sf_dir):
     return state.select(F.col("id").alias("vid"), F.col("pr").alias("pr_fx"))
 
 
+KWIC_TERM = "merge"
+KWIC_CTX = 3
+
+
+def q_kwic(spark, sf_dir):
+    """Keyword-in-context concordance for one query term: every
+    occurrence with its ±3-token window — the reading surface a
+    corpus-inspection tool serves straight off the positional index
+    (postings give (doc, pos); the window slice is one codegen'd
+    array op on the doc's token array, no re-tokenization loop)."""
+    docs = _read(spark, sf_dir, "documents")
+    from drone_spark.ops.textstats import norm_text
+
+    toks = docs.select(
+        "doc_id", F.split(norm_text("text"), " ").alias("w")
+    )
+    occ = toks.select(
+        "doc_id",
+        "w",
+        F.posexplode("w").alias("pos", "token"),
+    ).where(F.col("token") == KWIC_TERM)
+    start1 = F.greatest(F.col("pos") + 1 - KWIC_CTX, F.lit(1))
+    end1 = F.least(F.col("pos") + 1 + KWIC_CTX, F.size("w"))
+    return occ.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(
+            F.slice("w", start1, end1 - start1 + 1), " "
+        ).alias("kwic"),
+    )
+
+
+def _kwic_sql() -> str:
+    from drone_spark.ops.textstats import NORM_SQL
+
+    c = KWIC_CTX
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents), "
+        "toks AS (SELECT doc_id, string_split(nt, ' ') AS w FROM norm), "
+        "occ AS (SELECT doc_id, w, "
+        "UNNEST(list_transform(w, (x, i) -> {'token': x, 'pos': i}), "
+        "recursive := true) FROM toks), "
+        f"hits AS (SELECT doc_id, w, CAST(pos - 1 AS INT) AS pos "
+        f"FROM occ WHERE token = '{KWIC_TERM}') "
+        "SELECT doc_id, pos, array_to_string("
+        f"w[GREATEST(pos + 1 - {c}, 1) : LEAST(pos + 1 + {c}, len(w))], "
+        "' ') AS kwic FROM hits"
+    )
+
+
+def q_decayed_popularity(spark, sf_dir):
+    """Exponentially time-decayed activity per event type — the
+    recency-weighted popularity a trending/ranking tier keeps instead
+    of raw counts. Half-life = 1 day, weights in exact 1/1024 units
+    via integer shift (1024 >> age_days), so decay needs no float pow
+    and ages beyond 10 days contribute shifted-out zeros on both
+    engines identically."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    maxd = ev.agg(F.max("day").alias("maxd"))
+    return (
+        ev.crossJoin(F.broadcast(maxd))
+        .select(
+            "event_type",
+            F.expr(
+                "shiftright(1024, cast(datediff(maxd, day) as int))"
+            ).alias("wgt"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("wgt").cast("long").alias("score_1024ths"),
+        )
+    )
+
+
+def _decayed_popularity_sql() -> str:
+    return (
+        "WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day "
+        "FROM events), "
+        "maxd AS (SELECT MAX(day) AS maxd FROM ev) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(1024 >> CAST(maxd.maxd - day AS INT)) AS BIGINT) "
+        "AS score_1024ths "
+        "FROM ev, maxd GROUP BY event_type"
+    )
+
+
+def q_rbm_hosts(spark, sf_dir):
+    """Reciprocal-best-match host pairs: each host's top outlink-set
+    Jaccard partner, kept only when the choice is MUTUAL — the
+    high-precision pairing rule (no threshold to tune) dedup systems
+    use above the candidate tier. Built on neighbor_jaccard's exact
+    capped-universe scores; ties break (higher jaccard, lower
+    partner name)."""
+    from pyspark.sql import Window
+
+    from drone_spark.algorithms.linkstats import neighbor_jaccard
+    from drone_spark.extraction import host_graph
+
+    hg = host_graph(_url_edges(spark, sf_dir))
+    edges = hg.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    pairs = neighbor_jaccard(
+        edges, min_jaccard_ppm=0, max_in_degree=256, min_inter=2
+    )
+    sym = pairs.select(
+        F.col("src_a").alias("h"), F.col("src_b").alias("p"), "jaccard_ppm"
+    ).union(
+        pairs.select(
+            F.col("src_b").alias("h"), F.col("src_a").alias("p"), "jaccard_ppm"
+        )
+    )
+    w = Window.partitionBy("h").orderBy(F.desc("jaccard_ppm"), F.asc("p"))
+    best = sym.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1)
+    a = best.select(F.col("h").alias("host_a"), F.col("p").alias("host_b"),
+                    "jaccard_ppm")
+    b = best.select(F.col("p").alias("host_a"), F.col("h").alias("host_b"))
+    return (
+        a.join(b, ["host_a", "host_b"], "left_semi")
+        .where(F.col("host_a") < F.col("host_b"))
+        .select("host_a", "host_b", "jaccard_ppm")
+    )
+
+
+def _rbm_hosts_sql() -> str:
+    from drone_spark.algorithms.linkstats import neighbor_jaccard_sql
+
+    chain = (
+        f"{SQL_BIPARTITE}, {SQL_URLIFY}, "
+        "hostg AS (SELECT "
+        f"{HOST_EXTRACT_SQL.format(u='src_url')} AS src_host, "
+        f"{HOST_EXTRACT_SQL.format(u='dst_url')} AS dst_host FROM urls), "
+        "hedges AS (SELECT src_host AS src, dst_host AS dst FROM hostg "
+        "WHERE src_host <> dst_host)"
+    )
+    inner = neighbor_jaccard_sql(
+        chain, min_jaccard_ppm=0, max_in_degree=256, min_inter=2,
+        edges_rel="hedges",
+    )
+    return (
+        f"WITH pairs AS (SELECT * FROM ({inner})), "
+        "sym AS (SELECT src_a AS h, src_b AS p, jaccard_ppm FROM pairs "
+        "UNION ALL SELECT src_b AS h, src_a AS p, jaccard_ppm FROM pairs), "
+        "best AS (SELECT h, p, jaccard_ppm, ROW_NUMBER() OVER "
+        "(PARTITION BY h ORDER BY jaccard_ppm DESC, p) AS r FROM sym) "
+        "SELECT a.h AS host_a, a.p AS host_b, a.jaccard_ppm "
+        "FROM best a JOIN best b ON b.h = a.p AND b.p = a.h "
+        "AND b.r = 1 WHERE a.r = 1 AND a.h < a.p"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7392,6 +7546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twin_classes": q_twin_classes,
         "nb_confusion": q_nb_confusion,
         "pagerank5_compressed": q_pagerank5_compressed,
+        "kwic": q_kwic,
+        "decayed_popularity": q_decayed_popularity,
+        "rbm_hosts": q_rbm_hosts,
         # ---- round-5 continuation: new families front the rotation
         "dispersion": q_dispersion,
         "heavy_hitters": q_heavy_hitters,
@@ -8302,6 +8459,9 @@ def oracle_sql() -> dict[str, str]:
     out["twin_classes"] = _twin_classes_sql()
     out["nb_confusion"] = _nb_confusion_sql()
     out["pagerank5_compressed"] = _pagerank5_sql()
+    out["kwic"] = _kwic_sql()
+    out["decayed_popularity"] = _decayed_popularity_sql()
+    out["rbm_hosts"] = _rbm_hosts_sql()
     return out
 
 
