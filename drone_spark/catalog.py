@@ -205,3 +205,100 @@ class Catalog:
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(entry)
         return removed
+
+
+# -- Iceberg verb parity: MERGE (upsert) and stats-based scan pruning ----
+def _numeric_minmax(df: DataFrame) -> dict[str, list]:
+    """Per-numeric-column [min, max] — the manifest statistics Iceberg
+    keeps per data file; one Spark job, computed at write time."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    num_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType,
+                                   T.DoubleType, T.FloatType, T.DecimalType))
+    ]
+    if not num_cols:
+        return {}
+    aggs = []
+    for c in num_cols:
+        aggs.append(F.min(c).alias(f"min__{c}"))
+        aggs.append(F.max(c).alias(f"max__{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for c in num_cols:
+        lo, hi = row[f"min__{c}"], row[f"max__{c}"]
+        if lo is not None:
+            out[c] = [
+                float(lo) if not isinstance(lo, int) else lo,
+                float(hi) if not isinstance(hi, int) else hi,
+            ]
+    return out
+
+
+class StatsCatalog(Catalog):
+    """Catalog with the two remaining Iceberg verbs:
+
+    - :meth:`merge_upsert` — MERGE INTO semantics: rows whose key
+      matches are replaced, the rest inserted, committed as one
+      atomic snapshot.
+    - column min/max stats recorded in every commit's manifest entry
+      (``meta["stats"]``), and :meth:`scan_plan` — manifest-level
+      data skipping: which committed directories can contain rows
+      matching a column range predicate. This is Iceberg's
+      scan-planning path (prune by file stats before touching data);
+      the superstep engine's checkpoint reader uses it to locate the
+      snapshot holding a vertex-id range without opening parquet
+      footers.
+
+    Kept as a subclass so the minimal catalog (used by the engine hot
+    path, where the extra stats job per commit is unwanted overhead)
+    stays stat-free; the write/read formats are identical and the two
+    classes interoperate on the same root."""
+
+    def _commit(self, df: DataFrame, name: str, mode: str, meta: dict | None) -> int:
+        meta = dict(meta or {})
+        meta["stats"] = _numeric_minmax(df)
+        return super()._commit(df, name, mode, meta)
+
+    def merge_upsert(
+        self, df: DataFrame, name: str, key: str | list[str],
+        meta: dict | None = None,
+    ) -> int:
+        """MERGE INTO: replace current rows whose ``key`` appears in
+        ``df``, insert the rest of ``df``, commit as one snapshot.
+        Exactly-once by construction: the result is a pure function of
+        (latest snapshot, df), and the commit is the catalog's atomic
+        rename."""
+        keys = [key] if isinstance(key, str) else list(key)
+        spark = df.sparkSession
+        if self.exists(name) and self.versions(name):
+            current = self.read(spark, name)
+            kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(df)
+        else:
+            merged = df
+        return self.write_snapshot(merged, name, meta)
+
+    def scan_plan(
+        self, name: str, column: str, lo, hi
+    ) -> list[int]:
+        """Versions (of the current read-resolution chain) whose
+        recorded [min, max] for ``column`` overlaps [lo, hi] — the
+        directories a range scan must open; everything else is
+        skipped on stats alone. Commits with no stats for the column
+        are conservatively kept."""
+        commits = self._load_manifest(name)
+        start = 0
+        for i, c in enumerate(commits):
+            if c.mode == "snapshot":
+                start = i
+        live = commits[start:]
+        out = []
+        for c in live:
+            rng = (c.meta or {}).get("stats", {}).get(column)
+            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+                out.append(c.version)
+        return out

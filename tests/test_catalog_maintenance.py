@@ -67,3 +67,41 @@ def test_vacuum_removes_orphans_not_live_data(spark, tmp_path):
     assert removed == [".tmp-deadbeef", "v=000099"]
     assert sorted(r["id"] for r in cat.read(spark, "t").collect()) == before
     assert cat.vacuum("t") == []
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    from drone_spark.catalog import StatsCatalog
+
+    cat = StatsCatalog(str(tmp_path / "c"))
+    cat.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+        "t",
+    )
+    cat.merge_upsert(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"), "t", "k"
+    )
+    got = {r["k"]: r["v"] for r in cat.read(spark, "t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # merge on an empty table = plain insert
+    cat2 = StatsCatalog(str(tmp_path / "c2"))
+    cat2.merge_upsert(spark.createDataFrame([(9, "z")], "k long, v string"), "t", "k")
+    assert cat2.read(spark, "t").count() == 1
+
+
+def test_scan_plan_prunes_by_column_stats(spark, tmp_path):
+    from drone_spark.catalog import StatsCatalog
+
+    cat = StatsCatalog(str(tmp_path / "c"))
+    cat.write_snapshot(spark.range(0, 100), "t")          # v1: id 0..99
+    cat.append(spark.range(100, 200), "t")                # v2: id 100..199
+    cat.append(spark.range(500, 600), "t")                # v3: id 500..599
+    assert cat.scan_plan("t", "id", 150, 160) == [2]
+    assert cat.scan_plan("t", "id", 90, 110) == [1, 2]
+    assert cat.scan_plan("t", "id", 900, 999) == []
+    # stats survive the manifest round-trip
+    assert cat.commit_meta("t", 3)["stats"]["id"] == [500, 599]
+    # a plain Catalog commit (no stats) is conservatively kept
+    from drone_spark.catalog import Catalog
+
+    Catalog(str(tmp_path / "c")).append(spark.range(5), "t")  # v4, statless
+    assert cat.scan_plan("t", "id", 900, 999) == [4]
