@@ -7496,6 +7496,72 @@ def _rbm_hosts_sql() -> str:
     )
 
 
+def q_egonet_oddball(spark, sf_dir):
+    """OddBall egonet census on the co-purchase graph — per-vertex
+    (ego_nodes, ego_edges, density ppm, exact clique/star flags); the
+    near-clique/near-star anomaly features of Akoglu et al. 2010
+    (linkstats.egonet_features, triangle enumeration via the
+    degree-ordered orientation)."""
+    from drone_spark.algorithms.linkstats import egonet_features
+
+    return egonet_features(_copurchase_edges(spark, sf_dir))
+
+
+def _egonet_oddball_sql() -> str:
+    from drone_spark.algorithms.linkstats import egonet_features_sql
+
+    return egonet_features_sql(SQL_COPURCHASE)
+
+
+def q_core_density(spark, sf_dir):
+    """Density profile of the k-core hierarchy on the co-purchase graph
+    (kcore.core_density over the CORENESS_ROUNDS H-coreness) — the
+    Charikar densest-shell certificate; per-k totals are suffix sums
+    over the coreness histogram, one edge-table pass total."""
+    from drone_spark.algorithms.kcore import core_density
+
+    return core_density(_copurchase_edges(spark, sf_dir), rounds=CORENESS_ROUNDS)
+
+
+def _core_density_sql() -> str:
+    from drone_spark.algorithms.kcore import core_density_sql
+
+    return core_density_sql(SQL_COPURCHASE, rounds=CORENESS_ROUNDS)
+
+
+def q_lm_jm(spark, sf_dir):
+    """Jelinek-Mercer query likelihood top-20 for the BM25 query terms
+    — the fixed-λ smoothing twin of lm_dirichlet (ops/textstats.
+    lm_jm_topk), same normalizer/rounding/tiebreak."""
+    from drone_spark.ops.textstats import lm_jm_topk
+
+    return lm_jm_topk(_read(spark, sf_dir, "documents"), BM25_TERMS, k=20)
+
+
+def _lm_jm_sql() -> str:
+    from drone_spark.ops.textstats import lm_jm_topk_sql
+
+    return lm_jm_topk_sql(BM25_TERMS, k=20)
+
+
+def q_term_proximity(spark, sf_dir):
+    """Min positional gap between the first two BM25 query terms per
+    document, top-20 (ops/textstats.term_proximity) — the Tao & Zhai
+    min-distance proximity feature; O(tf_a+tf_b) merged-order lag, not
+    the position cross join."""
+    from drone_spark.ops.textstats import term_proximity
+
+    return term_proximity(
+        _read(spark, sf_dir, "documents"), BM25_TERMS[0], BM25_TERMS[1], k=20
+    )
+
+
+def _term_proximity_sql() -> str:
+    from drone_spark.ops.textstats import term_proximity_sql
+
+    return term_proximity_sql(BM25_TERMS[0], BM25_TERMS[1], k=20)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7795,6 +7861,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "walks4": q_walks4,
         "walk_skipgrams": q_walk_skipgrams,
+        "egonet_oddball": q_egonet_oddball,
+        "core_density": q_core_density,
+        "lm_jm": q_lm_jm,
+        "term_proximity": q_term_proximity,
     }
 
 
@@ -8349,6 +8419,10 @@ def oracle_sql() -> dict[str, str]:
     out["forest_fire"] = _forest_fire_sql()
     out["betweenness"] = _betweenness_sql()
     out["lm_dirichlet"] = _lm_dirichlet_sql()
+    out["egonet_oddball"] = _egonet_oddball_sql()
+    out["core_density"] = _core_density_sql()
+    out["lm_jm"] = _lm_jm_sql()
+    out["term_proximity"] = _term_proximity_sql()
     out["fastrp2"] = _fastrp2_sql()
     out["textrank"] = _textrank_sql()
     out["four_cliques"] = _four_cliques_sql()

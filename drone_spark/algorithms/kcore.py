@@ -436,3 +436,100 @@ def onion_layers_sql(edges_cte: str, rounds: int = 16) -> str:
         " FROM walk GROUP BY id)"
         f" WHERE layer <= {rounds}"
     )
+
+
+def core_density(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Density profile of the k-core hierarchy — for every level k the
+    induced subgraph on vertices with H-coreness ≥ k (Charikar's greedy
+    densest-subgraph certificate walks exactly these shells; on web
+    graphs the density-vs-k elbow locates the spam-farm core). Levels
+    come from :func:`coreness_h` at a fixed ``rounds`` prefix (the
+    katz_fixed convention), so Spark and the DuckDB twin agree
+    bit-for-bit.
+
+    Plan shape: coreness once, then ONE join of the undirected edge
+    table against the |V|-row coreness table on each endpoint (an edge
+    survives level k iff min(c_src, c_dst) ≥ k), and the per-k totals
+    are suffix sums — a window cumulative over the ≤max-coreness-row
+    histogram, never a per-k rescan of the edge table. density_ppm =
+    ⌊10⁶·2E_k / V_k⌋ (average degree within the shell, scaled) in
+    exact integer arithmetic. Result: (k, n_vertices, n_edges,
+    density_ppm), one row per OBSERVED coreness level ≥ 1 (an absent
+    k's shell equals the next observed level's row).
+    """
+    from pyspark.sql import Window
+
+    c = coreness_h(edges, rounds=rounds)
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    lvl = (
+        und.join(c.select(F.col("vid").alias("a"), F.col("coreness").alias("ca")), "a")
+        .join(c.select(F.col("vid").alias("b"), F.col("coreness").alias("cb")), "b")
+        .select(F.least("ca", "cb").alias("lvl"))
+    )
+    eh = lvl.groupBy("lvl").agg(F.count(F.lit(1)).alias("ne"))
+    vh = c.groupBy(F.col("coreness").alias("lvl")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    w = (
+        Window.orderBy(F.col("lvl").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        vh.join(eh, "lvl", "full")
+        .select(
+            "lvl",
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+        )
+        .select(
+            "lvl",
+            F.sum("nv").over(w).cast("long").alias("n_vertices"),
+            F.sum("ne").over(w).cast("long").alias("n_edges"),
+        )
+    )
+    return hist.where(F.col("lvl") >= 1).select(
+        F.col("lvl").cast("long").alias("k"),
+        "n_vertices",
+        "n_edges",
+        F.floor(
+            F.lit(2_000_000) * F.col("n_edges") / F.col("n_vertices")
+        )
+        .cast("long")
+        .alias("density_ppm"),
+    )
+
+
+def core_density_sql(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`core_density` (wraps the coreness_h twin
+    as a derived-table CTE; suffix sums via the same descending window)."""
+    inner = coreness_h_sql(edges_cte, rounds=rounds)
+    return (
+        f"WITH core AS ({inner}), "
+        f"{edges_cte}, "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        "FROM edges WHERE src <> dst), "
+        "lvl AS (SELECT LEAST(ca.coreness, cb.coreness) AS lvl FROM und "
+        "JOIN core ca ON ca.vid = und.a JOIN core cb ON cb.vid = und.b), "
+        "eh AS (SELECT lvl, CAST(COUNT(*) AS BIGINT) AS ne FROM lvl GROUP BY lvl), "
+        "vh AS (SELECT coreness AS lvl, CAST(COUNT(*) AS BIGINT) AS nv "
+        "FROM core GROUP BY coreness), "
+        "hist AS (SELECT COALESCE(vh.lvl, eh.lvl) AS lvl, "
+        "COALESCE(nv, 0) AS nv, COALESCE(ne, 0) AS ne "
+        "FROM vh FULL JOIN eh ON vh.lvl = eh.lvl), "
+        "cum AS (SELECT lvl, CAST(SUM(nv) OVER (ORDER BY lvl DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS n_vertices, "
+        "CAST(SUM(ne) OVER (ORDER BY lvl DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS n_edges FROM hist) "
+        "SELECT CAST(lvl AS BIGINT) AS k, n_vertices, n_edges, "
+        "CAST(FLOOR(2000000 * n_edges / n_vertices) AS BIGINT) AS density_ppm "
+        "FROM cum WHERE lvl >= 1"
+    )

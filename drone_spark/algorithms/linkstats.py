@@ -1771,3 +1771,76 @@ def twin_classes_sql(edges_cte: str, edges_rel: str = "edges") -> str:
         "CAST(SUM(class_size) AS BIGINT) AS n_vertices "
         "FROM classes GROUP BY class_size"
     )
+
+
+def egonet_features(edges: DataFrame) -> DataFrame:
+    """OddBall egonet census (Akoglu, McGlohon & Faloutsos, PAKDD 2010)
+    — the per-vertex anomaly features that separate near-cliques (spam
+    link farms, mutual-admiration rings) from near-stars (scrapers,
+    doorway hubs) on a web link graph. For each vertex v on the
+    undirected simple graph, the egonet is v plus its neighbors and
+    every edge among them, so
+
+        ego_nodes = deg(v) + 1
+        ego_edges = deg(v) + T(v)        (spokes + neighbor-neighbor)
+
+    where T(v) is the triangle count through v — :func:`vertex_triangles`
+    reuses the degree-ordered orientation, so the enumeration is
+    O(#triangles) even with hubs. Density is reported in exact integer
+    ppm of the clique maximum (``2·E / (N·(N−1))``); ``is_clique`` /
+    ``is_star`` are the exact structural extremes (OddBall flags the
+    in-betweens by distance from the log-log power-law fit; the exact
+    flags keep the operator integer-deterministic for the oracle gate).
+    Pure relational plan — one symmetric degree agg, one triangle
+    enumeration, one join; no Python. Result: (vid, ego_nodes,
+    ego_edges, density_ppm, is_clique, is_star) with 0/1 int flags.
+    """
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    t = vertex_triangles(edges)
+    tri = F.coalesce("n_triangles", F.lit(0)).cast("long")
+    n = (F.col("deg") + F.lit(1)).cast("long")
+    e = (F.col("deg") + tri).cast("long")
+    return deg.join(t, "id", "left").select(
+        F.col("id").alias("vid"),
+        n.alias("ego_nodes"),
+        e.alias("ego_edges"),
+        F.floor(F.lit(2_000_000) * e / (n * (n - F.lit(1))))
+        .cast("long")
+        .alias("density_ppm"),
+        F.when(F.lit(2) * e == n * (n - F.lit(1)), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_clique"),
+        F.when((tri == 0) & (F.col("deg") >= 2), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_star"),
+    )
+
+
+def egonet_features_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`egonet_features` — same one-row-per-corner
+    triangle CTE as the clustering_coefficient oracle, BIGINT-pinned."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM sym GROUP BY src), "
+        "tri AS (SELECT e1.src AS v, CAST(COUNT(*) AS BIGINT) AS t "
+        "FROM sym e1 JOIN sym e2 ON e2.src = e1.src AND e1.dst < e2.dst "
+        "JOIN sym e3 ON e3.src = e1.dst AND e3.dst = e2.dst GROUP BY e1.src), "
+        "ego AS (SELECT d.id AS vid, d.deg + 1 AS n,"
+        " d.deg + COALESCE(t.t, 0) AS e, COALESCE(t.t, 0) AS t, d.deg AS deg "
+        "FROM deg d LEFT JOIN tri t ON t.v = d.id) "
+        "SELECT vid, CAST(n AS BIGINT) AS ego_nodes,"
+        " CAST(e AS BIGINT) AS ego_edges, "
+        "CAST(FLOOR(2000000 * e / (n * (n - 1))) AS BIGINT) AS density_ppm, "
+        "CAST(CASE WHEN 2 * e = n * (n - 1) THEN 1 ELSE 0 END AS BIGINT)"
+        " AS is_clique, "
+        "CAST(CASE WHEN t = 0 AND deg >= 2 THEN 1 ELSE 0 END AS BIGINT)"
+        " AS is_star "
+        "FROM ego"
+    )

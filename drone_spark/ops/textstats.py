@@ -1495,3 +1495,171 @@ def gopher_rules_sql(
         "AND 5 * n_alpha_words >= 4 * n_words AND n_stop >= 2) AS passed "
         "FROM feats"
     )
+
+
+def lm_jm_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    lam: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Jelinek-Mercer smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the fixed-λ interpolation counterpart of
+    :func:`lm_dirichlet_topk` (Dirichlet adapts smoothing to document
+    length; JM is the verbosity-insensitive baseline the same paper
+    recommends for verbose queries):
+
+        score(q,d) = Σ_{t∈q} ln( (1−λ)·tf_td/dl_d + λ·c_t/N )
+
+    Identical plan shape to the Dirichlet scorer — docs × |q| grid via
+    a broadcast cross join, left join onto tf, one codegen aggregate —
+    and the same conventions: OOV query terms drop, empty-normalized
+    docs drop, scores round to 6 decimals, ties break on id."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+    )
+    tf = toks.groupBy("did", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+    n_total = toks.count()
+    spark = docs.sparkSession
+    qt = spark.createDataFrame([(t,) for t in query_terms], "token string")
+    gc = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+        .join(F.broadcast(qt), "token")
+    )
+    grid = dl.crossJoin(F.broadcast(gc))
+    term = F.log(
+        F.lit(1.0 - lam) * F.coalesce("tf", F.lit(0)) / F.col("dl")
+        + F.lit(lam) * F.col("c_t") / F.lit(float(n_total))
+    )
+    return (
+        grid.join(tf, ["did", "token"], "left")
+        .groupBy("did")
+        .agg(F.round(F.sum(term), 6).alias("score"))
+        .select(F.col("did").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lm_jm_topk_sql(
+    query_terms: list[str],
+    k: int = 20,
+    lam: float = 0.5,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`lm_jm_topk`."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id AS did, unnest(string_split(nt, ' ')) AS token "
+        "FROM norm), "
+        "tfl AS (SELECT did, token FROM toks WHERE length(token) > 0), "
+        "tf AS (SELECT did, token, COUNT(*) AS tf FROM tfl GROUP BY 1, 2), "
+        "dl AS (SELECT did, COUNT(*) AS dl FROM tfl GROUP BY did), "
+        "nt AS (SELECT COUNT(*) AS n FROM tfl), "
+        f"qt AS (SELECT unnest([{terms}]) AS token), "
+        "gc AS (SELECT g.token, g.c_t FROM "
+        "(SELECT token, COUNT(*) AS c_t FROM tfl GROUP BY token) g "
+        "JOIN qt ON g.token = qt.token), "
+        "grid AS (SELECT dl.did, dl.dl, gc.token, gc.c_t FROM dl CROSS JOIN gc), "
+        f"scored AS (SELECT grid.did, ROUND(SUM(LN({1.0 - lam} * "
+        "COALESCE(tf.tf, 0) / grid.dl + "
+        f"{lam} * grid.c_t / CAST(nt.n AS DOUBLE))), 6) "
+        "AS score FROM grid LEFT JOIN tf ON tf.did = grid.did "
+        "AND tf.token = grid.token, nt GROUP BY grid.did) "
+        f"SELECT did AS doc_id, score FROM scored "
+        f"ORDER BY score DESC, did ASC LIMIT {k}"
+    )
+
+
+def term_proximity(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Minimum positional gap between two query terms per document —
+    the proximity feature ranking stacks on top of BM25 (Tao & Zhai,
+    SIGIR 2007 show min-distance is the strongest of the proximity
+    aggregates). For each document containing BOTH terms, report
+    min |pos_a − pos_b| and rank ascending.
+
+    Scale shape: the closest cross-term pair is always ADJACENT in the
+    merged position order (anything strictly between an optimal pair
+    would itself form a closer pair), so the plan is a per-doc window
+    lag over the two terms' position lists — O(tf_a + tf_b) rows per
+    document, never the tf_a × tf_b position cross join. Pure codegen:
+    posexplode, one window, one min aggregate. Result: (doc_id,
+    min_gap, n_a, n_b) top-k by (min_gap asc, doc_id asc)."""
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(F.split(norm_text(text_col), " ")).alias("pos", "token"),
+    ).where(F.col("token").isin([term_a, term_b]))
+    lab = toks.select(
+        "did", "pos", (F.col("token") == term_a).cast("int").alias("lab")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("did").orderBy("pos")
+    gaps = (
+        lab.select(
+            "did",
+            "pos",
+            "lab",
+            F.lag("pos").over(w).alias("ppos"),
+            F.lag("lab").over(w).alias("plab"),
+        )
+        .where(F.col("plab").isNotNull() & (F.col("plab") != F.col("lab")))
+        .groupBy("did")
+        .agg(F.min(F.col("pos") - F.col("ppos")).cast("long").alias("min_gap"))
+    )
+    counts = lab.groupBy("did").agg(
+        F.sum("lab").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("lab")).cast("long").alias("n_b"),
+    )
+    return (
+        gaps.join(counts, "did")
+        .select(F.col("did").alias(id_col), "min_gap", "n_a", "n_b")
+        .orderBy(F.asc("min_gap"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def term_proximity_sql(
+    term_a: str,
+    term_b: str,
+    k: int = 20,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`term_proximity` — same merged-order lag."""
+    ta = term_a.replace("'", "''")
+    tb = term_b.replace("'", "''")
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks0 AS (SELECT doc_id AS did, "
+        "UNNEST(list_transform(string_split(nt, ' '), "
+        "(x, i) -> {'token': x, 'pos': i}), recursive := true) FROM norm), "
+        f"lab AS (SELECT did, CAST(pos - 1 AS BIGINT) AS pos, "
+        f"CASE WHEN token = '{ta}' THEN 1 ELSE 0 END AS lab "
+        f"FROM toks0 WHERE token IN ('{ta}', '{tb}')), "
+        "lagged AS (SELECT did, pos, lab, "
+        "LAG(pos) OVER (PARTITION BY did ORDER BY pos) AS ppos, "
+        "LAG(lab) OVER (PARTITION BY did ORDER BY pos) AS plab FROM lab), "
+        "gaps AS (SELECT did, CAST(MIN(pos - ppos) AS BIGINT) AS min_gap "
+        "FROM lagged WHERE plab IS NOT NULL AND plab <> lab GROUP BY did), "
+        "counts AS (SELECT did, CAST(SUM(lab) AS BIGINT) AS n_a, "
+        "CAST(SUM(1 - lab) AS BIGINT) AS n_b FROM lab GROUP BY did) "
+        "SELECT g.did AS doc_id, g.min_gap, c.n_a, c.n_b "
+        "FROM gaps g JOIN counts c ON c.did = g.did "
+        f"ORDER BY g.min_gap ASC, g.did ASC LIMIT {k}"
+    )
