@@ -7562,6 +7562,96 @@ def _term_proximity_sql() -> str:
     return term_proximity_sql(BM25_TERMS[0], BM25_TERMS[1], k=20)
 
 
+def q_scan_clusters(spark, sf_dir):
+    """SCAN structural clustering (Xu et al. KDD 2007) on the
+    co-purchase graph — exact squared-ε similarity filter (ε²=1/30,
+    μ=3; the co-purchase graph is dense, so σ runs small — p99.9 of σ²
+    is ~0.038 at sf0.01 and the textbook ε=0.7 keeps nothing) over
+    triangle support, then the iterative CC kernel over core-core
+    ε-edges (linkstats.scan_clusters); (vid, cluster) for core
+    vertices."""
+    from drone_spark.algorithms.linkstats import scan_clusters
+
+    return scan_clusters(
+        spark, _engine(spark), _copurchase_edges(spark, sf_dir),
+        eps2_num=1, eps2_den=30, run_id="entry_scan",
+    )
+
+
+def _scan_clusters_sql() -> str:
+    from drone_spark.algorithms.linkstats import scan_clusters_sql
+
+    return scan_clusters_sql(SQL_COPURCHASE, eps2_num=1, eps2_den=30)
+
+
+def q_log_odds_keyness(spark, sf_dir):
+    """'Fightin' Words' keyness: log-odds with Dirichlet prior, en vs
+    rest, top-25 by z (ops/corpusstats.log_odds_keyness)."""
+    from drone_spark.ops.corpusstats import log_odds_keyness
+
+    return log_odds_keyness(_read(spark, sf_dir, "documents"))
+
+
+def _log_odds_keyness_sql() -> str:
+    from drone_spark.ops.corpusstats import log_odds_keyness_sql
+
+    return log_odds_keyness_sql()
+
+
+def q_spell_variants(spark, sf_dir):
+    """Unit-edit-distance low-frequency variants of the head terms —
+    the Norvig-style misspelling sweep; length-banded broadcast join,
+    Levenshtein in codegen (ops/corpusstats.spell_variants). The
+    synthetic corpus is typo-free (31-token vocabulary), so — the
+    redact_pii convention — every 13th doc gets a deterministic
+    corruption appended (first token, last char → 'x') in BOTH
+    dialects; the operator then has real work to find."""
+    from drone_spark.ops.corpusstats import spell_variants
+    from drone_spark.ops.textstats import norm_text
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = F.substring_index(norm_text("text"), " ", 1)
+    corrupted = F.concat(
+        F.substring(tok, F.lit(1), F.length(tok) - 1), F.lit("x")
+    )
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" "), corrupted),
+        ).otherwise(F.col("text")),
+    )
+    return spell_variants(aug, min_len=4)
+
+
+def _spell_variants_sql() -> str:
+    from drone_spark.ops.corpusstats import spell_variants_sql
+    from drone_spark.ops.textstats import NORM_SQL
+
+    tok = f"split_part({NORM_SQL}, ' ', 1)"
+    pre = (
+        "aug AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN "
+        f"text || ' ' || substr({tok}, 1, length({tok}) - 1) || 'x' "
+        "ELSE text END AS text FROM documents)"
+    )
+    return spell_variants_sql(min_len=4, doc_table="aug", pre_cte=pre)
+
+
+def q_mmr_topk(spark, sf_dir):
+    """Maximal Marginal Relevance diversified top-10 over a 20-vector
+    centroid-relevance pool (ops/similarity.mmr_topk); greedy argmax on
+    round-6 scores, oracle = the 10 steps unrolled as argmax CTEs."""
+    from drone_spark.ops.similarity import mmr_topk
+
+    return mmr_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def _mmr_topk_sql() -> str:
+    from drone_spark.ops.similarity import mmr_topk_sql
+
+    return mmr_topk_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7865,6 +7955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_density": q_core_density,
         "lm_jm": q_lm_jm,
         "term_proximity": q_term_proximity,
+        "scan_clusters": q_scan_clusters,
+        "log_odds_keyness": q_log_odds_keyness,
+        "spell_variants": q_spell_variants,
+        "mmr_topk": q_mmr_topk,
     }
 
 
@@ -8423,6 +8517,10 @@ def oracle_sql() -> dict[str, str]:
     out["core_density"] = _core_density_sql()
     out["lm_jm"] = _lm_jm_sql()
     out["term_proximity"] = _term_proximity_sql()
+    out["scan_clusters"] = _scan_clusters_sql()
+    out["log_odds_keyness"] = _log_odds_keyness_sql()
+    out["spell_variants"] = _spell_variants_sql()
+    out["mmr_topk"] = _mmr_topk_sql()
     out["fastrp2"] = _fastrp2_sql()
     out["textrank"] = _textrank_sql()
     out["four_cliques"] = _four_cliques_sql()

@@ -1844,3 +1844,138 @@ def egonet_features_sql(edges_cte: str) -> str:
         " AS is_star "
         "FROM ego"
     )
+
+
+def scan_core_edges(
+    edges: DataFrame,
+    eps2_num: int = 49,
+    eps2_den: int = 100,
+    mu: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """SCAN structural similarity (Xu, Yuruk, Feng & Schweiger, KDD
+    2007) — the σ-threshold machinery under :func:`scan_clusters`.
+    For each undirected edge, σ(u,v) = |Γ(u)∩Γ(v)| / √(|Γ(u)|·|Γ(v)|)
+    over CLOSED neighborhoods; (u,v) is ε-similar iff σ ≥ ε, and a
+    vertex is a CORE iff its closed ε-neighborhood has ≥ μ members.
+    The ε-test is evaluated in exact integers by squaring — with
+    ε² = eps2_num/eps2_den, σ ≥ ε ⟺ eps2_den·(cn+2)² ≥
+    eps2_num·(deg_u+1)·(deg_v+1) (cn = shared OPEN neighbors, the
+    edge's triangle support; +2/+1 close the neighborhoods) — so the
+    filter is deterministic and oracle-exact, no float sqrt.
+
+    Support comes from :func:`~drone_spark.algorithms.trusses.
+    edge_support` (degree-ordered triangle enumeration — O(#triangles),
+    hub-safe, support-0 edges kept: low-degree pairs can pass ε with
+    zero shared neighbors). Returns (eps_edges, cores): the ε-similar
+    canonical edge set (u < v) and the core vertex ids.
+    """
+    from .trusses import edge_support
+
+    sup = edge_support(edges)
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    cn = F.col("support") + F.lit(2)
+    ok = (
+        sup.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+        .where(
+            F.lit(eps2_den) * cn * cn
+            >= F.lit(eps2_num) * (F.col("du") + 1) * (F.col("dv") + 1)
+        )
+        .select("u", "v")
+    )
+    epsdeg = (
+        ok.select(F.col("u").alias("id"))
+        .unionAll(ok.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    cores = epsdeg.where(F.col("nd") + 1 >= mu).select("id")
+    return ok, cores
+
+
+def scan_clusters(
+    spark,
+    engine,
+    edges: DataFrame,
+    eps2_num: int = 49,
+    eps2_den: int = 100,
+    mu: int = 3,
+    run_id: str = "scan",
+    max_supersteps: int = 100,
+) -> DataFrame:
+    """SCAN clustering (Xu et al., KDD 2007), core clusters: connected
+    components over the ε-similar edges BETWEEN core vertices, labeled
+    by component-min vid; ε-isolated cores are singleton clusters.
+    (SCAN further attaches borders and names hubs/outliers — the core
+    partition is the stable part and keeps the operator deterministic;
+    borders follow by one more join on the ε-edge set.)
+
+    The closure reuses the iterative CC kernel (algorithms/cc.py) —
+    frontier-routed min-label passing, NOT a driver-side union-find —
+    so the clustering step scales like any other graph job; the
+    σ-filter before it already shrank the edge set. Result: (vid,
+    cluster) over core vertices only.
+    """
+    from .cc import connected_components
+
+    ok, cores = scan_core_edges(edges, eps2_num, eps2_den, mu)
+    core_edges = (
+        ok.join(cores.withColumnRenamed("id", "u"), "u")
+        .join(cores.withColumnRenamed("id", "v"), "v")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    res = connected_components(
+        spark, engine, core_edges, run_id=run_id,
+        backend="relational", max_supersteps=max_supersteps,
+    )
+    comp = res.state.select(
+        F.col("vid").alias("id"), F.col("label").alias("cluster")
+    )
+    return cores.join(comp, "id", "left").select(
+        F.col("id").alias("vid"),
+        F.coalesce("cluster", F.col("id")).cast("long").alias("cluster"),
+    )
+
+
+def scan_clusters_sql(
+    edges_cte: str,
+    eps2_num: int = 49,
+    eps2_den: int = 100,
+    mu: int = 3,
+) -> str:
+    """DuckDB twin of :func:`scan_clusters` — support via the canonical
+    3-way join (support-0 edges kept by the left join), the same exact
+    squared-ε filter, recursive min-label walk over core-core edges."""
+    return (
+        f"WITH RECURSIVE {edges_cte}, "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v "
+        "FROM edges WHERE src <> dst), "
+        "usym AS (SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und), "
+        "deg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM usym GROUP BY s), "
+        "tri AS (SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS support "
+        "FROM und e JOIN usym a ON a.s = e.u JOIN usym b ON b.s = e.v "
+        "AND b.d = a.d GROUP BY e.u, e.v), "
+        "sup AS (SELECT und.u, und.v, COALESCE(tri.support, 0) AS support "
+        "FROM und LEFT JOIN tri ON tri.u = und.u AND tri.v = und.v), "
+        "ok AS (SELECT s.u, s.v FROM sup s "
+        "JOIN deg a ON a.id = s.u JOIN deg b ON b.id = s.v "
+        f"WHERE {eps2_den} * (s.support + 2) * (s.support + 2) >= "
+        f"{eps2_num} * (a.deg + 1) * (b.deg + 1)), "
+        "epsdeg AS (SELECT id, COUNT(*) AS nd FROM "
+        "(SELECT u AS id FROM ok UNION ALL SELECT v FROM ok) GROUP BY id), "
+        f"cores AS (SELECT id FROM epsdeg WHERE nd + 1 >= {mu}), "
+        "ce AS (SELECT ok.u, ok.v FROM ok "
+        "JOIN cores cu ON cu.id = ok.u JOIN cores cv ON cv.id = ok.v), "
+        "cesym AS (SELECT u AS s, v AS d FROM ce UNION ALL SELECT v, u FROM ce), "
+        "walk(id, lab) AS ("
+        " SELECT id, id FROM cores"
+        " UNION"
+        " SELECT s.d, w.lab FROM walk w JOIN cesym s ON s.s = w.id"
+        " WHERE w.lab < s.d) "
+        "SELECT id AS vid, CAST(MIN(lab) AS BIGINT) AS cluster "
+        "FROM walk GROUP BY id"
+    )

@@ -1221,3 +1221,170 @@ def next_token_top3_sql(
         "CAST((1000000 * n12) // c1 AS BIGINT) AS p_ppm "
         f"FROM ranked WHERE rank <= {per_ctx}"
     )
+
+
+def log_odds_keyness(
+    docs: DataFrame,
+    group_value: str = "en",
+    group_col: str = "lang",
+    k: int = 25,
+    alpha: float = 0.5,
+    min_count: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-comparison keyness via log-odds with a Dirichlet prior
+    (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — the measure
+    that fixes both raw-frequency bias (PMI's rare-word explosion) and
+    χ²'s high-frequency bias when asking "which words typify corpus A
+    vs corpus B". Group A = rows with ``group_col = group_value``,
+    B = the rest; per term with y₁+y₂ ≥ min_count,
+
+        δ_t = ln((y₁+α)/(n₁+αV−y₁−α)) − ln((y₂+α)/(n₂+αV−y₂−α))
+        z_t = δ_t / √(1/(y₁+α) + 1/(y₂+α))
+
+    All inputs to the scalar math are exact integer aggregates (token
+    counts, totals, vocab size), so the doubles are order-independent
+    and the twin hash-matches; z rounds to 6. One tokenize pass, two
+    hash aggregates, a broadcastable scalar row — no Python. Result:
+    top-k (token, y_a, y_b, z) by z desc, tiebreak token."""
+    toks = docs.select(
+        (F.col(group_col) == group_value).cast("int").alias("ga"),
+        F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+    ).where(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(
+        F.sum("ga").cast("long").alias("y1"),
+        F.sum(F.lit(1) - F.col("ga")).cast("long").alias("y2"),
+    )
+    totals = counts.agg(
+        F.sum("y1").alias("n1"),
+        F.sum("y2").alias("n2"),
+        F.count(F.lit(1)).alias("vv"),
+    )
+    a = F.lit(alpha)
+    delta = F.log(
+        (F.col("y1") + a) / (F.col("n1") + a * F.col("vv") - F.col("y1") - a)
+    ) - F.log(
+        (F.col("y2") + a) / (F.col("n2") + a * F.col("vv") - F.col("y2") - a)
+    )
+    var = 1.0 / (F.col("y1") + a) + 1.0 / (F.col("y2") + a)
+    return (
+        counts.where(F.col("y1") + F.col("y2") >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.col("y1").alias("y_a"),
+            F.col("y2").alias("y_b"),
+            F.round(delta / F.sqrt(var), 6).alias("z"),
+        )
+        .orderBy(F.desc("z"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def log_odds_keyness_sql(
+    group_value: str = "en",
+    group_col: str = "lang",
+    k: int = 25,
+    alpha: float = 0.5,
+    min_count: int = 10,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`log_odds_keyness`."""
+    gv = group_value.replace("'", "''")
+    return (
+        f"WITH norm AS (SELECT CASE WHEN {group_col} = '{gv}' THEN 1 ELSE 0 END"
+        f" AS ga, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT ga, unnest(string_split(nt, ' ')) AS token FROM norm), "
+        "tfl AS (SELECT ga, token FROM toks WHERE length(token) > 0), "
+        "counts AS (SELECT token, CAST(SUM(ga) AS BIGINT) AS y1, "
+        "CAST(SUM(1 - ga) AS BIGINT) AS y2 FROM tfl GROUP BY token), "
+        "totals AS (SELECT SUM(y1) AS n1, SUM(y2) AS n2, "
+        "COUNT(*) AS vv FROM counts) "
+        "SELECT token, y1 AS y_a, y2 AS y_b, "
+        f"ROUND((LN((y1 + {alpha}) / (n1 + {alpha} * vv - y1 - {alpha})) - "
+        f"LN((y2 + {alpha}) / (n2 + {alpha} * vv - y2 - {alpha}))) / "
+        f"SQRT(1.0 / (y1 + {alpha}) + 1.0 / (y2 + {alpha})), 6) AS z "
+        f"FROM counts CROSS JOIN totals WHERE y1 + y2 >= {min_count} "
+        f"ORDER BY z DESC, token ASC LIMIT {k}"
+    )
+
+
+def spell_variants(
+    docs: DataFrame,
+    k_terms: int = 50,
+    min_len: int = 5,
+    ratio_den: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Likely misspellings / OCR slips of the corpus's head terms: for
+    each of the top ``k_terms`` tokens (length ≥ min_len, frequency
+    desc, tiebreak token), every vocab token at Levenshtein distance
+    EXACTLY 1 whose count is ≤ head_count / ratio_den — the classic
+    frequency-asymmetry + unit-edit heuristic (Norvig's speller; the
+    cleanup pass web-corpus curation runs before vocabulary cuts).
+
+    Scale shape: the head table is ≤ k_terms rows and BROADCAST; the
+    vocab side is pre-pruned by the length band |len−len(term)| ≤ 1
+    (necessary for distance 1) before the Levenshtein evaluates, so
+    the join is a broadcast nested loop over a band-filtered vocab —
+    never vocab × vocab. Levenshtein is unit-cost in both engines.
+    Result: (term, variant, term_count, variant_count)."""
+    freq = (
+        docs.select(
+            F.explode(F.split(norm_text(text_col), " ")).alias("token")
+        )
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = (
+        freq.where(F.length("token") >= min_len)
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k_terms)
+        .select(F.col("token").alias("term"), F.col("cnt").alias("term_count"))
+    )
+    cand = freq.select(
+        F.col("token").alias("variant"), F.col("cnt").alias("variant_count")
+    )
+    return (
+        cand.join(
+            F.broadcast(head),
+            (
+                F.abs(F.length("variant") - F.length("term")) <= 1
+            )
+            & (F.col("variant") != F.col("term"))
+            & (F.col("variant_count") * ratio_den <= F.col("term_count"))
+            & (F.levenshtein("term", "variant") == 1),
+        )
+        .select("term", "variant", "term_count", "variant_count")
+    )
+
+
+def spell_variants_sql(
+    k_terms: int = 50,
+    min_len: int = 5,
+    ratio_den: int = 10,
+    doc_table: str = "documents",
+    pre_cte: str = "",
+) -> str:
+    """DuckDB twin of :func:`spell_variants`. ``pre_cte``: optional
+    leading CTE(s) (e.g. a deterministic corruption-injection CTE the
+    redact_pii oracle pattern uses) spliced in before ``norm``; pass
+    ``doc_table`` naming the CTE's output relation."""
+    pre = f"{pre_cte}, " if pre_cte else ""
+    return (
+        f"WITH {pre}norm AS (SELECT {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT unnest(string_split(nt, ' ')) AS token FROM norm), "
+        "freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM toks WHERE length(token) > 0 GROUP BY token), "
+        "head AS (SELECT token AS term, cnt AS term_count FROM freq "
+        f"WHERE length(token) >= {min_len} "
+        f"ORDER BY cnt DESC, token ASC LIMIT {k_terms}) "
+        "SELECT h.term, f.token AS variant, h.term_count, "
+        "f.cnt AS variant_count "
+        "FROM freq f JOIN head h ON "
+        "ABS(length(f.token) - length(h.term)) <= 1 "
+        "AND f.token <> h.term "
+        f"AND f.cnt * {ratio_den} <= h.term_count "
+        "AND levenshtein(h.term, f.token) = 1"
+    )

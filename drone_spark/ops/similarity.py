@@ -1212,3 +1212,159 @@ def semdedup(
         "cluster",
         F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — diversified top-k: greedily pick the vector maximizing
+    λ·rel(v) − (1−λ)·max_{s∈selected} sim(v, s), where rel is cosine to
+    the corpus centroid (the parameter-free stand-in for a query vector)
+    and sim is pairwise cosine. This is THE standard redundancy guard on
+    retrieval results and dedup-aware sample selection.
+
+    Scale shape: relevance is ONE distributed pass (long-form dim join
+    against the broadcast centroid — label_medoids' plan); the greedy
+    loop then runs over the top-``pool`` candidates only. Pool scores
+    (≤pool rows) and pool-pairwise cosines (≤pool² rows) are collected
+    to the driver — constant-bounded scalar reads, the kmeans-centroid
+    convention — and the inherently sequential k-step argmax runs on
+    those ≤pool² scalars; the full corpus is never collected. rel/sim
+    round to 6 before the loop, so the greedy comparisons see identical
+    doubles in both engines; ties break on id. Result: (rank, vec_id,
+    rel) in selection order."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.transform(vec_col, lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    cent = e.groupBy("dim").agg(F.avg("val").alias("c"))
+    cnorm = cent.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+    vnorm = e.groupBy("vid").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    rel = (
+        e.join(F.broadcast(cent), "dim")
+        .groupBy("vid")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+        .crossJoin(F.broadcast(cnorm))
+        .join(vnorm, "vid")
+        .select(
+            "vid", F.round(F.col("dot") / (F.col("cn") * F.col("vn")), 6).alias("rel")
+        )
+        .orderBy(F.desc("rel"), F.asc("vid"))
+        .limit(pool)
+    )
+    pool_rows = rel.collect()
+    pool_ids = [r["vid"] for r in pool_rows]
+    pe = e.join(
+        F.broadcast(
+            embeddings.sparkSession.createDataFrame(
+                [(i,) for i in pool_ids], "vid long"
+            )
+        ),
+        "vid",
+    )
+    a = pe.select(F.col("vid").alias("a"), "dim", F.col("val").alias("va"))
+    b = pe.select(F.col("vid").alias("b"), "dim", F.col("val").alias("vb"))
+    sims_rows = (
+        a.join(b, "dim")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        .join(vnorm.select(F.col("vid").alias("a"), F.col("vn").alias("na")), "a")
+        .join(vnorm.select(F.col("vid").alias("b"), F.col("vn").alias("nb")), "b")
+        .select(
+            "a", "b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+        .collect()
+    )
+    sim = {}
+    for r in sims_rows:
+        sim[(r["a"], r["b"])] = r["sim"]
+        sim[(r["b"], r["a"])] = r["sim"]
+    rels = {r["vid"]: r["rel"] for r in pool_rows}
+    selected: list[int] = []
+    remaining = sorted(pool_ids)
+    while remaining and len(selected) < k:
+        if not selected:
+            best = sorted(remaining, key=lambda v: (-rels[v], v))[0]
+        else:
+            best = sorted(
+                remaining,
+                key=lambda v: (
+                    -(
+                        lam * rels[v]
+                        - (1.0 - lam)
+                        * max(sim[(v, s)] for s in selected)
+                    ),
+                    v,
+                ),
+            )[0]
+        selected.append(best)
+        remaining.remove(best)
+    out = [(i + 1, v, rels[v]) for i, v in enumerate(selected)]
+    return embeddings.sparkSession.createDataFrame(
+        out, "rank long, vec_id long, rel double"
+    )
+
+
+def mmr_topk_sql(
+    k: int = 10,
+    pool: int = 20,
+    lam: float = 0.7,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`mmr_topk` — the k greedy steps unrolled as
+    chained argmax CTEs (P_i = picks so far, m_i = marginal scores of
+    the rest, s_i = step-i winner), same round-6 rel/sim inputs."""
+    mu = repr(1.0 - lam)
+    lm = repr(lam)
+    # pairwise sims among the pool, symmetric, round 6
+    parts = [
+        f"WITH lv AS MATERIALIZED (SELECT vec_id AS vid, UNNEST(embedding::DOUBLE[]) AS val, "
+        f"generate_subscripts(embedding, 1) AS dim FROM {table})",
+        "cent AS MATERIALIZED (SELECT dim, AVG(val) AS c FROM lv GROUP BY dim)",
+        "cnorm AS (SELECT sqrt(SUM(c * c)) AS cn FROM cent)",
+        "vnorm AS MATERIALIZED (SELECT vid, sqrt(SUM(val * val)) AS vn FROM lv GROUP BY vid)",
+        "pool AS MATERIALIZED (SELECT lv.vid AS id, ROUND(SUM(lv.val * cent.c) / "
+        "(cn.cn * vn.vn), 6) AS rel FROM lv JOIN cent ON cent.dim = lv.dim "
+        "CROSS JOIN cnorm cn JOIN vnorm vn ON vn.vid = lv.vid "
+        "GROUP BY lv.vid, cn.cn, vn.vn "
+        f"ORDER BY rel DESC, lv.vid ASC LIMIT {pool})",
+        "sims AS MATERIALIZED (SELECT pa.id AS a, pb.id AS b, "
+        "ROUND(SUM(la.val * lb.val) / (na.vn * nb.vn), 6) AS sim "
+        "FROM pool pa JOIN pool pb ON pa.id <> pb.id "
+        "JOIN lv la ON la.vid = pa.id "
+        "JOIN lv lb ON lb.vid = pb.id AND lb.dim = la.dim "
+        "JOIN vnorm na ON na.vid = pa.id JOIN vnorm nb ON nb.vid = pb.id "
+        "GROUP BY pa.id, pb.id, na.vn, nb.vn)",
+        "s1 AS MATERIALIZED (SELECT id, rel FROM pool ORDER BY rel DESC, id ASC LIMIT 1)",
+        "p1 AS MATERIALIZED (SELECT id FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT p.id, p.rel, (SELECT MAX(s.sim) FROM sims s "
+            f"WHERE s.a = p.id AND s.b IN (SELECT id FROM p{i-1})) AS ms "
+            f"FROM pool p WHERE p.id NOT IN (SELECT id FROM p{i-1}))"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT id, rel FROM m{i} "
+            f"ORDER BY {lm} * rel - {mu} * ms DESC, id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT id FROM p{i-1} UNION ALL SELECT id FROM s{i})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT {i} AS rank, id AS vec_id, rel FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return ", ".join(parts) + " " + final
