@@ -7652,6 +7652,51 @@ def _mmr_topk_sql() -> str:
     return mmr_topk_sql()
 
 
+def q_collective_influence(spark, sf_dir):
+    """Morone-Makse Collective Influence CI₂ on the co-purchase graph
+    — top-50 optimal-percolation influencers; exact distance-2 ball
+    boundary with the safe-by-default middle-hub cap
+    (linkstats.collective_influence)."""
+    from drone_spark.algorithms.linkstats import collective_influence
+
+    return collective_influence(_copurchase_edges(spark, sf_dir))
+
+
+def _collective_influence_sql() -> str:
+    from drone_spark.algorithms.linkstats import collective_influence_sql
+
+    return collective_influence_sql(SQL_COPURCHASE)
+
+
+def q_walk_entropy_rate(spark, sf_dir):
+    """Random-walk entropy rate of the co-purchase graph, computed
+    over the exact degree histogram (linkstats.walk_entropy_rate)."""
+    from drone_spark.algorithms.linkstats import walk_entropy_rate
+
+    return walk_entropy_rate(_copurchase_edges(spark, sf_dir))
+
+
+def _walk_entropy_rate_sql() -> str:
+    from drone_spark.algorithms.linkstats import walk_entropy_rate_sql
+
+    return walk_entropy_rate_sql(SQL_COPURCHASE)
+
+
+def q_greedy_cover(spark, sf_dir):
+    """Greedy max-coverage doc selection (submodular curation), k=5
+    from a 12-doc pool (ops/corpusstats.greedy_cover); integer gains,
+    oracle = unrolled argmax CTEs."""
+    from drone_spark.ops.corpusstats import greedy_cover
+
+    return greedy_cover(_read(spark, sf_dir, "documents"))
+
+
+def _greedy_cover_sql() -> str:
+    from drone_spark.ops.corpusstats import greedy_cover_sql
+
+    return greedy_cover_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7959,6 +8004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_odds_keyness": q_log_odds_keyness,
         "spell_variants": q_spell_variants,
         "mmr_topk": q_mmr_topk,
+        "collective_influence": q_collective_influence,
+        "walk_entropy_rate": q_walk_entropy_rate,
+        "greedy_cover": q_greedy_cover,
     }
 
 
@@ -8521,6 +8569,9 @@ def oracle_sql() -> dict[str, str]:
     out["log_odds_keyness"] = _log_odds_keyness_sql()
     out["spell_variants"] = _spell_variants_sql()
     out["mmr_topk"] = _mmr_topk_sql()
+    out["collective_influence"] = _collective_influence_sql()
+    out["walk_entropy_rate"] = _walk_entropy_rate_sql()
+    out["greedy_cover"] = _greedy_cover_sql()
     out["fastrp2"] = _fastrp2_sql()
     out["textrank"] = _textrank_sql()
     out["four_cliques"] = _four_cliques_sql()

@@ -1979,3 +1979,136 @@ def scan_clusters_sql(
         "SELECT id AS vid, CAST(MIN(lab) AS BIGINT) AS cluster "
         "FROM walk GROUP BY id"
     )
+
+
+def collective_influence(
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int = 256,
+) -> DataFrame:
+    """Collective Influence at radius 2 (Morone & Makse, Nature 2015)
+    — the optimal-percolation heuristic for finding the influencers
+    whose removal most fragments a network:
+
+        CI₂(v) = (deg v − 1) · Σ_{u : d(v,u)=2} (deg u − 1)
+
+    The ball boundary {u : d(v,u)=2} is exact: neighbors-of-neighbors,
+    minus v itself, minus v's direct neighbors, de-duplicated. Plan:
+    two self-joins of the symmetric edge table + one anti-join — all
+    hash joins, exact integer output.
+
+    Safe-by-default hub cap (the adamic_adar / dedup max_doc_freq
+    contract): a middle vertex m fans its deg(m)² two-hop pairs into
+    the join, so paths THROUGH vertices with deg > ``max_degree`` are
+    skipped — O(cap²) rows per middle vertex, never a hub blow-up; at
+    web scale the skipped hubs are exactly the ones whose boundary
+    contribution the frontier-ball variant (engine superstep) would
+    compute instead. The cap is part of the operator contract and the
+    oracle applies the same filter. Result: top-k (vid, deg, ci) by
+    ci desc, vid asc."""
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mid_ok = deg.where(F.col("deg") <= max_degree).select(
+        F.col("id").alias("m")
+    )
+    hop1 = sym.select(F.col("src").alias("v"), F.col("dst").alias("m"))
+    hop2 = (
+        hop1.join(mid_ok, "m")
+        .join(
+            sym.select(F.col("src").alias("m"), F.col("dst").alias("u")), "m"
+        )
+        .where(F.col("u") != F.col("v"))
+        .select("v", "u")
+        .distinct()
+        .join(
+            sym.select(F.col("src").alias("v"), F.col("dst").alias("u")),
+            ["v", "u"],
+            "left_anti",
+        )
+    )
+    boundary = (
+        hop2.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .groupBy("v")
+        .agg(F.sum(F.col("du") - 1).alias("bsum"))
+    )
+    return (
+        deg.select(F.col("id").alias("v"), "deg")
+        .join(boundary, "v", "left")
+        .select(
+            F.col("v").alias("vid"),
+            F.col("deg").cast("long").alias("deg"),
+            ((F.col("deg") - 1) * F.coalesce("bsum", F.lit(0)))
+            .cast("long")
+            .alias("ci"),
+        )
+        .orderBy(F.desc("ci"), F.asc("vid"))
+        .limit(k)
+    )
+
+
+def collective_influence_sql(
+    edges_cte: str, k: int = 50, max_degree: int = 256
+) -> str:
+    """DuckDB twin of :func:`collective_influence`."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM sym GROUP BY src), "
+        f"midok AS (SELECT id AS m FROM deg WHERE deg <= {max_degree}), "
+        "hop2 AS (SELECT DISTINCT h1.src AS v, h2.dst AS u "
+        "FROM sym h1 JOIN midok ON midok.m = h1.dst "
+        "JOIN sym h2 ON h2.src = h1.dst WHERE h2.dst <> h1.src), "
+        "ball AS (SELECT h.v, h.u FROM hop2 h "
+        "LEFT JOIN sym e ON e.src = h.v AND e.dst = h.u WHERE e.src IS NULL), "
+        "boundary AS (SELECT b.v, SUM(d.deg - 1) AS bsum FROM ball b "
+        "JOIN deg d ON d.id = b.u GROUP BY b.v) "
+        "SELECT d.id AS vid, d.deg, "
+        "CAST((d.deg - 1) * COALESCE(b.bsum, 0) AS BIGINT) AS ci "
+        "FROM deg d LEFT JOIN boundary b ON b.v = d.id "
+        f"ORDER BY ci DESC, vid ASC LIMIT {k}"
+    )
+
+
+def walk_entropy_rate(edges: DataFrame) -> DataFrame:
+    """Entropy rate of the simple random walk on the undirected graph
+    (Burda, Duda, Luck & Waclaw, PRL 2009): with stationary
+    distribution π_v = deg v / 2E, h = Σ_v π_v ln(deg v) — the bits
+    per step the walk generates, the quantity maximal-entropy crawl
+    schedulers compare against. Computed per DEGREE CLASS:
+    h = Σ_d n_d · d · ln d / 2E over the ~dozens of distinct degree
+    values, so the float sum runs over a tiny exact-integer histogram
+    (deterministic across engines) instead of |V| rows. Result: one
+    row (n_vertices, n_edges, entropy_rate round-6)."""
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n"))
+    return hist.agg(
+        F.sum("n").cast("long").alias("n_vertices"),
+        (F.sum(F.col("n") * F.col("deg")) / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.sum(F.col("n") * F.col("deg") * F.log(F.col("deg")))
+            / F.sum(F.col("n") * F.col("deg")),
+            6,
+        ).alias("entropy_rate"),
+    )
+
+
+def walk_entropy_rate_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`walk_entropy_rate`."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM sym GROUP BY src), "
+        "hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n FROM deg "
+        "GROUP BY deg) "
+        "SELECT CAST(SUM(n) AS BIGINT) AS n_vertices, "
+        "CAST(SUM(n * deg) / 2 AS BIGINT) AS n_edges, "
+        "ROUND(SUM(n * deg * LN(deg)) / SUM(n * deg), 6) AS entropy_rate "
+        "FROM hist"
+    )

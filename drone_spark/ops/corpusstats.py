@@ -1388,3 +1388,104 @@ def spell_variants_sql(
         f"AND f.cnt * {ratio_den} <= h.term_count "
         "AND levenshtein(h.term, f.token) = 1"
     )
+
+
+def greedy_cover(
+    docs: DataFrame,
+    k: int = 5,
+    pool: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy maximum-coverage document selection — the (1−1/e)
+    submodular-maximization workhorse behind coverage-driven data
+    curation (pick the k docs that jointly cover the most vocabulary):
+    repeatedly take the document adding the most NOT-yet-covered
+    tokens, ties by doc_id. Candidates are the top-``pool`` docs by
+    distinct-token count (count desc, doc_id asc) — the standard
+    lazy-greedy pool bound.
+
+    Scale shape: tokenize + per-doc distinct counts are distributed
+    one-pass aggregates; only the pool's (doc, token) pairs — ≤ pool ×
+    vocab rows, constant-bounded — are collected for the inherently
+    sequential greedy loop (the mmr_topk / kmeans-centroid scalar-read
+    convention). Pure integer gains, so the twin matches exactly.
+    Result: (rank, doc_id, gain) in selection order."""
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+        .distinct()
+    )
+    pool_df = (
+        dt.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .limit(pool)
+    )
+    pairs = dt.join(pool_df.select("doc_id"), "doc_id").collect()
+    sets: dict[int, set[str]] = {}
+    for r in pairs:
+        sets.setdefault(r["doc_id"], set()).add(r["token"])
+    covered: set[str] = set()
+    out = []
+    remaining = sorted(sets)
+    for rank in range(1, k + 1):
+        if not remaining:
+            break
+        best = sorted(
+            remaining, key=lambda d: (-len(sets[d] - covered), d)
+        )[0]
+        gain = len(sets[best] - covered)
+        out.append((rank, best, gain))
+        covered |= sets[best]
+        remaining.remove(best)
+    return docs.sparkSession.createDataFrame(
+        out, "rank long, doc_id long, gain long"
+    )
+
+
+def greedy_cover_sql(
+    k: int = 5,
+    pool: int = 12,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`greedy_cover` — the k greedy steps
+    unrolled as MATERIALIZED argmax CTEs (the mmr_topk_sql pattern);
+    covered-token state c_i accumulates by UNION."""
+    parts = [
+        f"WITH dt AS MATERIALIZED (SELECT DISTINCT doc_id, token FROM "
+        f"(SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS token "
+        f"FROM {doc_table}) WHERE length(token) > 0)",
+        "pool AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_tokens FROM dt "
+        f"GROUP BY doc_id ORDER BY n_tokens DESC, doc_id ASC LIMIT {pool})",
+        "pdt AS MATERIALIZED (SELECT dt.doc_id, dt.token FROM dt "
+        "JOIN pool ON pool.doc_id = dt.doc_id)",
+        "g1 AS MATERIALIZED (SELECT doc_id, COUNT(*) AS gain FROM pdt "
+        "GROUP BY doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1)",
+        "c1 AS MATERIALIZED (SELECT DISTINCT p.token FROM pdt p "
+        "JOIN g1 ON g1.doc_id = p.doc_id)",
+        "sel1 AS MATERIALIZED (SELECT doc_id FROM g1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT p.doc_id, "
+            f"COUNT(*) FILTER (WHERE c.token IS NULL) AS gain FROM pdt p "
+            f"LEFT JOIN c{i-1} c ON c.token = p.token "
+            f"WHERE p.doc_id NOT IN (SELECT doc_id FROM sel{i-1}) "
+            f"GROUP BY p.doc_id ORDER BY gain DESC, p.doc_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT token FROM c{i-1} UNION "
+            f"SELECT p.token FROM pdt p JOIN g{i} ON g{i}.doc_id = p.doc_id)"
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT doc_id FROM sel{i-1} "
+            f"UNION ALL SELECT doc_id FROM g{i})"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT {i} AS rank, doc_id, CAST(gain AS BIGINT) AS gain FROM g{i}"
+        for i in range(1, k + 1)
+    )
+    return ", ".join(parts) + " " + final
