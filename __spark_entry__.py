@@ -7697,6 +7697,65 @@ def _greedy_cover_sql() -> str:
     return greedy_cover_sql()
 
 
+def q_square_count(spark, sf_dir):
+    """Global 4-cycle census on the co-purchase graph via the
+    diagonal-pair identity, middle-hub capped
+    (linkstats.square_count)."""
+    from drone_spark.algorithms.linkstats import square_count
+
+    return square_count(_copurchase_edges(spark, sf_dir))
+
+
+def _square_count_sql() -> str:
+    from drone_spark.algorithms.linkstats import square_count_sql
+
+    return square_count_sql(SQL_COPURCHASE)
+
+
+def q_rocchio_terms(spark, sf_dir):
+    """Rocchio pseudo-relevance expansion for the BM25 query — tf-idf
+    centroid of the BM25 top-10, top-15 expansion terms
+    (ops/textstats.rocchio_terms)."""
+    from drone_spark.ops.textstats import rocchio_terms
+
+    return rocchio_terms(_read(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+def _rocchio_terms_sql() -> str:
+    from drone_spark.ops.textstats import rocchio_terms_sql
+
+    return rocchio_terms_sql(BM25_TERMS)
+
+
+def q_bounce_rate(spark, sf_dir):
+    """Daily bounce rate over 30-min sessions — single-event sessions
+    per start day, exact integer ppm (ops/events.bounce_rate)."""
+    from drone_spark.ops.events import bounce_rate
+
+    return bounce_rate(_read(spark, sf_dir, "events"))
+
+
+def _bounce_rate_sql() -> str:
+    from drone_spark.ops.events import bounce_rate_sql
+
+    return bounce_rate_sql()
+
+
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between sources over the
+    top-20 corpus terms — the templated-feed/mirror detector
+    (ops/corpusstats.burrows_delta); 20 closest pairs."""
+    from drone_spark.ops.corpusstats import burrows_delta
+
+    return burrows_delta(_read(spark, sf_dir, "documents"))
+
+
+def _burrows_delta_sql() -> str:
+    from drone_spark.ops.corpusstats import burrows_delta_sql
+
+    return burrows_delta_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8007,6 +8066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collective_influence": q_collective_influence,
         "walk_entropy_rate": q_walk_entropy_rate,
         "greedy_cover": q_greedy_cover,
+        "square_count": q_square_count,
+        "rocchio_terms": q_rocchio_terms,
+        "bounce_rate": q_bounce_rate,
+        "burrows_delta": q_burrows_delta,
     }
 
 
@@ -8572,6 +8635,10 @@ def oracle_sql() -> dict[str, str]:
     out["collective_influence"] = _collective_influence_sql()
     out["walk_entropy_rate"] = _walk_entropy_rate_sql()
     out["greedy_cover"] = _greedy_cover_sql()
+    out["square_count"] = _square_count_sql()
+    out["rocchio_terms"] = _rocchio_terms_sql()
+    out["bounce_rate"] = _bounce_rate_sql()
+    out["burrows_delta"] = _burrows_delta_sql()
     out["fastrp2"] = _fastrp2_sql()
     out["textrank"] = _textrank_sql()
     out["four_cliques"] = _four_cliques_sql()

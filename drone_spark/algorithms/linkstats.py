@@ -2112,3 +2112,62 @@ def walk_entropy_rate_sql(edges_cte: str) -> str:
         "ROUND(SUM(n * deg * LN(deg)) / SUM(n * deg), 6) AS entropy_rate "
         "FROM hist"
     )
+
+
+def square_count(edges: DataFrame, max_degree: int = 256) -> DataFrame:
+    """Global 4-cycle (square) count — the graphlet the triangle/
+    4-clique/butterfly census was missing; C4 density drives the
+    spectral gap and spam-farm detection (link exchanges are
+    square-rich, triangle-poor). Identity: every C4 is counted once
+    per diagonal pair, so
+
+        #C4 = ⌊ Σ_{unordered pairs (x,y)} C(cn(x,y), 2) / 2 ⌋
+
+    with cn = common-neighbor count, derived from 2-paths x−m−y.
+    Middle vertices with deg > ``max_degree`` are skipped (a middle
+    fans C(deg,2) pair rows — the adamic_adar safe-by-default hub
+    contract; the oracle applies the same cap, and under a cap the
+    floor makes the halving well-defined when only one diagonal of a
+    square survives). Exact integers throughout. Result: one row
+    (diagonal_incidences, n_squares)."""
+    sym = _sym_edges(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mid_ok = deg.where(F.col("deg") <= max_degree).select(F.col("id").alias("m"))
+    pairs = (
+        sym.select(F.col("src").alias("m"), F.col("dst").alias("x"))
+        .join(mid_ok, "m")
+        .join(sym.select(F.col("src").alias("m"), F.col("dst").alias("y")), "m")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    return pairs.agg(
+        F.sum(F.col("cn") * (F.col("cn") - 1) / 2)
+        .cast("long")
+        .alias("diagonal_incidences"),
+        F.floor(F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2)
+        .cast("long")
+        .alias("n_squares"),
+    )
+
+
+def square_count_sql(edges_cte: str, max_degree: int = 256) -> str:
+    """DuckDB twin of :func:`square_count`."""
+    return (
+        f"WITH {edges_cte}, "
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM sym GROUP BY src), "
+        f"midok AS (SELECT id AS m FROM deg WHERE deg <= {max_degree}), "
+        "pairs AS (SELECT a.dst AS x, b.dst AS y, "
+        "CAST(COUNT(*) AS BIGINT) AS cn "
+        "FROM sym a JOIN midok ON midok.m = a.src "
+        "JOIN sym b ON b.src = a.src AND a.dst < b.dst "
+        "GROUP BY a.dst, b.dst) "
+        "SELECT CAST(SUM(cn * (cn - 1) / 2) AS BIGINT)"
+        " AS diagonal_incidences, "
+        "CAST(FLOOR(SUM(cn * (cn - 1) / 2) / 2) AS BIGINT) AS n_squares "
+        "FROM pairs"
+    )

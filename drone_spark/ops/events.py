@@ -1996,3 +1996,85 @@ def theilsen_trend_sql(table: str = "events") -> str:
         "ranked.s AS median_slope_ppm FROM ranked, meta "
         "WHERE ranked.r = (meta.n_days * (meta.n_days - 1) // 2 + 1) // 2"
     )
+
+
+def bounce_rate(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily bounce rate — the canonical web-analytics KPI the
+    sessionizer exists to serve: a session is a maximal run of a
+    user's events with gaps ≤ ``gap_minutes``; a BOUNCE is a
+    single-event session. Sessions are attributed to the DAY OF THEIR
+    FIRST EVENT (a midnight-spanning session counts once, on its
+    start day).
+
+    Plan: the dwell_times session derivation — one user-keyed window
+    (lag + running sum of gap breaks), then two hash aggregates; all
+    integer, so the twin matches bit-for-bit. Result: (day,
+    n_sessions, n_bounces, bounce_ppm) with bounce_ppm =
+    ⌊10⁶·bounces/sessions⌋."""
+    from pyspark.sql import Window
+
+    from ..streaming.windows import _us
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    brk = (
+        F.when(
+            _us(ts_col) - _us(F.lag(F.col(ts_col)).over(w)) > gap_us, 1
+        )
+        .otherwise(0)
+    )
+    sess = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sid"),
+    )
+    per = sess.groupBy("u", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("t0"),
+    )
+    daily = per.groupBy(
+        F.to_date("t0").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long"))
+        .cast("long")
+        .alias("n_bounces"),
+    )
+    return daily.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.floor(F.lit(1_000_000) * F.col("n_bounces") / F.col("n_sessions"))
+        .cast("long")
+        .alias("bounce_ppm"),
+    )
+
+
+def bounce_rate_sql(gap_minutes: int = 30, table: str = "events") -> str:
+    """DuckDB twin of :func:`bounce_rate`."""
+    gap = gap_minutes * 60 * 1_000_000
+    return (
+        f"WITH marked AS (SELECT user_id AS u, ts AS t, "
+        f"CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER "
+        f"(PARTITION BY user_id ORDER BY ts)) > {gap} THEN 1 ELSE 0 END "
+        f"AS brk FROM {table}), "
+        "sess AS (SELECT u, t, SUM(brk) OVER (PARTITION BY u ORDER BY t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid "
+        "FROM marked), "
+        "per AS (SELECT u, sid, COUNT(*) AS n_events, MIN(t) AS t0 "
+        "FROM sess GROUP BY u, sid), "
+        "daily AS (SELECT CAST(CAST(t0 AS DATE) AS VARCHAR) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+        "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_bounces FROM per GROUP BY 1) "
+        "SELECT day, n_sessions, n_bounces, "
+        "CAST(FLOOR(1000000 * n_bounces / n_sessions) AS BIGINT) "
+        "AS bounce_ppm FROM daily"
+    )

@@ -1663,3 +1663,88 @@ def term_proximity_sql(
         "FROM gaps g JOIN counts c ON c.did = g.did "
         f"ORDER BY g.min_gap ASC, g.did ASC LIMIT {k}"
     )
+
+
+def rocchio_terms(
+    docs: DataFrame,
+    query_terms: list[str],
+    k_docs: int = 10,
+    k_terms: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rocchio pseudo-relevance expansion (Rocchio 1971; the PRF
+    baseline every IR stack ships): take the BM25 top-``k_docs`` for
+    the query, average their tf-idf vectors, and emit the
+    top-``k_terms`` terms of that centroid — the query-expansion
+    candidates. w(t) = Σ_{d∈top} tf_td · ln(N/df_t) / k_docs with
+    df/N over the WHOLE corpus (absent terms contribute 0).
+
+    Plan: the bm25_topk ranking (its own broadcast/TakeOrdered shape)
+    feeds a semi-join that prunes the tf table to ≤k_docs documents
+    before any scoring; df is one corpus aggregate. All inputs to the
+    float math are exact integers; weights round to 6, ties break on
+    token. Result: (token, df, weight)."""
+    topd = bm25_topk(
+        docs, query_terms, k=k_docs, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("did"))
+    toks = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    df_t = (
+        toks.select("did", "token").distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = (
+        toks.join(F.broadcast(topd), "did")
+        .groupBy("did", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.join(df_t, "token")
+        .groupBy("token", "df")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+                / F.lit(k_docs),
+                6,
+            ).alias("weight")
+        )
+        .select("token", F.col("df").cast("long").alias("df"), "weight")
+        .orderBy(F.desc("weight"), F.asc("token"))
+        .limit(k_terms)
+    )
+
+
+def rocchio_terms_sql(
+    query_terms: list[str],
+    k_docs: int = 10,
+    k_terms: int = 15,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`rocchio_terms` (wraps the bm25_topk twin
+    as the top-docs CTE)."""
+    bm25 = bm25_topk_sql(query_terms, k=k_docs, doc_table=doc_table)
+    return (
+        f"WITH topd AS MATERIALIZED (SELECT doc_id AS did FROM ({bm25})), "
+        f"norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id AS did, unnest(string_split(nt, ' ')) AS token "
+        "FROM norm), "
+        "tfl AS (SELECT did, token FROM toks WHERE length(token) > 0), "
+        f"nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM {doc_table}), "
+        "dft AS (SELECT token, CAST(COUNT(DISTINCT did) AS BIGINT) AS df "
+        "FROM tfl GROUP BY token), "
+        "tf AS (SELECT t.did, t.token, COUNT(*) AS tf FROM tfl t "
+        "JOIN topd ON topd.did = t.did GROUP BY t.did, t.token) "
+        "SELECT tf.token, dft.df, "
+        f"ROUND(SUM(tf.tf * LN(CAST(nd.n AS DOUBLE) / dft.df)) / {k_docs}, 6) "
+        "AS weight FROM tf JOIN dft ON dft.token = tf.token CROSS JOIN nd "
+        "GROUP BY tf.token, dft.df "
+        f"ORDER BY weight DESC, tf.token ASC LIMIT {k_terms}"
+    )
