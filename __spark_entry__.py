@@ -7756,6 +7756,35 @@ def _burrows_delta_sql() -> str:
     return burrows_delta_sql()
 
 
+def q_query_clarity(spark, sf_dir):
+    """Cronen-Townsend query clarity for the BM25 query — KL of the
+    top-10 result-set language model vs the collection model
+    (ops/textstats.query_clarity); one-row diagnostic."""
+    from drone_spark.ops.textstats import query_clarity
+
+    return query_clarity(_read(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+def _query_clarity_sql() -> str:
+    from drone_spark.ops.textstats import query_clarity_sql
+
+    return query_clarity_sql(BM25_TERMS)
+
+
+def q_effective_dim(spark, sf_dir):
+    """Participation-ratio effective dimensionality of the embeddings
+    table (ops/similarity.effective_dim) — anisotropy triage."""
+    from drone_spark.ops.similarity import effective_dim
+
+    return effective_dim(_read(spark, sf_dir, "embeddings"))
+
+
+def _effective_dim_sql() -> str:
+    from drone_spark.ops.similarity import effective_dim_sql
+
+    return effective_dim_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8070,6 +8099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rocchio_terms": q_rocchio_terms,
         "bounce_rate": q_bounce_rate,
         "burrows_delta": q_burrows_delta,
+        "query_clarity": q_query_clarity,
+        "effective_dim": q_effective_dim,
     }
 
 
@@ -8639,6 +8670,8 @@ def oracle_sql() -> dict[str, str]:
     out["rocchio_terms"] = _rocchio_terms_sql()
     out["bounce_rate"] = _bounce_rate_sql()
     out["burrows_delta"] = _burrows_delta_sql()
+    out["query_clarity"] = _query_clarity_sql()
+    out["effective_dim"] = _effective_dim_sql()
     out["fastrp2"] = _fastrp2_sql()
     out["textrank"] = _textrank_sql()
     out["four_cliques"] = _four_cliques_sql()

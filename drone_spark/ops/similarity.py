@@ -1368,3 +1368,49 @@ def mmr_topk_sql(
         for i in range(1, k + 1)
     )
     return ", ".join(parts) + " " + final
+
+
+def effective_dim(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Participation-ratio effective dimensionality of an embedding
+    table (the diagonal-covariance form): with per-dimension variances
+    v_d, ED = (Σ v_d)² / Σ v_d² — how many dimensions the embedding
+    REALLY uses (ED ≪ D flags collapsed/anisotropic embeddings before
+    they poison cosine retrieval; the post-hoc check behind whitening
+    decisions). Long-form explode → one var_pop per dimension (the
+    label_medoids centroid plan) → a D-row aggregate; rounds to 6.
+    Result: one row (n_vectors, n_dims, total_var, effective_dim)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.transform(vec_col, lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    n_vec = embeddings.count()
+    dv = e.groupBy("dim").agg(F.var_pop("val").alias("v"))
+    return dv.agg(
+        F.lit(n_vec).cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(F.sum("v"), 6).alias("total_var"),
+        F.round(
+            (F.sum("v") * F.sum("v")) / F.sum(F.col("v") * F.col("v")), 6
+        ).alias("effective_dim"),
+    )
+
+
+def effective_dim_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`effective_dim`."""
+    return (
+        "WITH lv AS (SELECT vec_id, UNNEST(embedding::DOUBLE[]) AS val, "
+        f"generate_subscripts(embedding, 1) AS dim FROM {table}), "
+        "dv AS (SELECT dim, VAR_POP(val) AS v FROM lv GROUP BY dim), "
+        f"nv AS (SELECT COUNT(*) AS n FROM {table}) "
+        "SELECT CAST(nv.n AS BIGINT) AS n_vectors, "
+        "CAST(COUNT(*) AS BIGINT) AS n_dims, "
+        "ROUND(SUM(v), 6) AS total_var, "
+        "ROUND((SUM(v) * SUM(v)) / SUM(v * v), 6) AS effective_dim "
+        "FROM dv CROSS JOIN nv GROUP BY nv.n"
+    )

@@ -1748,3 +1748,102 @@ def rocchio_terms_sql(
         "GROUP BY tf.token, dft.df "
         f"ORDER BY weight DESC, tf.token ASC LIMIT {k_terms}"
     )
+
+
+def query_clarity(
+    docs: DataFrame,
+    query_terms: list[str],
+    k_docs: int = 10,
+    lam: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query clarity score (Cronen-Townsend, Zhou & Croft, SIGIR 2002)
+    — the pre-retrieval performance predictor: KL divergence between
+    the query language model (term distribution of the BM25
+    top-``k_docs``, JM-smoothed with weight λ toward the collection)
+    and the collection model.
+
+        P(t|q) = λ·cf_t(top)/|top| + (1−λ)·cf_t(C)/|C|
+        clarity = Σ_t P(t|q) · log₂( P(t|q) / (cf_t(C)/|C|) )
+
+    High clarity = the result set speaks a focused sub-language (the
+    query is answerable); near-zero = the query draws a corpus-random
+    sample — the triage signal IR pipelines use before spending on
+    reranking. Sum runs over the top-docs' vocabulary (terms with
+    P(t|top) > 0), exactly as the paper samples it.
+
+    Plan: the bm25_topk ranking, one semi-joined token aggregate for
+    the top-docs model, one corpus aggregate — every float input an
+    exact integer count; result rounds to 6. Result: one row
+    (n_top_docs, vocab_q, clarity)."""
+    topd = bm25_topk(
+        docs, query_terms, k=k_docs, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("did"))
+    n_top = topd.count()
+    toks = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+    )
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    n_corpus = toks.count()
+    qtf = (
+        toks.join(F.broadcast(topd), "did")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("qf"))
+    )
+    totals = qtf.agg(F.sum("qf").alias("nq"))
+    pq = (
+        qtf.join(corpus, "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            (
+                F.lit(lam) * F.col("qf") / F.col("nq")
+                + F.lit(1.0 - lam) * F.col("cf") / F.lit(float(n_corpus))
+            ).alias("p_q"),
+            (F.col("cf") / F.lit(float(n_corpus))).alias("p_c"),
+        )
+    )
+    return pq.agg(
+        F.lit(n_top).cast("long").alias("n_top_docs"),
+        F.count(F.lit(1)).cast("long").alias("vocab_q"),
+        F.round(
+            F.sum(F.col("p_q") * F.log2(F.col("p_q") / F.col("p_c"))), 6
+        ).alias("clarity"),
+    )
+
+
+def query_clarity_sql(
+    query_terms: list[str],
+    k_docs: int = 10,
+    lam: float = 0.6,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`query_clarity`."""
+    bm25 = bm25_topk_sql(query_terms, k=k_docs, doc_table=doc_table)
+    return (
+        f"WITH topd AS MATERIALIZED (SELECT doc_id AS did FROM ({bm25})), "
+        f"norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id AS did, unnest(string_split(nt, ' ')) AS token "
+        "FROM norm), "
+        "tfl AS (SELECT did, token FROM toks WHERE length(token) > 0), "
+        "corpus AS (SELECT token, COUNT(*) AS cf FROM tfl GROUP BY token), "
+        "nc AS (SELECT COUNT(*) AS n FROM tfl), "
+        "qtf AS (SELECT t.token, COUNT(*) AS qf FROM tfl t "
+        "JOIN topd ON topd.did = t.did GROUP BY t.token), "
+        "nq AS (SELECT SUM(qf) AS nq FROM qtf), "
+        "ntop AS (SELECT COUNT(*) AS n FROM topd), "
+        "pq AS (SELECT q.token, "
+        f"{lam} * q.qf / nq.nq + {1.0 - lam} * c.cf / CAST(nc.n AS DOUBLE) "
+        "AS p_q, c.cf / CAST(nc.n AS DOUBLE) AS p_c "
+        "FROM qtf q JOIN corpus c ON c.token = q.token "
+        "CROSS JOIN nq CROSS JOIN nc) "
+        "SELECT CAST(ntop.n AS BIGINT) AS n_top_docs, "
+        "CAST(COUNT(*) AS BIGINT) AS vocab_q, "
+        "ROUND(SUM(p_q * LOG2(p_q / p_c)), 6) AS clarity "
+        "FROM pq CROSS JOIN ntop GROUP BY ntop.n"
+    )
