@@ -1851,6 +1851,10 @@ def q_bowtie(spark, sf_dir):
 
 TRUSS_K = 8
 TRUSS_ROUNDS = 6
+# communities use a stricter threshold: at k=8 the dense co-purchase
+# truss is one giant blob; k=12 fragments it into real communities
+# (probed at sf0.01: 188 vertices / 7 components; k=14 is empty)
+TRUSS_COMM_K = 12
 MIS_SQL_ROUNDS = 12  # fixpoint at sf0.01 is 8 rounds; extras are no-ops
 
 CONTAM_N = 5
@@ -2400,9 +2404,12 @@ def _edge_support_sql() -> str:
     )
 
 
-def _ktruss_sql() -> str:
+def _ktruss_sql(k: int | None = None) -> str:
     """TRUSS_ROUNDS unrolled peel rounds + final within-truss support —
-    the SQL twin of q_ktruss (same threshold, same round count)."""
+    the SQL twin of q_ktruss (same threshold, same round count);
+    ``k`` overrides TRUSS_K (truss_communities peels at
+    TRUSS_COMM_K)."""
+    kk = TRUSS_K if k is None else k
     parts = [
         f"WITH {SQL_COPURCHASE}",
         "e0 AS (SELECT src AS u, dst AS v FROM edges)",
@@ -2414,7 +2421,7 @@ def _ktruss_sql() -> str:
         parts.append(
             f"e{i+1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
             f"JOIN g{i} g ON g.u = e.u AND g.v = e.v "
-            f"WHERE g.c >= {TRUSS_K - 2})"
+            f"WHERE g.c >= {kk - 2})"
         )
     r = TRUSS_ROUNDS
     tri, sup_tpl = _support_sql_over(f"e{r}")
@@ -7785,6 +7792,26 @@ def _effective_dim_sql() -> str:
     return effective_dim_sql()
 
 
+def q_truss_communities(spark, sf_dir):
+    """k-truss communities (Huang et al. SIGMOD 2014) on the
+    co-purchase graph — CC of the TRUSS_K-truss edge set via the
+    iterative CC kernel (trusses.truss_communities); the tractable
+    clique-percolation stand-in (the CPM triangle-adjacency oracle
+    does not terminate at this density)."""
+    from drone_spark.algorithms.trusses import truss_communities
+
+    return truss_communities(
+        spark, _engine(spark), _copurchase_edges(spark, sf_dir),
+        k=TRUSS_COMM_K, max_rounds=TRUSS_ROUNDS, run_id="entry_trusscomm",
+    )
+
+
+def _truss_communities_sql() -> str:
+    from drone_spark.algorithms.trusses import truss_communities_sql
+
+    return truss_communities_sql(_ktruss_sql(k=TRUSS_COMM_K))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8101,6 +8128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": q_burrows_delta,
         "query_clarity": q_query_clarity,
         "effective_dim": q_effective_dim,
+        "truss_communities": q_truss_communities,
     }
 
 
@@ -8672,6 +8700,7 @@ def oracle_sql() -> dict[str, str]:
     out["burrows_delta"] = _burrows_delta_sql()
     out["query_clarity"] = _query_clarity_sql()
     out["effective_dim"] = _effective_dim_sql()
+    out["truss_communities"] = _truss_communities_sql()
     out["fastrp2"] = _fastrp2_sql()
     out["textrank"] = _textrank_sql()
     out["four_cliques"] = _four_cliques_sql()

@@ -109,3 +109,78 @@ def test_greedy_cover_sql_twin(spark):
         for r in con.execute(greedy_cover_sql(k=5, pool=8)).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------------------- truss communities
+def test_truss_communities_two_k4(spark, engine):
+    """4-truss of two K4s + a bridge: every K4 edge has support 2 and
+    survives, the bridge (support 0) peels — two communities labeled
+    by min vid; vertex 9's pendant edge peels with it."""
+    from drone_spark.algorithms.trusses import truss_communities
+
+    rows = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8),
+        (4, 5), (8, 9),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["vid"]: r["community"]
+        for r in truss_communities(spark, engine, e, k=4, run_id="t_tc").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_truss_communities_sql_twin(spark, engine):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.algorithms.trusses import (
+        truss_communities,
+        truss_communities_sql,
+    )
+
+    rows = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8),
+        (4, 5), (8, 9), (2, 5), (3, 6),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(
+        tuple(r)
+        for r in truss_communities(spark, engine, e, k=4, run_id="t_tc2").collect()
+    )
+    # build the same 3-round unrolled peel the entry oracle uses
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", rows)
+    sup = (
+        "SELECT e.u, e.v, COALESCE(t.c, 0) AS support FROM {e} e "
+        "LEFT JOIN (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+        "SELECT LEAST(t.x, t.y) AS u, GREATEST(t.x, t.y) AS v FROM {t} t "
+        "UNION ALL SELECT LEAST(t.x, t.w), GREATEST(t.x, t.w) FROM {t} t "
+        "UNION ALL SELECT LEAST(t.y, t.w), GREATEST(t.y, t.w) FROM {t} t"
+        ") GROUP BY u, v) t ON t.u = e.u AND t.v = e.v"
+    )
+    tri = (
+        "SELECT a.u AS x, a.v AS y, b.v AS w FROM {e} a "
+        "JOIN {e} b ON b.u = a.u AND b.v > a.v "
+        "JOIN {e} c ON c.u = a.v AND c.v = b.v"
+    )
+    parts = [
+        "WITH e0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v "
+        "FROM base WHERE src <> dst GROUP BY 1, 2)"
+    ]
+    for i in range(3):
+        parts.append(f"t{i} AS MATERIALIZED ({tri.format(e=f'e{i}')})")
+        parts.append(
+            f"g{i} AS MATERIALIZED ({sup.format(e=f'e{i}', t=f't{i}')})"
+        )
+        parts.append(
+            f"e{i+1} AS MATERIALIZED (SELECT u, v FROM g{i} "
+            "WHERE support >= 2)"
+        )
+    ktruss_q = ", ".join(parts) + " SELECT u, v, CAST(0 AS BIGINT) AS support FROM e3"
+    want = sorted(
+        tuple(r)
+        for r in con.execute(truss_communities_sql(ktruss_q)).fetchall()
+    )
+    assert got == want
