@@ -7812,6 +7812,73 @@ def _truss_communities_sql() -> str:
     return truss_communities_sql(_ktruss_sql(k=TRUSS_COMM_K))
 
 
+def q_bm25f(spark, sf_dir):
+    """BM25F fielded ranking for the BM25 query — first-10-token head
+    field weighted 3×, field-blind df, +1 idf (ops/textstats.
+    bm25f_topk); top-10."""
+    from drone_spark.ops.textstats import bm25f_topk
+
+    return bm25f_topk(_read(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+def _bm25f_sql() -> str:
+    from drone_spark.ops.textstats import bm25f_topk_sql
+
+    return bm25f_topk_sql(BM25_TERMS)
+
+
+def q_truss_modularity(spark, sf_dir):
+    """Newman-Girvan modularity of the TRUSS_COMM_K-truss community
+    partition on the co-purchase graph (non-truss vertices as
+    singletons) — scores the community op against the null model with
+    the exact integer q_num decomposition (linkstats.modularity over
+    trusses.truss_communities)."""
+    from drone_spark.algorithms.linkstats import modularity
+    from drone_spark.algorithms.trusses import truss_communities
+
+    edges = _copurchase_edges(spark, sf_dir)
+    tc = truss_communities(
+        spark, _engine(spark), edges,
+        k=TRUSS_COMM_K, max_rounds=TRUSS_ROUNDS, run_id="entry_trussmod",
+    )
+    allv = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    asg = allv.join(tc, "vid", "left").select(
+        "vid", F.coalesce("community", F.col("vid")).alias("community")
+    )
+    return modularity(edges, asg)
+
+
+def _truss_modularity_sql() -> str:
+    from drone_spark.algorithms.trusses import truss_communities_sql
+
+    tc = truss_communities_sql(_ktruss_sql(k=TRUSS_COMM_K))
+    return (
+        f"WITH {SQL_COPURCHASE}, {SQL_SYM}, "
+        f"tc AS MATERIALIZED (SELECT vid, community FROM ({tc})), "
+        "canon AS (SELECT src, dst FROM sym WHERE src < dst), "
+        "m AS (SELECT COUNT(*) AS m FROM canon), "
+        "asg AS (SELECT v.id AS vid, "
+        "CAST(COALESCE(tc.community, v.id) AS BIGINT) AS community "
+        "FROM v LEFT JOIN tc ON tc.vid = v.id), "
+        "ec AS (SELECT a.community, COUNT(*) AS internal_edges FROM canon c "
+        "JOIN asg a ON a.vid = c.src JOIN asg b ON b.vid = c.dst "
+        "WHERE a.community = b.community GROUP BY a.community), "
+        "deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src), "
+        "dc AS (SELECT a.community, SUM(d.deg) AS degree_sum FROM deg d "
+        "JOIN asg a ON a.vid = d.vid GROUP BY a.community) "
+        "SELECT dc.community, "
+        "CAST(COALESCE(ec.internal_edges, 0) AS BIGINT) AS internal_edges, "
+        "CAST(dc.degree_sum AS BIGINT) AS degree_sum, "
+        "CAST(4 * m.m * COALESCE(ec.internal_edges, 0) "
+        "- dc.degree_sum * dc.degree_sum AS BIGINT) AS q_num "
+        "FROM dc LEFT JOIN ec ON ec.community = dc.community CROSS JOIN m"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -8129,6 +8196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_clarity": q_query_clarity,
         "effective_dim": q_effective_dim,
         "truss_communities": q_truss_communities,
+        "bm25f": q_bm25f,
+        "truss_modularity": q_truss_modularity,
     }
 
 
@@ -8701,6 +8770,8 @@ def oracle_sql() -> dict[str, str]:
     out["query_clarity"] = _query_clarity_sql()
     out["effective_dim"] = _effective_dim_sql()
     out["truss_communities"] = _truss_communities_sql()
+    out["bm25f"] = _bm25f_sql()
+    out["truss_modularity"] = _truss_modularity_sql()
     out["fastrp2"] = _fastrp2_sql()
     out["textrank"] = _textrank_sql()
     out["four_cliques"] = _four_cliques_sql()

@@ -1847,3 +1847,112 @@ def query_clarity_sql(
         "ROUND(SUM(p_q * LOG2(p_q / p_c)), 6) AS clarity "
         "FROM pq CROSS JOIN ntop GROUP BY ntop.n"
     )
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    head_len: int = 10,
+    head_weight: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25F fielded ranking (Zaragoza, Craswell, Taylor, Saria &
+    Robertson, TREC 2004; the simplified single-b form) — the web-search
+    upgrade of BM25: term hits in the document HEAD (title/lede — here
+    the first ``head_len`` tokens, which is what a crawl pipeline has
+    before structural extraction) count ``head_weight``× a body hit,
+    via field-weighted pseudo-frequencies
+
+        t̃f(t,d) = w_head·tf_head + tf_body,   d̃l = w_head·|head| + |body|
+
+    then the usual saturation t̃f/(k1·(1−b+b·d̃l/avgdl) + t̃f) with the
+    same +1-idf as :func:`bm25_topk` (df is field-blind, the standard
+    choice). Integer weights keep t̃f/d̃l exact across engines; scores
+    round to 6, ties rank by id. Same plan family as bm25_topk: one
+    posexplode, weighted partial aggs, broadcast query side."""
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(F.split(norm_text(text_col), " ")).alias("pos", "token"),
+    ).where(F.length("token") > 0)
+    wtoks = toks.select(
+        "did",
+        "token",
+        F.when(F.col("pos") < head_len, F.lit(head_weight))
+        .otherwise(F.lit(1))
+        .alias("w"),
+    )
+    tf = wtoks.groupBy("did", "token").agg(F.sum("w").alias("wtf"))
+    dl = wtoks.groupBy("did").agg(F.sum("w").alias("wdl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("wdl").alias("avgdl")
+    )
+    spark = docs.sparkSession
+    qt = spark.createDataFrame([(t,) for t in query_terms], "token string")
+    dfreq = (
+        toks.select("did", "token").distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(qt), "token")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("wtf") * (F.lit(k1) + 1.0)) / (
+        F.col("wtf")
+        + F.lit(k1)
+        * (1.0 - F.lit(b) + F.lit(b) * F.col("wdl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dfreq, "token")
+        .join(dl, "did")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("did")
+        .agg(F.round(F.sum(idf * sat), 6).alias("score"))
+        .select(F.col("did").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bm25f_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    head_len: int = 10,
+    head_weight: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25f_topk`."""
+    lst = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks0 AS (SELECT doc_id AS did, "
+        "UNNEST(list_transform(string_split(nt, ' '), "
+        "(x, i) -> {'token': x, 'pos': i}), recursive := true) FROM norm), "
+        "toks AS (SELECT did, token, pos - 1 AS pos FROM toks0 "
+        "WHERE length(token) > 0), "
+        f"wtoks AS (SELECT did, token, CASE WHEN pos < {head_len} "
+        f"THEN {head_weight} ELSE 1 END AS w FROM toks), "
+        "tf AS (SELECT did, token, CAST(SUM(w) AS BIGINT) AS wtf "
+        "FROM wtoks GROUP BY did, token), "
+        "dl AS (SELECT did, CAST(SUM(w) AS BIGINT) AS wdl "
+        "FROM wtoks GROUP BY did), "
+        "stats AS (SELECT COUNT(*) AS n, AVG(wdl) AS avgdl FROM dl), "
+        f"q AS (SELECT UNNEST([{lst}]) AS token), "
+        "dfreq AS (SELECT t.token, COUNT(DISTINCT t.did) AS df "
+        "FROM toks t JOIN q ON q.token = t.token GROUP BY t.token) "
+        "SELECT tf.did AS doc_id, ROUND(SUM("
+        "LN(1.0 + (CAST(s.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5)) "
+        f"* (tf.wtf * ({k1} + 1.0) / (tf.wtf + {k1} * (1.0 - {b} + {b} * "
+        "dl.wdl / s.avgdl)))), 6) AS score "
+        "FROM tf JOIN dfreq ON dfreq.token = tf.token "
+        "JOIN dl ON dl.did = tf.did CROSS JOIN stats s "
+        "GROUP BY tf.did "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )

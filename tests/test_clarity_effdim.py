@@ -80,3 +80,88 @@ def test_effective_dim_sql_twin(spark):
     con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
     want = [tuple(r) for r in con.execute(effective_dim_sql()).fetchall()]
     assert got == want
+
+
+# ---------------------------------------------------------------- bm25f
+def test_bm25f_head_beats_body(spark):
+    """Same single query-term hit: in the head (pos < head_len) it
+    carries weight 3, in the body weight 1 — the head doc must
+    outscore the body doc; exact scores recomputed by hand."""
+    from drone_spark.ops.textstats import bm25f_topk
+
+    docs = spark.createDataFrame(
+        [(1, "q x x"), (2, "x x x x x x x x x x q")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in bm25f_topk(docs, ["q"]).collect()}
+    idf = math.log(1 + 0.5 / 2.5)
+    wdl1, wdl2 = 9, 31  # 3 head tokens ·3 ; 10 head ·3 + 1 body
+    avgdl = 20.0
+    k1, b = 1.2, 0.75
+
+    def score(wtf, wdl):
+        return round(
+            idf * wtf * (k1 + 1) / (wtf + k1 * (1 - b + b * wdl / avgdl)), 6
+        )
+
+    assert got[1] == pytest.approx(score(3, wdl1))
+    assert got[2] == pytest.approx(score(1, wdl2))
+    assert got[1] > got[2]
+
+
+def test_bm25f_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.ops.textstats import bm25f_topk, bm25f_topk_sql
+
+    rows = [
+        (i, " ".join(f"w{(i * 5 + j) % 13}" for j in range(3 + i % 9))
+         + (" join" if i % 3 == 0 else "") + (" hash" if i % 4 == 0 else ""))
+        for i in range(1, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in bm25f_topk(docs, ["join", "hash"], k=15).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(bm25f_topk_sql(["join", "hash"], k=15)).fetchall()
+    )
+    assert got == want
+
+
+# ----------------------------------------------------- truss modularity
+def test_truss_modularity_two_k4(spark, engine):
+    """Two K4s + bridge + pendant at k=4: communities {1..4}, {5..8},
+    singleton {9}; m=14. q_num checks: c1 = 4·14·6 − 13² = 167,
+    c5 = 336 − 14² = 140, c9 = 0 − 1² = −1."""
+    from drone_spark.algorithms.linkstats import modularity
+    from drone_spark.algorithms.trusses import truss_communities
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8),
+        (4, 5), (8, 9),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    tc = truss_communities(spark, engine, e, k=4, run_id="t_tm")
+    allv = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    asg = allv.join(tc, "vid", "left").select(
+        "vid", F.coalesce("community", F.col("vid")).alias("community")
+    )
+    got = {
+        r["community"]: (r["internal_edges"], r["degree_sum"], r["q_num"])
+        for r in modularity(e, asg).collect()
+    }
+    assert got == {
+        1: (6, 13, 167),
+        5: (6, 14, 140),
+        9: (0, 1, -1),
+    }
