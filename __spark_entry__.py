@@ -7852,6 +7852,21 @@ def q_truss_modularity(spark, sf_dir):
     return modularity(edges, asg)
 
 
+def q_lang_mismatch(spark, sf_dir):
+    """Language-label contamination audit — confusion rollup of
+    declared lang vs the heuristic lang_id over disagreeing docs, with
+    a sample doc pointer (ops/textstats.lang_mismatch)."""
+    from drone_spark.ops.textstats import lang_mismatch
+
+    return lang_mismatch(_read(spark, sf_dir, "documents"))
+
+
+def _lang_mismatch_sql() -> str:
+    from drone_spark.ops.textstats import lang_mismatch_sql
+
+    return lang_mismatch_sql()
+
+
 def _truss_modularity_sql() -> str:
     from drone_spark.algorithms.trusses import truss_communities_sql
 
@@ -8198,6 +8213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_communities": q_truss_communities,
         "bm25f": q_bm25f,
         "truss_modularity": q_truss_modularity,
+        "lang_mismatch": q_lang_mismatch,
     }
 
 
@@ -8771,6 +8787,7 @@ def oracle_sql() -> dict[str, str]:
     out["effective_dim"] = _effective_dim_sql()
     out["truss_communities"] = _truss_communities_sql()
     out["bm25f"] = _bm25f_sql()
+    out["lang_mismatch"] = _lang_mismatch_sql()
     out["truss_modularity"] = _truss_modularity_sql()
     out["fastrp2"] = _fastrp2_sql()
     out["textrank"] = _textrank_sql()

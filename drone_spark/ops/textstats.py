@@ -1956,3 +1956,41 @@ def bm25f_topk_sql(
         "GROUP BY tf.did "
         f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
     )
+
+
+def lang_mismatch(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-label contamination audit: documents whose heuristic
+    language ID disagrees with their declared ``lang`` column — the
+    curation gate that catches feed mislabeling, wholesale boilerplate
+    in the wrong language, and crawl redirects serving a different
+    locale (every multilingual-corpus pipeline runs exactly this
+    cross-check before per-language sampling). Reuses :func:`lang_id`
+    (pure-codegen marker argmax), one join back onto the labels, and a
+    per-(declared, predicted) rollup.
+
+    Result: the confusion rollup (lang, lang_pred, n_docs) over
+    DISAGREEING rows only, plus the per-pair min doc_id as an audit
+    sample pointer — exact integers, deterministic."""
+    pred = lang_id(docs, text_col=text_col)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .where(F.col("lang") != F.col("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("sample_doc_id"),
+        )
+    )
+
+
+def lang_mismatch_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`lang_mismatch`."""
+    inner = lang_id_sql(doc_table)
+    return (
+        f"WITH pred AS MATERIALIZED (SELECT * FROM ({inner})) "
+        f"SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(MIN(d.doc_id) AS BIGINT) AS sample_doc_id "
+        f"FROM {doc_table} d JOIN pred p ON p.doc_id = d.doc_id "
+        "WHERE d.lang <> p.lang_pred GROUP BY d.lang, p.lang_pred"
+    )

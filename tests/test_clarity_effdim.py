@@ -165,3 +165,48 @@ def test_truss_modularity_two_k4(spark, engine):
         5: (6, 14, 140),
         9: (0, 1, -1),
     }
+
+
+# ------------------------------------------------------ lang mismatch
+def test_lang_mismatch_hand(spark):
+    """Doc 1 declares 'de' but is marker-English → one (de, en) row;
+    doc 2 agrees with its label; doc 3 has no markers → (fr, und)."""
+    from drone_spark.ops.textstats import lang_mismatch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox and the dog", "de"),
+            (2, "the cat and the hat", "en"),
+            (3, "zzz qqq", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["lang"], r["lang_pred"]): (r["n_docs"], r["sample_doc_id"])
+        for r in lang_mismatch(docs).collect()
+    }
+    assert got[("de", "en")] == (1, 1)
+    assert got[("fr", "und")] == (1, 3)
+    assert ("en", "en") not in got and len(got) == 2
+
+
+def test_lang_mismatch_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.ops.textstats import lang_mismatch, lang_mismatch_sql
+
+    rows = [
+        (i, ["the and of fox", "der und die das", "le la et renard",
+             "el la y zorro", "qqq zzz"][i % 5], ["en", "de", "fr", "es", "zh"][i % 3])
+        for i in range(1, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = sorted(tuple(r) for r in lang_mismatch(docs).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(lang_mismatch_sql()).fetchall()
+    )
+    assert got == want
