@@ -7852,6 +7852,43 @@ def q_truss_modularity(spark, sf_dir):
     return modularity(edges, asg)
 
 
+def q_dedup_agreement(spark, sf_dir):
+    """Pair-level agreement audit between the md5-MinHash-LSH and
+    md5-SimHash near-dup detectors on the same corpus
+    (ops/dedup.dedup_agreement) — intersection/exclusive counts +
+    Jaccard ppm, the threshold-calibration table."""
+    from drone_spark.ops.dedup import dedup_agreement
+
+    return dedup_agreement(
+        q_minhash_dedup(spark, sf_dir), q_simhash_dedup(spark, sf_dir)
+    )
+
+
+def _dedup_agreement_sql() -> str:
+    from drone_spark.ops.dedup import dedup_agreement_sql
+
+    return dedup_agreement_sql(_minhash_oracle(), _simhash_oracle())
+
+
+def q_bond_percolation(spark, sf_dir):
+    """Bond percolation on the co-purchase graph — giant component at
+    md5-deterministic keep rates 25/50/75% (algorithms/robustness.
+    bond_percolation); the random-failure complement of the targeted
+    attack curve."""
+    from drone_spark.algorithms.robustness import bond_percolation
+
+    return bond_percolation(
+        spark, _engine(spark), _copurchase_edges(spark, sf_dir),
+        run_id="entry_bondperc",
+    )
+
+
+def _bond_percolation_sql() -> str:
+    from drone_spark.algorithms.robustness import bond_percolation_sql
+
+    return bond_percolation_sql(SQL_COPURCHASE)
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Language-label contamination audit — confusion rollup of
     declared lang vs the heuristic lang_id over disagreeing docs, with
@@ -8214,6 +8251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f": q_bm25f,
         "truss_modularity": q_truss_modularity,
         "lang_mismatch": q_lang_mismatch,
+        "dedup_agreement": q_dedup_agreement,
+        "bond_percolation": q_bond_percolation,
     }
 
 
@@ -8788,6 +8827,8 @@ def oracle_sql() -> dict[str, str]:
     out["truss_communities"] = _truss_communities_sql()
     out["bm25f"] = _bm25f_sql()
     out["lang_mismatch"] = _lang_mismatch_sql()
+    out["dedup_agreement"] = _dedup_agreement_sql()
+    out["bond_percolation"] = _bond_percolation_sql()
     out["truss_modularity"] = _truss_modularity_sql()
     out["fastrp2"] = _fastrp2_sql()
     out["textrank"] = _textrank_sql()

@@ -107,3 +107,127 @@ def attack_robustness_sql(
         "bdeg AS (SELECT src AS id, COUNT(*) AS deg FROM bsym GROUP BY src) "
         + " UNION ALL ".join(parts)
     )
+
+
+def bond_percolation(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    keep_ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+    salt: str = "perc",
+    run_id: str = "bond_perc",
+) -> DataFrame:
+    """Bond (edge) percolation — the random-FAILURE complement of
+    :func:`attack_robustness` (Albert et al. 2000 measure both): keep
+    each edge independently with probability p and measure the giant
+    component. Scale-free link graphs keep a giant component down to
+    tiny p (robust to random failure) while collapsing under targeted
+    attack — this pair of curves IS that classic contrast.
+
+    Edge survival is the engine's deterministic md5 idiom (uniform in
+    [0, 1e6) from md5(salt:src:dst), the stratified_sample /
+    weighted_sample convention), so the 'random' draw is reproducible
+    bit-for-bit in both engines and across cluster layouts. Each
+    keep-rate runs the distributed frontier CC on the filtered edge
+    set — |keep_ppms| CC runs, no driver-side graph state.
+
+    Result: one row per keep_ppm — (keep_ppm, n_edges_kept,
+    n_vertices, n_components, giant_size); vertices = endpoints of
+    kept edges (fully isolated vertices drop, as in the attack
+    curve)."""
+    und = edges.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("a").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % 1_000_000
+    scored = und.withColumn("u", h)
+    out = None
+    for ppm in keep_ppms:
+        kept = scored.where(F.col("u") < ppm).select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        n_kept = kept.count()
+        if n_kept == 0:
+            row = spark.createDataFrame(
+                [(ppm, 0, 0, 0, 0)],
+                "keep_ppm long, n_edges_kept long, n_vertices long,"
+                " n_components long, giant_size long",
+            )
+        else:
+            res = connected_components(
+                spark, engine, kept, run_id=f"{run_id}_{ppm}",
+                backend="relational",
+            )
+            comp = res.state.groupBy("label").agg(
+                F.count(F.lit(1)).alias("sz")
+            )
+            row = comp.agg(
+                F.lit(ppm).cast("long").alias("keep_ppm"),
+                F.lit(n_kept).cast("long").alias("n_edges_kept"),
+                F.sum("sz").cast("long").alias("n_vertices"),
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.max("sz").cast("long").alias("giant_size"),
+            )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def bond_percolation_sql(
+    edges_cte: str,
+    keep_ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+    salt: str = "perc",
+) -> str:
+    """DuckDB twin of :func:`bond_percolation` (same md5 survival
+    draw, recursive min-label walk per keep rate)."""
+    parts = [
+        f"WITH RECURSIVE {edges_cte}, "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges WHERE src <> dst), "
+        "scored AS (SELECT a, b, "
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST(a AS VARCHAR) || ':' || "
+        "CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u FROM und)"
+    ]
+    sels = []
+    for ppm in keep_ppms:
+        parts.append(
+            f"k{ppm} AS (SELECT a, b FROM scored WHERE u < {ppm})"
+        )
+        parts.append(
+            f"s{ppm} AS (SELECT a AS s, b AS d FROM k{ppm} "
+            f"UNION SELECT b, a FROM k{ppm})"
+        )
+        parts.append(f"v{ppm} AS (SELECT DISTINCT s AS id FROM s{ppm})")
+        parts.append(
+            f"w{ppm}(id, lab) AS ("
+            f" SELECT id, id FROM v{ppm}"
+            f" UNION"
+            f" SELECT s.d, w.lab FROM w{ppm} w JOIN s{ppm} s ON s.s = w.id"
+            f" WHERE w.lab < s.d)"
+        )
+        parts.append(
+            f"c{ppm} AS (SELECT id, MIN(lab) AS comp FROM w{ppm} GROUP BY id)"
+        )
+        sels.append(
+            f"SELECT CAST({ppm} AS BIGINT) AS keep_ppm, "
+            f"CAST((SELECT COUNT(*) FROM k{ppm}) AS BIGINT) AS n_edges_kept, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+            f"CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_components, "
+            f"CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS giant_size FROM "
+            f"(SELECT comp, COUNT(*) OVER (PARTITION BY comp) AS cnt "
+            f"FROM c{ppm})"
+        )
+    return ", ".join(parts) + " " + " UNION ALL ".join(sels)

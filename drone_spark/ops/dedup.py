@@ -1683,3 +1683,53 @@ def tile_dedup_stats_sql(
         "COALESCE(p.n_dup_tiles, 0) AS n_dup_tiles "
         f"FROM {table} d LEFT JOIN per_doc p USING (doc_id)"
     )
+
+
+def dedup_agreement(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
+    """Method-agreement audit between two near-dup pair sets (e.g.
+    MinHash-LSH vs SimHash over the same corpus) — the calibration
+    table a pipeline reads before trusting either detector alone:
+    pair-level intersection / exclusive counts and their Jaccard in
+    exact ppm. Disagreement localizes threshold drift (LSH band
+    granularity vs hamming radius) without any ground truth.
+
+    Inputs are (a, b) canonical pair frames; extra columns dropped.
+    One full-outer join on the pair key + one aggregate — exact
+    integers, hash-stable. Result: one row (n_a, n_b, n_both,
+    only_a, only_b, jaccard_ppm)."""
+    pa = pairs_a.select("a", "b").distinct().withColumn("ina", F.lit(1))
+    pb = pairs_b.select("a", "b").distinct().withColumn("inb", F.lit(1))
+    j = pa.join(pb, ["a", "b"], "full").select(
+        F.coalesce("ina", F.lit(0)).alias("ina"),
+        F.coalesce("inb", F.lit(0)).alias("inb"),
+    )
+    both = F.sum(F.col("ina") * F.col("inb"))
+    return j.agg(
+        F.sum("ina").cast("long").alias("n_a"),
+        F.sum("inb").cast("long").alias("n_b"),
+        both.cast("long").alias("n_both"),
+        F.sum(F.col("ina") * (1 - F.col("inb"))).cast("long").alias("only_a"),
+        F.sum(F.col("inb") * (1 - F.col("ina"))).cast("long").alias("only_b"),
+        F.floor(F.lit(1_000_000) * both / F.count(F.lit(1)))
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
+
+
+def dedup_agreement_sql(pairs_a_sql: str, pairs_b_sql: str) -> str:
+    """DuckDB twin of :func:`dedup_agreement` over two complete pair
+    queries returning at least (a, b)."""
+    return (
+        f"WITH pa AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_a_sql})), "
+        f"pb AS MATERIALIZED (SELECT DISTINCT a, b FROM ({pairs_b_sql})), "
+        "j AS (SELECT CASE WHEN pa.a IS NULL THEN 0 ELSE 1 END AS ina, "
+        "CASE WHEN pb.a IS NULL THEN 0 ELSE 1 END AS inb "
+        "FROM pa FULL JOIN pb ON pb.a = pa.a AND pb.b = pa.b) "
+        "SELECT CAST(SUM(ina) AS BIGINT) AS n_a, "
+        "CAST(SUM(inb) AS BIGINT) AS n_b, "
+        "CAST(SUM(ina * inb) AS BIGINT) AS n_both, "
+        "CAST(SUM(ina * (1 - inb)) AS BIGINT) AS only_a, "
+        "CAST(SUM(inb * (1 - ina)) AS BIGINT) AS only_b, "
+        "CAST(FLOOR(1000000 * SUM(ina * inb) / COUNT(*)) AS BIGINT) "
+        "AS jaccard_ppm FROM j"
+    )

@@ -1,0 +1,118 @@
+"""Dedup-method agreement audit and md5-deterministic bond percolation
+— hand/brute-force oracles + DuckDB twin replays (entry keys
+dedup_agreement / bond_percolation)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from drone_spark.algorithms.robustness import (
+    bond_percolation,
+    bond_percolation_sql,
+)
+from drone_spark.ops.dedup import dedup_agreement, dedup_agreement_sql
+
+
+def test_dedup_agreement_hand(spark):
+    """pa={12,23}, pb={23,34,45}: both=1, only_a=1, only_b=2,
+    union=4 → 250000 ppm."""
+    pa = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    pb = spark.createDataFrame([(2, 3), (3, 4), (4, 5)], "a long, b long")
+    [r] = dedup_agreement(pa, pb).collect()
+    assert tuple(r) == (2, 3, 1, 1, 2, 250_000)
+
+
+def test_dedup_agreement_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    ra = [(i, i + 1) for i in range(0, 30, 2)]
+    rb = [(i, i + 1) for i in range(0, 30, 3)]
+    pa = spark.createDataFrame(ra, "a long, b long")
+    pb = spark.createDataFrame(rb, "a long, b long")
+    got = [tuple(r) for r in dedup_agreement(pa, pb).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (a BIGINT, b BIGINT)")
+    con.execute("CREATE TABLE tb (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO ta VALUES (?, ?)", ra)
+    con.executemany("INSERT INTO tb VALUES (?, ?)", rb)
+    want = [
+        tuple(r)
+        for r in con.execute(
+            dedup_agreement_sql("SELECT a, b FROM ta", "SELECT a, b FROM tb")
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def _u(salt, a, b):
+    h = hashlib.md5(f"{salt}:{a}:{b}".encode()).hexdigest()
+    return int(h[:15], 16) % 1_000_000
+
+
+def _cc_sizes(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = {}
+    for v in parent:
+        sizes[find(v)] = sizes.get(find(v), 0) + 1
+    return sizes
+
+
+def test_bond_percolation_brute_force(spark, engine):
+    """The md5 survival draw is reproduced with hashlib; surviving
+    subgraph CC via a python union-find — counts must match exactly."""
+    rows = [(u, v) for u in range(1, 16) for v in range(u + 1, 16)
+            if (u * v) % 3 != 0]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    ppms = (300_000, 700_000)
+    got = {
+        r["keep_ppm"]: (
+            r["n_edges_kept"], r["n_vertices"], r["n_components"],
+            r["giant_size"],
+        )
+        for r in bond_percolation(
+            spark, engine, e, keep_ppms=ppms, run_id="t_bp"
+        ).collect()
+    }
+    for ppm in ppms:
+        kept = [(a, b) for a, b in rows if _u("perc", a, b) < ppm]
+        sizes = _cc_sizes(kept)
+        want = (
+            len(kept),
+            sum(sizes.values()),
+            len(sizes),
+            max(sizes.values()) if sizes else 0,
+        )
+        assert got[ppm] == want, ppm
+
+
+def test_bond_percolation_sql_twin(spark, engine):
+    duckdb = pytest.importorskip("duckdb")
+    rows = [(u, v) for u in range(1, 14) for v in range(u + 1, 14)
+            if (u + v) % 4 != 0]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(
+        tuple(r)
+        for r in bond_percolation(spark, engine, e, run_id="t_bp2").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            bond_percolation_sql("edges AS (SELECT src, dst FROM base)")
+        ).fetchall()
+    )
+    assert got == want
