@@ -251,7 +251,7 @@ def q_pagerank5(spark, sf_dir):
     return _pagerank5_on(spark, _bipartite_edges(spark, sf_dir), "entry_pr5")
 
 
-def _pagerank5_on(spark, edges, run_id: str):
+def _pagerank5_on(spark, edges, run_id: str, d_num: int = 85, d_den: int = 100):
     from drone_spark.graph.builder import out_degrees, vertices
 
     eng = _engine(spark)
@@ -276,8 +276,8 @@ def _pagerank5_on(spark, edges, run_id: str):
             .groupBy("dst")
             .agg(F.sum("w").alias("acc"))
         )
-        new_pr = F.lit(15 * PR_SCALE // 100) + F.expr(
-            "(85 * coalesce(acc, 0L)) div 100"
+        new_pr = F.lit((d_den - d_num) * PR_SCALE // d_den) + F.expr(
+            f"({d_num} * coalesce(acc, 0L)) div {d_den}"
         )
         return state.join(contribs, state["vid"] == contribs["dst"], "left").select(
             "vid",
@@ -1036,8 +1036,8 @@ def q_host_rank5(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum(F.expr("(pr_fx * w) div outw")).alias("acc"))
         )
-        new_pr = F.lit(15 * PR_SCALE // 100) + F.expr(
-            "(85 * coalesce(acc, 0L)) div 100"
+        new_pr = F.lit((d_den - d_num) * PR_SCALE // d_den) + F.expr(
+            f"({d_num} * coalesce(acc, 0L)) div {d_den}"
         )
         return state.join(contribs, state["vid"] == contribs["dst"], "left").select(
             "vid",
@@ -6898,8 +6898,8 @@ def q_pr_convergence(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum("w").alias("acc"))
         )
-        new_pr = F.lit(15 * PR_SCALE // 100) + F.expr(
-            "(85 * coalesce(acc, 0L)) div 100"
+        new_pr = F.lit((d_den - d_num) * PR_SCALE // d_den) + F.expr(
+            f"({d_num} * coalesce(acc, 0L)) div {d_den}"
         )
         nxt = (
             prev.join(contribs, prev["id"] == contribs["dst"], "left")
@@ -7338,8 +7338,8 @@ def q_pagerank5_compressed(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum("wc").alias("acc"))
         )
-        new_pr = F.lit(15 * PR_SCALE // 100) + F.expr(
-            "(85 * coalesce(acc, 0L)) div 100"
+        new_pr = F.lit((d_den - d_num) * PR_SCALE // d_den) + F.expr(
+            f"({d_num} * coalesce(acc, 0L)) div {d_den}"
         )
         state = (
             state.join(contribs, state["id"] == contribs["dst"], "left")
@@ -7852,6 +7852,96 @@ def q_truss_modularity(spark, sf_dir):
     return modularity(edges, asg)
 
 
+def _pr5_chain_sql(prefix: str, d_num: int, d_den: int) -> list[str]:
+    """CTE list for a 5-iteration fixed-point PageRank chain at damping
+    d_num/d_den, reading the shared deg/v CTEs (the _pagerank5_sql
+    unroll, prefixed so two dampings can coexist in one query)."""
+    ctes = [
+        f"{prefix}pr0 AS (SELECT id, {PR_SCALE}::BIGINT AS pr FROM v)"
+    ]
+    tel = (d_den - d_num) * PR_SCALE // d_den
+    for k in range(1, 6):
+        ctes.append(
+            f"{prefix}pr{k} AS (SELECT v.id, CAST({tel} + "
+            f"({d_num} * COALESCE(s.acc, 0)) // {d_den} AS BIGINT) AS pr "
+            f"FROM v LEFT JOIN (SELECT e.dst AS id, "
+            f"CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS acc "
+            f"FROM {prefix}pr{k-1} p JOIN deg d ON p.id = d.id "
+            f"JOIN edges e ON e.src = p.id GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return ctes
+
+
+def q_damping_sweep(spark, sf_dir):
+    """PageRank damping sensitivity: the 20 largest rank shifts
+    between fixed-point pagerank5 at α=0.85 and α=0.5 (5 supersteps
+    each, same engine/kernel) — the stability diagnostic behind
+    damping choice (vertices whose rank depends on α live off
+    teleport-vs-structure balance). Ranks break ties on vid; exact
+    integers end-to-end."""
+    from pyspark.sql import Window
+
+    edges = _bipartite_edges(spark, sf_dir)
+    pa = _pagerank5_on(spark, edges, "entry_dsw_85", 85, 100)
+    pb = _pagerank5_on(spark, edges, "entry_dsw_50", 50, 100)
+    wa = Window.orderBy(F.desc("pr_fx"), F.asc("vid"))
+    ra = pa.select("vid", F.row_number().over(wa).alias("rank_085"))
+    rb = pb.select("vid", F.row_number().over(wa).alias("rank_050"))
+    return (
+        ra.join(rb, "vid")
+        .select(
+            "vid",
+            F.col("rank_085").cast("long").alias("rank_085"),
+            F.col("rank_050").cast("long").alias("rank_050"),
+            F.abs(F.col("rank_085") - F.col("rank_050"))
+            .cast("long")
+            .alias("shift"),
+        )
+        .orderBy(F.desc("shift"), F.asc("vid"))
+        .limit(20)
+    )
+
+
+def _damping_sweep_sql() -> str:
+    ctes = [
+        f"WITH {SQL_BIPARTITE}",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+    ]
+    ctes += _pr5_chain_sql("a", 85, 100)
+    ctes += _pr5_chain_sql("b", 50, 100)
+    ctes.append(
+        "ra AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, id)"
+        " AS BIGINT) AS r FROM apr5)"
+    )
+    ctes.append(
+        "rb AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, id)"
+        " AS BIGINT) AS r FROM bpr5)"
+    )
+    return ", ".join(ctes) + (
+        " SELECT ra.id AS vid, ra.r AS rank_085, rb.r AS rank_050, "
+        "CAST(ABS(ra.r - rb.r) AS BIGINT) AS shift "
+        "FROM ra JOIN rb ON rb.id = ra.id "
+        "ORDER BY shift DESC, vid ASC LIMIT 20"
+    )
+
+
+def q_event_entropy(spark, sf_dir):
+    """Conditional entropy H(next|current) of the event stream —
+    predictability scalar over the Markov transition counts
+    (ops/events.event_conditional_entropy)."""
+    from drone_spark.ops.events import event_conditional_entropy
+
+    return event_conditional_entropy(_read(spark, sf_dir, "events"))
+
+
+def _event_entropy_sql() -> str:
+    from drone_spark.ops.events import event_conditional_entropy_sql
+
+    return event_conditional_entropy_sql()
+
+
 def q_dedup_agreement(spark, sf_dir):
     """Pair-level agreement audit between the md5-MinHash-LSH and
     md5-SimHash near-dup detectors on the same corpus
@@ -8253,6 +8343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch": q_lang_mismatch,
         "dedup_agreement": q_dedup_agreement,
         "bond_percolation": q_bond_percolation,
+        "damping_sweep": q_damping_sweep,
+        "event_entropy": q_event_entropy,
     }
 
 
@@ -8828,6 +8920,8 @@ def oracle_sql() -> dict[str, str]:
     out["bm25f"] = _bm25f_sql()
     out["lang_mismatch"] = _lang_mismatch_sql()
     out["dedup_agreement"] = _dedup_agreement_sql()
+    out["damping_sweep"] = _damping_sweep_sql()
+    out["event_entropy"] = _event_entropy_sql()
     out["bond_percolation"] = _bond_percolation_sql()
     out["truss_modularity"] = _truss_modularity_sql()
     out["fastrp2"] = _fastrp2_sql()

@@ -2078,3 +2078,65 @@ def bounce_rate_sql(gap_minutes: int = 30, table: str = "events") -> str:
         "CAST(FLOOR(1000000 * n_bounces / n_sessions) AS BIGINT) "
         "AS bounce_ppm FROM daily"
     )
+
+
+def event_conditional_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conditional entropy H(next | current) of the per-user event
+    stream — the predictability scalar over the same transition counts
+    the Markov matrix exposes: H = Σ_{ij} (c_ij/N)·ln(r_i/c_ij) with
+    r_i the row sum. Low H = rigid funnels (or bots replaying a
+    script); H near ln(#states) = memoryless traffic. Exact integer
+    counts in, one ln per OBSERVED pair (≤ states² terms, a tiny
+    broadcastable table), result rounds to 6. Result: one row
+    (n_transitions, n_pairs, cond_entropy)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    pairs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("nxt"),
+            F.lag(type_col).over(w).alias("cur"),
+        )
+        .where(F.col("cur").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = pairs.groupBy("cur").agg(F.sum("c").alias("r"))
+    return (
+        pairs.join(rows, "cur")
+        .agg(
+            F.sum("c").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.col("c")
+                    * F.log(F.col("r").cast("double") / F.col("c"))
+                )
+                / F.sum("c"),
+                6,
+            ).alias("cond_entropy"),
+        )
+    )
+
+
+def event_conditional_entropy_sql(table: str = "events") -> str:
+    """DuckDB twin of :func:`event_conditional_entropy`."""
+    return (
+        f"WITH lagged AS (SELECT user_id AS u, event_type AS nxt, "
+        f"LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS cur "
+        f"FROM {table}), "
+        "pairs AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM lagged WHERE cur IS NOT NULL GROUP BY cur, nxt), "
+        "rows_ AS (SELECT cur, SUM(c) AS r FROM pairs GROUP BY cur) "
+        "SELECT CAST(SUM(c) AS BIGINT) AS n_transitions, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "ROUND(SUM(c * LN(CAST(r AS DOUBLE) / c)) / SUM(c), 6) "
+        "AS cond_entropy "
+        "FROM pairs JOIN rows_ USING (cur)"
+    )

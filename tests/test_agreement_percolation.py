@@ -116,3 +116,70 @@ def test_bond_percolation_sql_twin(spark, engine):
         ).fetchall()
     )
     assert got == want
+
+
+# ----------------------------------------------------- event entropy
+def test_event_conditional_entropy_hand(spark):
+    """Corpus transition pairs {ab:2, ba:2, cc:1, cd:1} with row sums
+    a:2, b:2, c:2 and N=6: the a/b rows are deterministic (c = r, ln 1
+    terms), the c row splits evenly, so
+    H = (2·ln1 + 2·ln1 + 1·ln2 + 1·ln2)/6 = ln2/3."""
+    import datetime
+    import math
+
+    from drone_spark.ops.events import event_conditional_entropy
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, 1, ts(0), "a"), (2, 1, ts(1), "b"), (3, 1, ts(2), "a"),
+        (4, 1, ts(3), "b"), (5, 1, ts(4), "a"),
+        (6, 2, ts(0), "c"), (7, 2, ts(1), "c"), (8, 2, ts(2), "d"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    [r] = event_conditional_entropy(ev).collect()
+    assert (r["n_transitions"], r["n_pairs"]) == (6, 4)
+    assert r["cond_entropy"] == pytest.approx(round(2 * math.log(2) / 6, 6))
+
+
+def test_event_entropy_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import datetime
+    import random
+
+    from drone_spark.ops.events import (
+        event_conditional_entropy,
+        event_conditional_entropy_sql,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (
+            i,
+            rng.randrange(6),
+            datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(seconds=rng.randrange(86400)),
+            rng.choice(["v", "c", "p", "e"]),
+        )
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = [tuple(r) for r in event_conditional_entropy(ev).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, user_id BIGINT, "
+        "ts TIMESTAMP, event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(event_conditional_entropy_sql()).fetchall()
+    ]
+    assert got == want
