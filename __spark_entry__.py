@@ -7927,6 +7927,87 @@ def _damping_sweep_sql() -> str:
     )
 
 
+def q_mirror_clusters(spark, sf_dir):
+    """Mirror-host CLUSTERS: transitive closure of the host_mirrors
+    pair set (outlink-Jaccard ≥ 0.7) via the iterative CC kernel over
+    md5-hashed host ids, labeled by each component's lexicographic-min
+    host — mirror groups, not just pairs (the retention unit a crawl
+    dedup actually acts on)."""
+    from drone_spark.algorithms.cc import connected_components
+
+    pairs = q_host_mirrors(spark, sf_dir).select("host_a", "host_b")
+
+    def hid(c):
+        return F.conv(F.substring(F.md5(F.col(c)), 1, 15), 16, 10).cast(
+            "long"
+        )
+
+    edges = pairs.select(hid("host_a").alias("src"), hid("host_b").alias("dst"))
+    res = connected_components(
+        spark, _engine(spark), edges, run_id="entry_mirrorcl",
+        backend="relational",
+    )
+    hosts = (
+        pairs.select(F.col("host_a").alias("host"))
+        .union(pairs.select(F.col("host_b").alias("host")))
+        .distinct()
+        .withColumn("vid", hid("host"))
+    )
+    comp = hosts.join(res.state, "vid").select("host", "label")
+    canon = comp.groupBy("label").agg(F.min("host").alias("cluster"))
+    return comp.join(canon, "label").select("host", "cluster")
+
+
+def _mirror_clusters_sql() -> str:
+    mp = _host_mirrors_sql()
+    return (
+        f"WITH RECURSIVE mp AS MATERIALIZED (SELECT host_a, host_b FROM ({mp})), "
+        "msym AS (SELECT host_a AS s, host_b AS d FROM mp "
+        "UNION SELECT host_b, host_a FROM mp), "
+        "mv AS (SELECT DISTINCT s AS id FROM msym), "
+        "walk(id, lab) AS ("
+        " SELECT id, id FROM mv"
+        " UNION"
+        " SELECT m.d, w.lab FROM walk w JOIN msym m ON m.s = w.id"
+        " WHERE w.lab < m.d) "
+        "SELECT id AS host, MIN(lab) AS cluster FROM walk GROUP BY id"
+    )
+
+
+def q_site_percolation(spark, sf_dir):
+    """Site (vertex) percolation on the co-purchase graph at
+    md5-deterministic keep rates 25/50/75% — the third resilience
+    panel next to attack_robustness and bond_percolation
+    (algorithms/robustness.site_percolation)."""
+    from drone_spark.algorithms.robustness import site_percolation
+
+    return site_percolation(
+        spark, _engine(spark), _copurchase_edges(spark, sf_dir),
+        run_id="entry_siteperc",
+    )
+
+
+def _site_percolation_sql() -> str:
+    from drone_spark.algorithms.robustness import site_percolation_sql
+
+    return site_percolation_sql(SQL_COPURCHASE)
+
+
+def q_nqc(spark, sf_dir):
+    """NQC post-retrieval performance predictor for the BM25 query —
+    normalized top-10 score deviation (ops/textstats.nqc_predictor),
+    the score-distribution companion of query_clarity."""
+    from drone_spark.ops.textstats import nqc_predictor
+
+    return nqc_predictor(_read(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+def _nqc_sql() -> str:
+    from drone_spark.ops.textstats import nqc_predictor_sql
+
+    return nqc_predictor_sql(BM25_TERMS)
+
+
 def q_event_entropy(spark, sf_dir):
     """Conditional entropy H(next|current) of the event stream —
     predictability scalar over the Markov transition counts
@@ -8345,6 +8426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bond_percolation": q_bond_percolation,
         "damping_sweep": q_damping_sweep,
         "event_entropy": q_event_entropy,
+        "mirror_clusters": q_mirror_clusters,
+        "site_percolation": q_site_percolation,
+        "nqc": q_nqc,
     }
 
 
@@ -8921,6 +9005,9 @@ def oracle_sql() -> dict[str, str]:
     out["lang_mismatch"] = _lang_mismatch_sql()
     out["dedup_agreement"] = _dedup_agreement_sql()
     out["damping_sweep"] = _damping_sweep_sql()
+    out["mirror_clusters"] = _mirror_clusters_sql()
+    out["site_percolation"] = _site_percolation_sql()
+    out["nqc"] = _nqc_sql()
     out["event_entropy"] = _event_entropy_sql()
     out["bond_percolation"] = _bond_percolation_sql()
     out["truss_modularity"] = _truss_modularity_sql()

@@ -231,3 +231,122 @@ def bond_percolation_sql(
             f"FROM c{ppm})"
         )
     return ", ".join(parts) + " " + " UNION ALL ".join(sels)
+
+
+def site_percolation(
+    spark: SparkSession,
+    engine: SuperstepEngine,
+    edges: DataFrame,
+    keep_ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+    salt: str = "site",
+    run_id: str = "site_perc",
+) -> DataFrame:
+    """Site (vertex) percolation — the third panel of the resilience
+    triptych (targeted attack / bond failure / site failure, Albert et
+    al. 2000; Callaway et al. 2000): keep each VERTEX with probability
+    p via the deterministic md5 draw, keep edges with both endpoints
+    alive, measure the giant component. Site curves sit below bond
+    curves at equal p (removing a hub removes all its edges at once) —
+    the gap is itself a hub-dependence diagnostic.
+
+    Same md5/CC machinery as :func:`bond_percolation`; the draw keys
+    on the vertex id alone so both endpoints' survival is independent
+    and layout-free. Result per keep_ppm: (keep_ppm, n_vertices_kept,
+    n_edges_kept, n_components, giant_size) — vertices counted over
+    kept-edge endpoints (isolated survivors drop, as everywhere in the
+    robustness family)."""
+    und = edges.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+
+    def draw(col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long") % 1_000_000
+
+    scored = und.withColumn("ua", draw("a")).withColumn("ub", draw("b"))
+    out = None
+    for ppm in keep_ppms:
+        kept = scored.where(
+            (F.col("ua") < ppm) & (F.col("ub") < ppm)
+        ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        n_kept = kept.count()
+        if n_kept == 0:
+            row = spark.createDataFrame(
+                [(ppm, 0, 0, 0, 0)],
+                "keep_ppm long, n_vertices_kept long, n_edges_kept long,"
+                " n_components long, giant_size long",
+            )
+        else:
+            res = connected_components(
+                spark, engine, kept, run_id=f"{run_id}_{ppm}",
+                backend="relational",
+            )
+            comp = res.state.groupBy("label").agg(
+                F.count(F.lit(1)).alias("sz")
+            )
+            row = comp.agg(
+                F.lit(ppm).cast("long").alias("keep_ppm"),
+                F.sum("sz").cast("long").alias("n_vertices_kept"),
+                F.lit(n_kept).cast("long").alias("n_edges_kept"),
+                F.count(F.lit(1)).cast("long").alias("n_components"),
+                F.max("sz").cast("long").alias("giant_size"),
+            )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def site_percolation_sql(
+    edges_cte: str,
+    keep_ppms: tuple[int, ...] = (250_000, 500_000, 750_000),
+    salt: str = "site",
+) -> str:
+    """DuckDB twin of :func:`site_percolation`."""
+    u = (
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST({{c}} AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 1000000"
+    )
+    parts = [
+        f"WITH RECURSIVE {edges_cte}, "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges WHERE src <> dst), "
+        f"scored AS (SELECT a, b, {u.format(c='a')} AS ua, "
+        f"{u.format(c='b')} AS ub FROM und)"
+    ]
+    sels = []
+    for ppm in keep_ppms:
+        parts.append(
+            f"k{ppm} AS (SELECT a, b FROM scored WHERE ua < {ppm} "
+            f"AND ub < {ppm})"
+        )
+        parts.append(
+            f"s{ppm} AS (SELECT a AS s, b AS d FROM k{ppm} "
+            f"UNION SELECT b, a FROM k{ppm})"
+        )
+        parts.append(f"v{ppm} AS (SELECT DISTINCT s AS id FROM s{ppm})")
+        parts.append(
+            f"w{ppm}(id, lab) AS ("
+            f" SELECT id, id FROM v{ppm}"
+            f" UNION"
+            f" SELECT s.d, w.lab FROM w{ppm} w JOIN s{ppm} s ON s.s = w.id"
+            f" WHERE w.lab < s.d)"
+        )
+        parts.append(
+            f"c{ppm} AS (SELECT id, MIN(lab) AS comp FROM w{ppm} GROUP BY id)"
+        )
+        sels.append(
+            f"SELECT CAST({ppm} AS BIGINT) AS keep_ppm, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_vertices_kept, "
+            f"CAST((SELECT COUNT(*) FROM k{ppm}) AS BIGINT) AS n_edges_kept, "
+            f"CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_components, "
+            f"CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS giant_size FROM "
+            f"(SELECT comp, COUNT(*) OVER (PARTITION BY comp) AS cnt "
+            f"FROM c{ppm})"
+        )
+    return ", ".join(parts) + " " + " UNION ALL ".join(sels)

@@ -1994,3 +1994,49 @@ def lang_mismatch_sql(doc_table: str = "documents") -> str:
         f"FROM {doc_table} d JOIN pred p ON p.doc_id = d.doc_id "
         "WHERE d.lang <> p.lang_pred GROUP BY d.lang, p.lang_pred"
     )
+
+
+def nqc_predictor(
+    docs: DataFrame,
+    query_terms: list[str],
+    k_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NQC post-retrieval query-performance predictor (Shtok, Kurland
+    & Carmel, ICTIR 2009): the normalized standard deviation of the
+    top-k retrieval scores — high score variance among the top results
+    predicts an effective query (a few documents clearly win), flat
+    scores predict a floundering one. Complements :func:`query_clarity`
+    (the language-model predictor) with the score-distribution view:
+
+        NQC = sqrt( Σ (s_i − s̄)² / k ) / s̄
+
+    over the BM25 top-k scores (already round-6, so the ≤k-term float
+    stats are engine-stable; NQC rounds to 6, s̄ > 0 guarded). Result:
+    one row (k_used, mean_score, nqc)."""
+    top = bm25_topk(
+        docs, query_terms, k=k_docs, text_col=text_col, id_col=id_col
+    )
+    return top.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(
+            F.sqrt(F.var_pop("score")) / F.avg("score"), 6
+        ).alias("nqc"),
+    )
+
+
+def nqc_predictor_sql(
+    query_terms: list[str],
+    k_docs: int = 10,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`nqc_predictor`."""
+    bm25 = bm25_topk_sql(query_terms, k=k_docs, doc_table=doc_table)
+    return (
+        f"WITH top AS MATERIALIZED (SELECT score FROM ({bm25})) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS k_used, "
+        "ROUND(AVG(score), 6) AS mean_score, "
+        "ROUND(SQRT(VAR_POP(score)) / AVG(score), 6) AS nqc FROM top"
+    )

@@ -183,3 +183,107 @@ def test_event_entropy_sql_twin(spark):
         for r in con.execute(event_conditional_entropy_sql()).fetchall()
     ]
     assert got == want
+
+
+# --------------------------------------------------- site percolation
+def test_site_percolation_brute_force(spark, engine):
+    """md5 vertex draw replayed with hashlib; kept edges need BOTH
+    endpoints alive; python union-find CC must match exactly."""
+    from drone_spark.algorithms.robustness import site_percolation
+
+    rows = [(u, v) for u in range(1, 16) for v in range(u + 1, 16)
+            if (u * 2 + v) % 3 != 0]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    ppms = (400_000, 800_000)
+    got = {
+        r["keep_ppm"]: (
+            r["n_vertices_kept"], r["n_edges_kept"], r["n_components"],
+            r["giant_size"],
+        )
+        for r in site_percolation(
+            spark, engine, e, keep_ppms=ppms, run_id="t_sp"
+        ).collect()
+    }
+
+    def uv(x):
+        h = hashlib.md5(f"site:{x}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    for ppm in ppms:
+        kept = [
+            (a, b) for a, b in rows if uv(a) < ppm and uv(b) < ppm
+        ]
+        sizes = _cc_sizes(kept)
+        want = (
+            sum(sizes.values()),
+            len(kept),
+            len(sizes),
+            max(sizes.values()) if sizes else 0,
+        )
+        assert got[ppm] == want, ppm
+
+
+def test_site_percolation_sql_twin(spark, engine):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.algorithms.robustness import (
+        site_percolation,
+        site_percolation_sql,
+    )
+
+    rows = [(u, v) for u in range(1, 14) for v in range(u + 1, 14)
+            if (u + 2 * v) % 4 != 0]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(
+        tuple(r)
+        for r in site_percolation(spark, engine, e, run_id="t_sp2").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            site_percolation_sql("edges AS (SELECT src, dst FROM base)")
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ------------------------------------------------------ NQC predictor
+def test_nqc_hand(spark):
+    """Three docs, query {q}: identical single-hit docs of equal
+    length → identical scores → variance 0 → NQC = 0; add one doc with
+    a double hit and NQC turns positive."""
+    from drone_spark.ops.textstats import nqc_predictor
+
+    flat = spark.createDataFrame(
+        [(1, "q x"), (2, "q y"), (3, "q z")], "doc_id long, text string"
+    )
+    [r] = nqc_predictor(flat, ["q"]).collect()
+    assert r["k_used"] == 3 and r["nqc"] == pytest.approx(0.0)
+    spread = spark.createDataFrame(
+        [(1, "q q x"), (2, "q y"), (3, "q z")], "doc_id long, text string"
+    )
+    [r2] = nqc_predictor(spread, ["q"]).collect()
+    assert r2["nqc"] > 0
+
+
+def test_nqc_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.ops.textstats import nqc_predictor, nqc_predictor_sql
+
+    rows = [
+        (i, " ".join(f"w{(i * 5 + j) % 13}" for j in range(3 + i % 6))
+         + (" join hash" if i % 3 == 0 else " join" if i % 5 == 0 else ""))
+        for i in range(1, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in nqc_predictor(docs, ["join", "hash"]).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(nqc_predictor_sql(["join", "hash"])).fetchall()
+    ]
+    assert got == want
