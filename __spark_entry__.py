@@ -7927,6 +7927,129 @@ def _damping_sweep_sql() -> str:
     )
 
 
+def q_maxscore(spark, sf_dir):
+    """MaxScore/WAND prunability audit for the BM25 query — fraction
+    of candidate docs a bound-aware traversal skips at the top-10
+    threshold (ops/textstats.maxscore_prunable)."""
+    from drone_spark.ops.textstats import maxscore_prunable
+
+    return maxscore_prunable(_read(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+def _maxscore_sql() -> str:
+    from drone_spark.ops.textstats import maxscore_prunable_sql
+
+    return maxscore_prunable_sql(BM25_TERMS)
+
+
+def q_pr_gini(spark, sf_dir):
+    """Gini concentration of the 5-superstep fixed-point PageRank
+    mass — 'how unequal is rank?' in exact integers: scores are
+    pre-quantized by DIV 10⁶ (documented quantization so the rank-
+    weighted sum stays in int64), ranked ascending (value, vid), and
+    G = Σ(2i−n−1)·x_(i) / (n·Σx) emitted in exact ppm via the
+    rank_corr long-division idiom."""
+    from pyspark.sql import Window
+
+    pr = q_pagerank5(spark, sf_dir).select(
+        "vid", F.expr("pr_fx div 1000000000").alias("x")
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("vid"))
+    ranked = pr.select("x", F.row_number().over(w).alias("i"))
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("(2 * i - 1) * x")).alias("swx"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.expr("swx - n * sx - sx").alias("a"),
+            F.expr("n * sx").alias("denom"),
+        )
+        .select(
+            "n",
+            F.expr(
+                "CAST((a DIV denom) * 1000000 + "
+                "((a - (a DIV denom) * denom) * 1000000) DIV denom AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+def _pr_gini_sql() -> str:
+    return (
+        f"WITH pr AS ({_pagerank5_sql()}), "
+        "qx AS (SELECT vid, pr_fx // 1000000000 AS x FROM pr), "
+        "ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, vid ASC)"
+        " AS i FROM qx), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, "
+        "CAST(SUM((2 * i - 1) * x) AS BIGINT) AS swx FROM ranked), "
+        "nd AS (SELECT n, swx - n * sx - sx AS a, n * sx AS denom FROM agg) "
+        "SELECT n, CAST((a // denom) * 1000000 + "
+        "((a - (a // denom) * denom) * 1000000) // denom AS BIGINT) "
+        "AS gini_ppm FROM nd"
+    )
+
+
+def q_hub_auth_corr(spark, sf_dir):
+    """Spearman ρ (exact BIGINT long-division ppm, the rank_corr
+    idiom) between the 3-round integer HITS hub and authority
+    rankings over all vertices — 'are good hubs also good
+    authorities?' On a strict bipartite order→part graph the two
+    roles live on disjoint sides, so ρ quantifies exactly how
+    anti-aligned the roles are — the role-separation diagnostic."""
+    from drone_spark.ops.fusion import ordinal_rank
+
+    ha = q_hits3(spark, sf_dir)
+    rh = ordinal_rank(
+        ha.select("vid", F.col("hub_fx").alias("score")), "score", "vid", "r_h"
+    )
+    ra = ordinal_rank(
+        ha.select("vid", F.col("auth_fx").alias("score")), "score", "vid", "r_a"
+    )
+    d2 = rh.select("vid", "r_h").join(ra.select("vid", "r_a"), "vid").select(
+        ((F.col("r_h") - F.col("r_a")) * (F.col("r_h") - F.col("r_a"))).alias(
+            "d2"
+        )
+    )
+    return (
+        d2.agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("sumd2"))
+        .select(
+            "n",
+            F.expr("6 * sumd2").alias("a"),
+            F.expr("n * n * n - n").alias("denom"),
+        )
+        .select(
+            "n",
+            F.expr(
+                "CAST(1000000 - ((a DIV denom) * 1000000 + "
+                "((a - (a DIV denom) * denom) * 1000000) DIV denom) AS BIGINT)"
+            ).alias("rho_ppm"),
+        )
+    )
+
+
+def _hub_auth_corr_sql() -> str:
+    return (
+        f"WITH ha AS MATERIALIZED ({_hits3_sql()}), "
+        "rh AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY hub_fx DESC, vid ASC)"
+        " AS r_h FROM ha), "
+        "ra AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY auth_fx DESC, vid ASC)"
+        " AS r_a FROM ha), "
+        "dd AS (SELECT (rh.r_h - ra.r_a) * (rh.r_h - ra.r_a) AS d2 "
+        "FROM rh JOIN ra ON ra.vid = rh.vid), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(6 * SUM(d2) AS BIGINT) AS a, "
+        "CAST(COUNT(*) AS BIGINT) * COUNT(*) * COUNT(*) - COUNT(*) AS denom "
+        "FROM dd) "
+        "SELECT n, CAST(1000000 - ((a // denom) * 1000000 + "
+        "((a - (a // denom) * denom) * 1000000) // denom) AS BIGINT) "
+        "AS rho_ppm FROM agg"
+    )
+
+
 def q_mirror_clusters(spark, sf_dir):
     """Mirror-host CLUSTERS: transitive closure of the host_mirrors
     pair set (outlink-Jaccard ≥ 0.7) via the iterative CC kernel over
@@ -8429,6 +8552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_clusters": q_mirror_clusters,
         "site_percolation": q_site_percolation,
         "nqc": q_nqc,
+        "hub_auth_corr": q_hub_auth_corr,
+        "maxscore": q_maxscore,
+        "pr_gini": q_pr_gini,
     }
 
 
@@ -9008,6 +9134,9 @@ def oracle_sql() -> dict[str, str]:
     out["mirror_clusters"] = _mirror_clusters_sql()
     out["site_percolation"] = _site_percolation_sql()
     out["nqc"] = _nqc_sql()
+    out["hub_auth_corr"] = _hub_auth_corr_sql()
+    out["maxscore"] = _maxscore_sql()
+    out["pr_gini"] = _pr_gini_sql()
     out["event_entropy"] = _event_entropy_sql()
     out["bond_percolation"] = _bond_percolation_sql()
     out["truss_modularity"] = _truss_modularity_sql()

@@ -2040,3 +2040,134 @@ def nqc_predictor_sql(
         "ROUND(AVG(score), 6) AS mean_score, "
         "ROUND(SQRT(VAR_POP(score)) / AVG(score), 6) AS nqc FROM top"
     )
+
+
+def maxscore_prunable(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MaxScore prunability audit (Turtle & Flood 1995; the
+    upper-bound machinery behind WAND/BMW index traversal): with
+    per-term score upper bounds U_t = max over docs of the term's BM25
+    contribution, a candidate document d (≥1 query term) can be
+    skipped without scoring iff Σ_{t ∈ q ∩ d} U_t < θ, where θ is the
+    current k-th best full score. This measures what fraction of the
+    postings a bound-aware traversal never scores — the number that
+    justifies (or doesn't) impact-ordered index layouts for a query
+    load. Per-term contributions and θ reuse the exact bm25_topk
+    arithmetic (round-6 contributions, so the ≤|q|-term bound sums are
+    engine-stable). Result: one row (theta, n_candidates, n_prunable,
+    prunable_ppm)."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.split(norm_text(text_col), " ")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+    )
+    tf = toks.groupBy("did", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("did").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    spark = docs.sparkSession
+    qt = spark.createDataFrame([(t,) for t in query_terms], "token string")
+    dfreq = (
+        tf.join(F.broadcast(qt), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = F.round(
+        idf
+        * (
+            F.col("tf") * (F.lit(k1) + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .join(dl, "did")
+        .crossJoin(F.broadcast(stats))
+        .select("did", "token", contrib.alias("c"))
+    )
+    theta = (
+        scored.groupBy("did")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("did"))
+        .limit(k)
+        .agg(F.min("score").alias("theta"))
+    )
+    ub = scored.groupBy("token").agg(F.max("c").alias("ub"))
+    bounds = (
+        scored.join(F.broadcast(ub), "token")
+        .groupBy("did")
+        .agg(F.sum("ub").alias("bound"))
+    )
+    return bounds.crossJoin(F.broadcast(theta)).agg(
+        F.min("theta").alias("theta"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("bound") < F.col("theta")).cast("long"))
+        .cast("long")
+        .alias("n_prunable"),
+        F.floor(
+            F.lit(1_000_000)
+            * F.sum((F.col("bound") < F.col("theta")).cast("long"))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("prunable_ppm"),
+    )
+
+
+def maxscore_prunable_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`maxscore_prunable`."""
+    lst = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_SQL} AS nt FROM {doc_table}), "
+        "toks AS (SELECT doc_id AS did, unnest(string_split(nt, ' ')) AS token "
+        "FROM norm), "
+        "tfl AS (SELECT did, token FROM toks WHERE length(token) > 0), "
+        "tf AS (SELECT did, token, COUNT(*) AS tf FROM tfl GROUP BY 1, 2), "
+        "dl AS (SELECT did, COUNT(*) AS dl FROM tfl GROUP BY did), "
+        "stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl), "
+        f"q AS (SELECT UNNEST([{lst}]) AS token), "
+        "dfreq AS (SELECT tf.token, COUNT(*) AS df FROM tf "
+        "JOIN q USING (token) GROUP BY tf.token), "
+        "scored AS (SELECT tf.did, tf.token, ROUND("
+        "LN(1.0 + (CAST(s.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5)) "
+        f"* (tf.tf * ({k1} + 1.0) / (tf.tf + {k1} * (1.0 - {b} + {b} * "
+        "dl.dl / s.avgdl))), 6) AS c "
+        "FROM tf JOIN dfreq ON dfreq.token = tf.token "
+        "JOIN dl ON dl.did = tf.did CROSS JOIN stats s), "
+        "theta AS (SELECT MIN(score) AS theta FROM ("
+        "SELECT did, ROUND(SUM(c), 6) AS score FROM scored GROUP BY did "
+        f"ORDER BY score DESC, did ASC LIMIT {k})), "
+        "ub AS (SELECT token, MAX(c) AS ub FROM scored GROUP BY token), "
+        "bounds AS (SELECT s.did, SUM(ub.ub) AS bound FROM scored s "
+        "JOIN ub ON ub.token = s.token GROUP BY s.did) "
+        "SELECT MIN(t.theta) AS theta, "
+        "CAST(COUNT(*) AS BIGINT) AS n_candidates, "
+        "CAST(SUM(CASE WHEN b.bound < t.theta THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_prunable, "
+        "CAST(FLOOR(1000000 * SUM(CASE WHEN b.bound < t.theta THEN 1 ELSE 0 "
+        "END) / COUNT(*)) AS BIGINT) AS prunable_ppm "
+        "FROM bounds b CROSS JOIN theta t"
+    )

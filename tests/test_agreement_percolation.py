@@ -287,3 +287,86 @@ def test_nqc_sql_twin(spark):
         for r in con.execute(nqc_predictor_sql(["join", "hash"])).fetchall()
     ]
     assert got == want
+
+
+# ---------------------------------------------------- MaxScore audit
+def _bm25_brute(rows, terms, k=10, k1=1.2, b=0.75):
+    """Independent reference: per-doc per-term round-6 contributions,
+    theta, upper bounds, prunable count."""
+    import math as _m
+
+    toks = {d: t.split() for d, t in rows}
+    dl = {d: len(t) for d, t in toks.items() if t}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    tf = {}
+    for d, t in toks.items():
+        for w in t:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {
+        q: len({d for (d, w) in tf if w == q}) for q in terms
+    }
+    contrib = {}
+    for (d, w), f in tf.items():
+        if w in terms and df[w] > 0:
+            idf = _m.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            sat = f * (k1 + 1) / (f + k1 * (1 - b + b * dl[d] / avgdl))
+            contrib[(d, w)] = round(idf * sat, 6)
+    scores = {}
+    for (d, w), c in contrib.items():
+        scores[d] = round(scores.get(d, 0) + c, 10)
+    scores = {d: round(s, 6) for d, s in scores.items()}
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    theta = min(s for _, s in top)
+    ub = {}
+    for (d, w), c in contrib.items():
+        ub[w] = max(ub.get(w, 0.0), c)
+    bounds = {}
+    for (d, w), _ in contrib.items():
+        bounds[d] = bounds.get(d, 0.0) + ub[w]
+    prunable = sum(1 for d, bd in bounds.items() if bd < theta)
+    return theta, len(bounds), prunable
+
+
+def test_maxscore_brute_force(spark):
+    from drone_spark.ops.textstats import maxscore_prunable
+
+    rows = [(i, "q q q q x") if i % 4 == 0
+            else (i, "r x y") if i % 4 == 1
+            else (i, "q r z") if i % 4 == 2
+            else (i, "x y z")
+            for i in range(1, 41)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = maxscore_prunable(docs, ["q", "r"], k=5).collect()
+    theta, n_cand, n_prun = _bm25_brute(rows, ["q", "r"], k=5)
+    assert r["n_candidates"] == n_cand
+    assert r["theta"] == pytest.approx(theta)
+    assert r["n_prunable"] == n_prun
+
+
+def test_maxscore_sql_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from drone_spark.ops.textstats import (
+        maxscore_prunable,
+        maxscore_prunable_sql,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 5 + j) % 13}" for j in range(3 + i % 6))
+         + (" join hash" if i % 3 == 0 else " join" if i % 5 == 0 else ""))
+        for i in range(1, 60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        tuple(r) for r in maxscore_prunable(docs, ["join", "hash"]).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(
+            maxscore_prunable_sql(["join", "hash"])
+        ).fetchall()
+    ]
+    assert got == want
