@@ -7927,6 +7927,65 @@ def _damping_sweep_sql() -> str:
     )
 
 
+def q_rank_plane(spark, sf_dir):
+    """2-D PageRank × CheiRank classification (Zhirov, Zhirov &
+    Shepelyansky 2010's rank plane): split both deterministic rankings
+    at the median and count vertices per quadrant — authorities-only
+    (PR top, Chei bottom), hubs-only, both ('trade' nodes routing
+    mass through), neither. Ranks via ordinal_rank on the two
+    fixed-point kernels; exact integers, sample vid = quadrant min."""
+    from drone_spark.ops.fusion import ordinal_rank
+
+    pr = q_pagerank5(spark, sf_dir).select(
+        "vid", F.col("pr_fx").alias("score")
+    )
+    ch = q_cheirank5(spark, sf_dir).select(
+        "vid", F.col("pr_fx").alias("score")
+    )
+    rp = ordinal_rank(pr, "score", "vid", "r_pr")
+    rc = ordinal_rank(ch, "score", "vid", "r_ch")
+    n = pr.count()
+    half = n // 2
+    quad = (
+        F.when(
+            (F.col("r_pr") <= half) & (F.col("r_ch") <= half), "both"
+        )
+        .when(F.col("r_pr") <= half, "authority_only")
+        .when(F.col("r_ch") <= half, "hub_only")
+        .otherwise("neither")
+    )
+    return (
+        rp.select("vid", "r_pr")
+        .join(rc.select("vid", "r_ch"), "vid")
+        .select("vid", quad.alias("quadrant"))
+        .groupBy("quadrant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.min("vid").cast("long").alias("sample_vid"),
+        )
+    )
+
+
+def _rank_plane_sql() -> str:
+    return (
+        f"WITH pr AS MATERIALIZED ({_pagerank5_sql()}), "
+        f"ch AS MATERIALIZED ({_cheirank5_sql()}), "
+        "rp AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY pr_fx DESC, vid ASC)"
+        " AS r_pr FROM pr), "
+        "rc AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY pr_fx DESC, vid ASC)"
+        " AS r_ch FROM ch), "
+        "n AS (SELECT COUNT(*) // 2 AS half FROM pr), "
+        "q AS (SELECT rp.vid, CASE "
+        "WHEN rp.r_pr <= n.half AND rc.r_ch <= n.half THEN 'both' "
+        "WHEN rp.r_pr <= n.half THEN 'authority_only' "
+        "WHEN rc.r_ch <= n.half THEN 'hub_only' "
+        "ELSE 'neither' END AS quadrant "
+        "FROM rp JOIN rc ON rc.vid = rp.vid CROSS JOIN n) "
+        "SELECT quadrant, CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+        "CAST(MIN(vid) AS BIGINT) AS sample_vid FROM q GROUP BY quadrant"
+    )
+
+
 def q_maxscore(spark, sf_dir):
     """MaxScore/WAND prunability audit for the BM25 query — fraction
     of candidate docs a bound-aware traversal skips at the top-10
@@ -8555,6 +8614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hub_auth_corr": q_hub_auth_corr,
         "maxscore": q_maxscore,
         "pr_gini": q_pr_gini,
+        "rank_plane": q_rank_plane,
     }
 
 
@@ -9137,6 +9197,7 @@ def oracle_sql() -> dict[str, str]:
     out["hub_auth_corr"] = _hub_auth_corr_sql()
     out["maxscore"] = _maxscore_sql()
     out["pr_gini"] = _pr_gini_sql()
+    out["rank_plane"] = _rank_plane_sql()
     out["event_entropy"] = _event_entropy_sql()
     out["bond_percolation"] = _bond_percolation_sql()
     out["truss_modularity"] = _truss_modularity_sql()
