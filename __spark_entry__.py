@@ -238,6 +238,10 @@ def q_redact_pii(spark, sf_dir):
 
 
 PR_SCALE = 10**12  # fixed-point scale: pr 1.0 == 10^12
+# default damping 0.85 as an exact rational (matches _pagerank5_on's
+# d_num/d_den defaults); module-level so inlined PageRank step bodies
+# can reference it without depending on _pagerank5_on's parameter scope
+D_NUM, D_DEN = 85, 100
 
 
 def q_pagerank5(spark, sf_dir):
@@ -1036,8 +1040,8 @@ def q_host_rank5(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum(F.expr("(pr_fx * w) div outw")).alias("acc"))
         )
-        new_pr = F.lit((d_den - d_num) * PR_SCALE // d_den) + F.expr(
-            f"({d_num} * coalesce(acc, 0L)) div {d_den}"
+        new_pr = F.lit((D_DEN - D_NUM) * PR_SCALE // D_DEN) + F.expr(
+            f"({D_NUM} * coalesce(acc, 0L)) div {D_DEN}"
         )
         return state.join(contribs, state["vid"] == contribs["dst"], "left").select(
             "vid",
@@ -6898,8 +6902,8 @@ def q_pr_convergence(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum("w").alias("acc"))
         )
-        new_pr = F.lit((d_den - d_num) * PR_SCALE // d_den) + F.expr(
-            f"({d_num} * coalesce(acc, 0L)) div {d_den}"
+        new_pr = F.lit((D_DEN - D_NUM) * PR_SCALE // D_DEN) + F.expr(
+            f"({D_NUM} * coalesce(acc, 0L)) div {D_DEN}"
         )
         nxt = (
             prev.join(contribs, prev["id"] == contribs["dst"], "left")
@@ -7338,8 +7342,8 @@ def q_pagerank5_compressed(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum("wc").alias("acc"))
         )
-        new_pr = F.lit((d_den - d_num) * PR_SCALE // d_den) + F.expr(
-            f"({d_num} * coalesce(acc, 0L)) div {d_den}"
+        new_pr = F.lit((D_DEN - D_NUM) * PR_SCALE // D_DEN) + F.expr(
+            f"({D_NUM} * coalesce(acc, 0L)) div {D_DEN}"
         )
         state = (
             state.join(contribs, state["id"] == contribs["dst"], "left")
