@@ -781,10 +781,16 @@ def q_top_spenders(spark, sf_dir):
         .agg(F.sum(_cents("o_totalprice")).alias("spend_c"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
     )
+    # distributed top-k (per-partition top-10 merged on the driver)
+    # instead of a single-task global window over every customer; the
+    # rank window then runs over exactly 10 rows. Prefix property of a
+    # deterministic total order makes the ranks identical.
     w = Window.orderBy(F.desc("spend_c"), F.asc("c_custkey"))
     return (
-        spend.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 10)
+        spend.select("c_custkey", "c_name", "spend_c")
+        .orderBy(F.desc("spend_c"), F.asc("c_custkey"))
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w))
         .select("c_custkey", "c_name", "spend_c", "rnk")
     )
 
@@ -2192,10 +2198,14 @@ def q_crawl_budget(spark, sf_dir):
         ).alias("rem"),
     )
     sb = j.agg((F.lit(CRAWL_BUDGET) - F.sum("base")).alias("leftover"))
-    w = Window.orderBy(F.col("rem").desc(), F.col("host"))
+    # remainder ranking via the histogram-prefix + tie-group idiom
+    # (ops/fusion.ordinal_rank orders score DESC, id ASC — exactly the
+    # (rem DESC, host) order the window used) instead of a single-task
+    # global row_number over the host table
+    from drone_spark.ops.fusion import ordinal_rank
+
     return (
-        j.crossJoin(F.broadcast(sb))
-        .withColumn("rn", F.row_number().over(w))
+        ordinal_rank(j.crossJoin(F.broadcast(sb)), "rem", "host", "rn")
         .select(
             "host",
             (
@@ -7418,8 +7428,14 @@ def q_decayed_popularity(spark, sf_dir):
         ev.crossJoin(F.broadcast(maxd))
         .select(
             "event_type",
+            # clamp the shift: Java masks int shift amounts mod 32, so
+            # an event 32+ days old would wrap back to weight 1024 while
+            # the SQL twin's 1024 >> age yields 0. Ages ≥ 11 already
+            # shift to 0, so clamping at 31 changes no result — it only
+            # removes the latent cross-engine wrap (ADVICE r5).
             F.expr(
-                "shiftright(1024, cast(datediff(maxd, day) as int))"
+                "shiftright(1024,"
+                " least(cast(datediff(maxd, day) as int), 31))"
             ).alias("wgt"),
         )
         .groupBy("event_type")
@@ -7883,14 +7899,22 @@ def q_damping_sweep(spark, sf_dir):
     damping choice (vertices whose rank depends on α live off
     teleport-vs-structure balance). Ranks break ties on vid; exact
     integers end-to-end."""
-    from pyspark.sql import Window
+    from drone_spark.ops.fusion import ordinal_rank
 
     edges = _bipartite_edges(spark, sf_dir)
     pa = _pagerank5_on(spark, edges, "entry_dsw_85", 85, 100)
     pb = _pagerank5_on(spark, edges, "entry_dsw_50", 50, 100)
-    wa = Window.orderBy(F.desc("pr_fx"), F.asc("vid"))
-    ra = pa.select("vid", F.row_number().over(wa).alias("rank_085"))
-    rb = pb.select("vid", F.row_number().over(wa).alias("rank_050"))
+    # histogram-prefix + tie-group ordinal rank (ops/fusion) — same
+    # (pr_fx DESC, vid ASC) order as the former global window, but no
+    # single task ever sees more than one tie group
+    ra = ordinal_rank(
+        pa.select("vid", F.col("pr_fx").alias("score")), "score", "vid",
+        "rank_085",
+    ).select("vid", "rank_085")
+    rb = ordinal_rank(
+        pb.select("vid", F.col("pr_fx").alias("score")), "score", "vid",
+        "rank_050",
+    ).select("vid", "rank_050")
     return (
         ra.join(rb, "vid")
         .select(
@@ -8017,13 +8041,22 @@ def q_pr_gini(spark, sf_dir):
     pr = q_pagerank5(spark, sf_dir).select(
         "vid", F.expr("pr_fx div 1000000000").alias("x")
     )
-    w = Window.orderBy(F.asc("x"), F.asc("vid"))
-    ranked = pr.select("x", F.row_number().over(w).alias("i"))
+    # Σ(2i−1)·x over ranks i by (x ASC, vid ASC) is invariant to the
+    # intra-tie order (x is constant within a tie group), so the whole
+    # sum collapses onto the distinct-value histogram: a tie group of
+    # size cnt starting after c0 rows contributes x·(2·c0·cnt + cnt²).
+    # Replaces the single-task global row_number over every vertex with
+    # a value-space cumulative window (VERDICT r5 next #3).
+    hist = pr.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    w_h = Window.orderBy(F.asc("x")).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "x", "cnt", F.coalesce(F.sum("cnt").over(w_h), F.lit(0)).alias("c0")
+    )
     return (
         ranked.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(F.expr("(2 * i - 1) * x")).alias("swx"),
+            F.sum("cnt").alias("n"),
+            F.sum(F.expr("x * cnt")).alias("sx"),
+            F.sum(F.expr("x * (2 * c0 * cnt + cnt * cnt)")).alias("swx"),
         )
         .select(
             F.col("n").cast("long").alias("n"),

@@ -159,6 +159,8 @@ def s_core(
     weight_col: str = "w",
     rounds: int | None = None,
     num_parts: int | None = None,
+    pre_partitioned: bool = False,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Weighted k-core — the *s-core* (Eidsaa & Almaas 2013): peel
     vertices whose STRENGTH (sum of incident undirected edge weights)
@@ -166,6 +168,13 @@ def s_core(
     the greatest fixpoint. The weighted-graph density analysis for
     rolled-up multigraphs (host graph n_links, co-purchase counts)
     where raw degree undercounts heavy parallel structure.
+
+    ``pre_partitioned``: the input is already hash-distributed on
+    ``src`` (a bucketed catalog table) — skips the per-run symmetrize +
+    repartition shuffle, same contract as :func:`k_core`. The stored
+    table must already be the symmetrized *aggregated* weighted edge
+    set (both directions present, one row per directed pair, summed
+    ``w``) — attested via ``assume_symmetric=True``.
 
     Returns (vid, in_core, strength): every vertex of the symmetrized
     simple graph, with its induced strength at termination (== original
@@ -179,24 +188,38 @@ def s_core(
     each round only the dropping frontier joins it, scattering −w to
     survivors — a round's work is proportional to edges leaving the
     frontier, never |E|. Integer weights, so strengths are exact."""
+    from ..sources.bucketed import prepare_edges
+
     spark = edges.sparkSession
     n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-            F.col(weight_col).cast("long").alias("w"),
+    if pre_partitioned and not assume_symmetric:
+        raise ValueError(
+            "pre_partitioned s-core input must already be the "
+            "symmetrized aggregated weighted edge set (re-symmetrizing "
+            "would re-shuffle it); pass assume_symmetric=True to attest "
+            "that, or drop pre_partitioned"
         )
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-    )
-    symw = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
-        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
-        .repartition(n_parts, "src")
-        .persist()
-    )
+    if assume_symmetric:
+        sym_rows = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("w")
+        )
+    else:
+        und = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
+        sym_rows = und.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+        ).unionAll(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        )
+    symw = prepare_edges(sym_rows, n_parts, pre_partitioned=pre_partitioned)
     state = (
         symw.groupBy(F.col("src").alias("vid"))
         .agg(F.sum("w").alias("strength"))

@@ -227,14 +227,37 @@ def _numeric_minmax(df: DataFrame) -> dict[str, list]:
         aggs.append(F.min(c).alias(f"min__{c}"))
         aggs.append(F.max(c).alias(f"max__{c}"))
     row = df.agg(*aggs).collect()[0]
+
+    def _lo(v):
+        """Lossy conversions must round the min DOWN so pruning stays
+        conservative: a Decimal min that float() rounds UP could make
+        scan_plan skip a commit whose boundary rows match (ADVICE r5)."""
+        import decimal
+        import math
+
+        if isinstance(v, int):
+            return v
+        f = float(v)
+        if isinstance(v, decimal.Decimal) and decimal.Decimal(f) > v:
+            f = math.nextafter(f, -math.inf)
+        return f
+
+    def _hi(v):
+        import decimal
+        import math
+
+        if isinstance(v, int):
+            return v
+        f = float(v)
+        if isinstance(v, decimal.Decimal) and decimal.Decimal(f) < v:
+            f = math.nextafter(f, math.inf)
+        return f
+
     out = {}
     for c in num_cols:
         lo, hi = row[f"min__{c}"], row[f"max__{c}"]
         if lo is not None:
-            out[c] = [
-                float(lo) if not isinstance(lo, int) else lo,
-                float(hi) if not isinstance(hi, int) else hi,
-            ]
+            out[c] = [_lo(lo), _hi(hi)]
     return out
 
 

@@ -53,6 +53,17 @@ def get_spark(
             "spark.sql.autoBroadcastJoinThreshold",
             str(int(os.environ.get("SPARK_GRAFT_BROADCAST_MB", "64")) * 1024 * 1024),
         )
+        # guide §3.1/§9: allow the planner to pick shuffled-hash join
+        # where its size conditions hold — a sort-merge join re-sorts
+        # the (cached, already co-partitioned) edge table every
+        # superstep, while SHJ builds a hash table over the small
+        # per-partition state side. SPARK_GRAFT_PREFER_SMJ=1 restores
+        # the Spark default for A/B.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1"
+            else "false",
+        )
     )
     # local mode: shuffle spill through tmpfs when available — local disk
     # does not scale with cores and would cap measured scaling efficiency

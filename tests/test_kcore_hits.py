@@ -150,3 +150,61 @@ def test_onion_layers_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_s_core_pre_partitioned_matches_and_skips_shuffle(spark, tmp_path):
+    """VERDICT r5 next #6: a bucketed symmetrized weighted table feeds
+    s_core with zero edge exchange, and the result matches the default
+    path bit-for-bit."""
+    import re
+
+    from drone_spark.algorithms.kcore import s_core
+    from drone_spark.sources.bucketed import (
+        read_bucketed_edges, write_bucketed_edges,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 5), (2, 3, 1), (3, 4, 10)],
+        "src long, dst long, w long",
+    )
+    base = {tuple(r) for r in s_core(e, s=8, weight_col="w").collect()}
+
+    # store the symmetrized aggregated weighted edge set bucketed on src
+    und = (
+        e.where("src != dst")
+        .selectExpr("least(src,dst) a", "greatest(src,dst) b", "w")
+        .groupBy("a", "b").sum("w")
+        .selectExpr("a", "b", "`sum(w)` as w")
+    )
+    symw = und.selectExpr("a as src", "b as dst", "w").unionAll(
+        und.selectExpr("b as src", "a as dst", "w")
+    )
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed_edges(symw, "score_symw_test", str(tmp_path / "sw"), n)
+    try:
+        tbl = read_bucketed_edges(spark, "score_symw_test")
+        got = {
+            tuple(r)
+            for r in s_core(
+                tbl, s=8, weight_col="w",
+                pre_partitioned=True, assume_symmetric=True,
+            ).collect()
+        }
+        assert got == base
+        # plan pin: the first peeling round's decrement join must not
+        # re-exchange the bucketed edge side
+        from pyspark.sql import functions as F
+
+        prepped = tbl.persist()
+        dropping = spark.createDataFrame([(2,)], "src long")
+        dec = (
+            prepped.join(dropping, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("w").alias("dec"))
+        )
+        live = dec._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", live):
+            assert m.group(1) != "src", live
+        prepped.unpersist()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS score_symw_test")

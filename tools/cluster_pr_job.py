@@ -55,6 +55,14 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # mirror drone_spark.session: allow shuffled-hash join so the
+        # per-superstep scatter join does not re-sort the cached edge
+        # table (guide §3.1); SPARK_GRAFT_PREFER_SMJ=1 restores default
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1"
+            else "false",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
