@@ -82,8 +82,13 @@ def _apply_updates(state: DataFrame, cand: DataFrame) -> DataFrame:
     """state ⟕ candidate minima → (vid, label, outdeg, delta); delta>0
     marks the next frontier (the reference's updatedByMessage set,
     CC.go:103-117)."""
+    from ..engine.plan_hints import shj_build
+
     new_label = F.least(F.col("label"), F.coalesce("msg", F.col("label")))
-    return state.join(cand, "vid", "left").select(
+    # SHUFFLE_HASH build on the aggregated candidate minima: both sides
+    # are hash-partitioned on vid; stats-blind planning would re-sort
+    # both every superstep (engine/plan_hints)
+    return state.join(shj_build(cand), "vid", "left").select(
         "vid",
         new_label.alias("label"),
         "outdeg",
@@ -96,9 +101,12 @@ def _apply_updates(state: DataFrame, cand: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _relational_step(sym_r: DataFrame):
     def step(state: DataFrame, _k: int) -> DataFrame:
+        from ..engine.plan_hints import shj_build
+
         cand = (
             state.where(F.col("delta") > 0)  # frontier only
             .select(F.col("vid").alias("src"), "label")
+            .transform(shj_build)  # build the frontier, stream cached edges
             .join(sym_r, "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("label").alias("msg"))
@@ -290,7 +298,14 @@ def _run_labeling(
             edges_p = sym.select("src", "dst", "part").persist()
         else:
             pg = partition_graph(sym, n_parts, salt_threshold=salt_threshold)
-            edges_p = pg.edges.repartition(n_parts, "part").persist()
+            edges_p = (
+                pg.edges.repartition(n_parts, "part")
+                # local sort by the cogroup key at prep: the cached
+                # ordering elides the per-superstep edge-side SortExec
+                # (see pagerank_cogroup prep note / plans/r06)
+                .sortWithinPartitions("part")
+                .persist()
+            )
         n_edges = edges_p.count()
         # presence routing table, derived from the cached edge
         # partitioning (presence = the replicas table's mirror rows);

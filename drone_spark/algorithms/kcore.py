@@ -114,7 +114,10 @@ def k_core(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.count(F.lit(1)).alias("dec"))
         )
-        joined = state.join(decs, "vid", "left")
+        from ..engine.plan_hints import shj_build
+
+        # SHUFFLE_HASH build on the decrement table (engine/plan_hints)
+        joined = state.join(shj_build(decs), "vid", "left")
         new_active = F.col("active") & (F.col("deg") >= k)
         # a dropped vertex's deg no longer matters; survivors lose one
         # per edge into this round's frontier (frontier-internal edges

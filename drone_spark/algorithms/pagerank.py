@@ -37,6 +37,27 @@ from ..graph.builder import out_degrees, vertices
 DAMPING = 0.85
 
 
+def _scatter_side(df):
+    """See engine/plan_hints.shj_build — the per-vertex side of the
+    scatter join, SHUFFLE_HASH-hinted so the small co-partitioned state
+    slice is the build side (not a per-superstep broadcast, not a
+    sort-merge re-sort of the cached edge table). Measured min-of-2 at
+    13.4M edges / local[8] / 3 supersteps: 12.36 s (r5 shape) -> 8.62 s
+    with this hint + the join-back step (tools/ab_superstep.py)."""
+    from ..engine.plan_hints import shj_build
+
+    return shj_build(df)
+
+
+def _msgs_side(df):
+    """The aggregated-message side of a state ⟕ msgs apply join —
+    build side = the messages (≤|V| aggregated rows, bounded per
+    partition by |V|/num_parts). See engine/plan_hints.shj_build."""
+    from ..engine.plan_hints import shj_build
+
+    return shj_build(df)
+
+
 def pagerank(
     spark: SparkSession,
     engine: SuperstepEngine,
@@ -98,43 +119,65 @@ def pagerank(
         )
 
     def step(state: DataFrame, _k: int) -> DataFrame:
-        # one-shuffle apply: contribution rows and state-carrier rows are
-        # unioned and combined in a single groupBy(vid) — no second join
-        # back to state, one fewer exchange + barrier per superstep
-        contribs = (
+        import os
+
+        scattered = (
             state.where(F.col("outdeg") > 0)
             .select("vid", (F.col("pr") / F.col("outdeg")).alias("w"))
+            .transform(_scatter_side)
             .join(edges_r, F.col("vid") == F.col("src"))
-            .select(
+        )
+        new_pr = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
+            F.col("acc"), F.lit(0.0)
+        )
+        if os.environ.get("SPARK_GRAFT_PR_STEP", "joinback") == "union":
+            # one-shuffle union-carrier apply: contribution rows and
+            # state-carrier rows combined in a single groupBy(vid)
+            contribs = scattered.select(
                 F.col("dst").alias("vid"),
                 F.col("w"),
                 F.lit(None).cast("double").alias("pr_old"),
                 F.lit(None).cast("long").alias("outdeg"),
             )
-        )
-        carriers = state.select(
-            "vid",
-            F.lit(None).cast("double").alias("w"),
-            F.col("pr").alias("pr_old"),
-            "outdeg",
-        )
-        new_pr = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
-            F.col("acc"), F.lit(0.0)
-        )
-        return (
-            contribs.unionByName(carriers)
-            .groupBy("vid")
-            .agg(
-                F.sum("w").alias("acc"),
-                F.first("pr_old", ignorenulls=True).alias("pr_old"),
-                F.first("outdeg", ignorenulls=True).alias("outdeg"),
-            )
-            .select(
+            carriers = state.select(
                 "vid",
-                new_pr.alias("pr"),
+                F.lit(None).cast("double").alias("w"),
+                F.col("pr").alias("pr_old"),
                 "outdeg",
-                F.abs(new_pr - F.col("pr_old")).alias("delta"),
             )
+            return (
+                contribs.unionByName(carriers)
+                .groupBy("vid")
+                .agg(
+                    F.sum("w").alias("acc"),
+                    F.first("pr_old", ignorenulls=True).alias("pr_old"),
+                    F.first("outdeg", ignorenulls=True).alias("outdeg"),
+                )
+                .select(
+                    "vid",
+                    new_pr.alias("pr"),
+                    "outdeg",
+                    F.abs(new_pr - F.col("pr_old")).alias("delta"),
+                )
+            )
+        # join-back shape (default): also exactly ONE exchange per
+        # superstep, but it carries only the partially-aggregated
+        # (dst, w) contributions — the union-carrier variant additionally
+        # ships every state row (4 columns wide) through the shuffle,
+        # which at 8M+ vertices is real shuffle tonnage (guide §2.3
+        # "shuffle fewer bytes"). The join back to state is exchange-free
+        # (both sides hash-partitioned on vid) and hash-builds the
+        # aggregated message side.
+        msgs = scattered.groupBy(F.col("dst").alias("mvid")).agg(
+            F.sum("w").alias("acc")
+        )
+        return state.join(
+            _msgs_side(msgs), state["vid"] == msgs["mvid"], "left"
+        ).select(
+            "vid",
+            new_pr.alias("pr"),
+            "outdeg",
+            F.abs(new_pr - F.col("pr")).alias("delta"),
         )
 
     try:
@@ -238,44 +281,28 @@ def personalized_pagerank(
         )
 
     def step(state: DataFrame, _k: int) -> DataFrame:
-        contribs = (
+        # join-back apply (see pagerank.step): one exchange carrying
+        # only the partially-aggregated (dst, w) messages; the join back
+        # to state is exchange-free and hash-builds the message side
+        msgs = (
             state.where((F.col("outdeg") > 0) & (F.col("pr") != 0.0))
             .select("vid", (F.col("pr") / F.col("outdeg")).alias("w"))
+            .transform(_scatter_side)
             .join(edges_r, F.col("vid") == F.col("src"))
-            .select(
-                F.col("dst").alias("vid"),
-                F.col("w"),
-                F.lit(None).cast("double").alias("pr_old"),
-                F.lit(None).cast("long").alias("outdeg"),
-                F.lit(None).cast("double").alias("base"),
-            )
-        )
-        carriers = state.select(
-            "vid",
-            F.lit(None).cast("double").alias("w"),
-            F.col("pr").alias("pr_old"),
-            "outdeg",
-            "base",
+            .groupBy(F.col("dst").alias("mvid"))
+            .agg(F.sum("w").alias("acc"))
         )
         new_pr = F.col("base") + F.lit(damping) * F.coalesce(
             F.col("acc"), F.lit(0.0)
         )
-        return (
-            contribs.unionByName(carriers)
-            .groupBy("vid")
-            .agg(
-                F.sum("w").alias("acc"),
-                F.first("pr_old", ignorenulls=True).alias("pr_old"),
-                F.first("outdeg", ignorenulls=True).alias("outdeg"),
-                F.first("base", ignorenulls=True).alias("base"),
-            )
-            .select(
-                "vid",
-                new_pr.alias("pr"),
-                "outdeg",
-                "base",
-                F.abs(new_pr - F.col("pr_old")).alias("delta"),
-            )
+        return state.join(
+            _msgs_side(msgs), state["vid"] == msgs["mvid"], "left"
+        ).select(
+            "vid",
+            new_pr.alias("pr"),
+            "outdeg",
+            "base",
+            F.abs(new_pr - F.col("pr")).alias("delta"),
         )
 
     try:
@@ -359,44 +386,27 @@ def pagerank_weighted(
         )
 
     def step(state: DataFrame, _k: int) -> DataFrame:
-        contribs = (
+        # join-back apply (see pagerank.step): one exchange carrying
+        # only the partially-aggregated weighted messages
+        msgs = (
             state.where(F.col("outw") > 0)
             .select("vid", (F.col("pr") / F.col("outw")).alias("r"))
+            .transform(_scatter_side)
             .join(edges_r, F.col("vid") == F.col("src"))
-            .select(
-                F.col("dst").alias("vid"),
-                (F.col("r") * F.col("w_e")).alias("w"),
-                F.lit(None).cast("double").alias("pr_old"),
-                F.lit(None).cast("double").alias("outw"),
-                F.lit(None).cast("long").alias("outd"),
-            )
-        )
-        carriers = state.select(
-            "vid",
-            F.lit(None).cast("double").alias("w"),
-            F.col("pr").alias("pr_old"),
-            "outw",
-            "outd",
+            .groupBy(F.col("dst").alias("mvid"))
+            .agg(F.sum(F.col("r") * F.col("w_e")).alias("acc"))
         )
         new_pr = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
             F.col("acc"), F.lit(0.0)
         )
-        return (
-            contribs.unionByName(carriers)
-            .groupBy("vid")
-            .agg(
-                F.sum("w").alias("acc"),
-                F.first("pr_old", ignorenulls=True).alias("pr_old"),
-                F.first("outw", ignorenulls=True).alias("outw"),
-                F.first("outd", ignorenulls=True).alias("outd"),
-            )
-            .select(
-                "vid",
-                new_pr.alias("pr"),
-                "outw",
-                "outd",
-                F.abs(new_pr - F.col("pr_old")).alias("delta"),
-            )
+        return state.join(
+            _msgs_side(msgs), state["vid"] == msgs["mvid"], "left"
+        ).select(
+            "vid",
+            new_pr.alias("pr"),
+            "outw",
+            "outd",
+            F.abs(new_pr - F.col("pr")).alias("delta"),
         )
 
     try:
@@ -478,6 +488,7 @@ def pagerank_delta(
         msgs = (
             state.where(scattered)
             .select("vid", (F.col("d") / F.col("outdeg")).alias("w"))
+            .transform(_scatter_side)
             .join(edges_r, F.col("vid") == F.col("src"))
             .groupBy("dst")
             .agg(F.sum("w").alias("dacc"))
@@ -491,7 +502,9 @@ def pagerank_delta(
             + pr_new
             - F.col("pr")
         )
-        return state.join(msgs, state["vid"] == msgs["dst"], "left").select(
+        return state.join(
+            _msgs_side(msgs), state["vid"] == msgs["dst"], "left"
+        ).select(
             "vid",
             pr_new.alias("pr"),
             acc_new.alias("acc"),
@@ -573,7 +586,17 @@ def pagerank_cogroup(
         edges_p = edges.select("src", "dst", "part").persist()
     else:
         pg = partition_graph(edges.select("src", "dst"), n_parts, salt_threshold)
-        edges_p = pg.edges.repartition(n_parts, "part").persist()
+        # sortWithinPartitions(part) at prep: the cogroup requires its
+        # input clustered AND locally sorted by the grouping key; the
+        # cached InMemoryRelation carries this ordering, so the
+        # per-superstep plan's edge-side SortExec elides — without it
+        # every superstep re-sorts the ENTIRE cached edge table
+        # (plans/r06/prcg_step_before.txt operator (83))
+        edges_p = (
+            pg.edges.repartition(n_parts, "part")
+            .sortWithinPartitions("part")
+            .persist()
+        )
     n_edges = edges_p.count()
     # (vid, rpart) routing table: every partition where vid has
     # out-edges (PartitionedGraph.out_routes — the master→mirror scatter
@@ -668,7 +691,9 @@ def pagerank_cogroup(
         new_pr = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
             "acc", F.lit(0.0)
         )
-        return state.join(contribs, state["vid"] == contribs["dst"], "left").select(
+        return state.join(
+            _msgs_side(contribs), state["vid"] == contribs["dst"], "left"
+        ).select(
             "vid",
             new_pr.alias("pr"),
             "outdeg",

@@ -201,7 +201,14 @@ def sssp(
             edges_p = edges.select(*cols, "part").persist()
         else:
             pg = partition_graph(edges.select(*cols), n_parts, salt_threshold)
-            edges_p = pg.edges.repartition(n_parts, "part").persist()
+            edges_p = (
+                pg.edges.repartition(n_parts, "part")
+                # local sort by the cogroup key at prep: the cached
+                # ordering elides the per-superstep edge-side SortExec
+                # (see pagerank_cogroup prep note / plans/r06)
+                .sortWithinPartitions("part")
+                .persist()
+            )
         n_edges = edges_p.count()
         # presence routes derived from the persisted table directly
         # (PartitionedGraph.presence_routes is the same expression) so
@@ -241,8 +248,11 @@ def sssp(
         raise ValueError(f"unknown backend {backend!r}")
 
     def _apply(state: DataFrame, msgs: DataFrame) -> DataFrame:
+        from ..engine.plan_hints import shj_build
+
         new_dist = F.least("dist", F.coalesce("msg", F.col("dist")))
-        return state.join(msgs, "vid", "left").select(
+        # SHUFFLE_HASH build on the aggregated messages (engine/plan_hints)
+        return state.join(shj_build(msgs), "vid", "left").select(
             "vid",
             new_dist.alias("dist"),
             "outdeg",

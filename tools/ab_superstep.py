@@ -50,28 +50,43 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "small"
     reps = int(os.environ.get("AB_REPS", "2"))
     if mode == "big":
-        from drone_spark.session import get_spark
-        from drone_spark.corpus import generate_edges_direct
+        edir = os.environ.get("AB_EDGES_DIR")
+        if not edir:
+            from drone_spark.session import get_spark
+            from drone_spark.corpus import generate_edges_direct
 
-        edir = tempfile.mkdtemp(prefix="ab_superstep_") + "/edges"
-        spark = get_spark("ab-gen", cores=16, shuffle_partitions=32)
-        generate_edges_direct(spark, 2_000_000, seed=42).write.parquet(edir)
-        spark.stop()
-        source, cores, steps = f"parquet:{edir}", 8, 3
+            edir = tempfile.mkdtemp(prefix="ab_superstep_") + "/edges"
+            spark = get_spark("ab-gen", cores=16, shuffle_partitions=32)
+            generate_edges_direct(
+                spark, int(os.environ.get("AB_VERTICES", "2000000")), seed=42
+            ).write.mode("overwrite").parquet(edir)
+            spark.stop()
+        source, cores, steps = (
+            f"parquet:{edir}", int(os.environ.get("AB_CORES", "8")), 3
+        )
     else:
         source, cores, steps = "corpus:50000", 32, 12
 
-    variants: dict[str, dict] = {}
-    for lazy, aqe, smj in itertools.product((1, 0), repeat=3):
-        name = (
-            f"{'lazy' if lazy else 'eager'}"
-            f"-{'aqe' if aqe else 'noaqe'}-{'smj' if smj else 'shj'}"
-        )
-        variants[name] = {
+    def v(lazy, aqe, smj, step_shape, hint):
+        return {
             "SPARK_GRAFT_EAGER_LC": "0" if lazy else "1",
             "SPARK_GRAFT_AQE": "1" if aqe else "0",
             "SPARK_GRAFT_PREFER_SMJ": "1" if smj else "0",
+            "SPARK_GRAFT_PR_STEP": step_shape,
+            "SPARK_GRAFT_SCATTER_HINT": hint,
         }
+
+    variants: dict[str, dict] = {
+        # r5 baseline behavior: eager LC, AQE on, planner SMJ, union step
+        "r5base:eager-aqe-smj-union": v(0, 1, 1, "union", "none"),
+        "lazy-aqe-smj-union": v(1, 1, 1, "union", "none"),
+        "lazy-aqe-shj-union": v(1, 1, 0, "union", "none"),
+        "lazy-noaqe-shj-union": v(1, 0, 0, "union", "none"),
+        "lazy-noaqe-shj-union-hint": v(1, 0, 0, "union", "shj"),
+        "lazy-noaqe-shj-jb": v(1, 0, 0, "joinback", "none"),
+        "lazy-noaqe-shj-jb-hint": v(1, 0, 0, "joinback", "shj"),
+        "lazy-aqe-shj-jb-hint": v(1, 1, 0, "joinback", "shj"),
+    }
 
     only = os.environ.get("AB_ONLY")
     if only:
