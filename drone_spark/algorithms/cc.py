@@ -119,11 +119,54 @@ def _relational_step(sym_r: DataFrame):
 # ---------------------------------------------------------------------------
 # backend: subgraph-centric local fixpoint (union-find per partition)
 # ---------------------------------------------------------------------------
+def _cc_structure(srcs, dsts):
+    """Vertex dictionary + component labelling for one partition's edge
+    arrays — the cacheable pure-structure part of the seeded kernel.
+    hash-based global→local mapping (one factorize beats unique +
+    per-array searchsorted ~8× at 5M edges — see LocalCSR.from_edges)."""
+    import numpy as np
+
+    from ..graph.csr import local_components
+
+    codes, vids = pd.factorize(np.concatenate([srcs, dsts]), sort=True)
+    ne = len(srcs)
+    return np.asarray(vids), local_components(codes[:ne], codes[ne:], len(vids))
+
+
+def _seeded_minima(svid, slab, vids, comp):
+    """numpy core of the seeded fixpoint: minimum seeded label per local
+    component, scattered back to every member; stray seeds (no local
+    presence) emit their own minima. Returns (out_vid, out_label)."""
+    import numpy as np
+
+    if len(vids):
+        pos = np.minimum(np.searchsorted(vids, svid), len(vids) - 1)
+        known = vids[pos] == svid
+    else:
+        pos = np.zeros(len(svid), dtype=np.int64)
+        known = np.zeros(len(svid), dtype=bool)
+    sentinel = np.iinfo(np.int64).max
+    best = np.full(len(vids), sentinel, dtype=np.int64)
+    np.minimum.at(best, comp[pos[known]], slab[known])
+    lab = best[comp]
+    seeded = lab != sentinel
+    out_v, out_l = vids[seeded], lab[seeded]
+    if not known.all():
+        uv, inv = np.unique(svid[~known], return_inverse=True)
+        ul = np.full(len(uv), sentinel, dtype=np.int64)
+        np.minimum.at(ul, inv, slab[~known])
+        out_v = np.concatenate([out_v, uv])
+        out_l = np.concatenate([out_l, ul])
+    return out_v, out_l
+
+
 def _seeded_fixpoint_kernel(
     key, seeds: pd.DataFrame, edges: pd.DataFrame, cache_token: str | None = None
 ) -> pd.DataFrame:
     """Vectorized component fixpoint over one partition's edges, seeded
-    with the labels that changed last superstep.
+    with the labels that changed last superstep (pandas signature —
+    kept for the kernel unit tests; the Spark step uses the Arrow twin
+    below).
 
     Arrow hands us the partition's whole subgraph (the in-memory
     analogue of a DRONE worker's adjacency maps, graph.go:103-122) plus
@@ -149,19 +192,12 @@ def _seeded_fixpoint_kernel(
                              "label": pd.Series(dtype="int64")})
     import numpy as np
 
-    from ..graph.csr import local_components, part_cache_get_or_build
-
-    svid = seeds["vid"].to_numpy(np.int64)
-    slab = seeds["label"].to_numpy(np.int64)
+    from ..graph.csr import part_cache_get_or_build
 
     def build():
-        srcs = edges["src"].to_numpy(np.int64)
-        dsts = edges["dst"].to_numpy(np.int64)
-        # hash-based global→local mapping (one factorize beats unique +
-        # per-array searchsorted ~8× at 5M edges — see LocalCSR.from_edges)
-        codes, vids = pd.factorize(np.concatenate([srcs, dsts]), sort=True)
-        ne = len(srcs)
-        return np.asarray(vids), local_components(codes[:ne], codes[ne:], len(vids))
+        return _cc_structure(
+            edges["src"].to_numpy(np.int64), edges["dst"].to_numpy(np.int64)
+        )
 
     if cache_token is not None and key is not None:
         vids, comp = part_cache_get_or_build(
@@ -169,30 +205,47 @@ def _seeded_fixpoint_kernel(
         )
     else:
         vids, comp = build()
-
-    # seeds → local indices; routed seeds are edge endpoints by
-    # construction (presence routes), but strays are tolerated and
-    # emitted back unchanged (their own singleton component)
-    if len(vids):
-        pos = np.minimum(np.searchsorted(vids, svid), len(vids) - 1)
-        known = vids[pos] == svid
-    else:
-        pos = np.zeros(len(svid), dtype=np.int64)
-        known = np.zeros(len(svid), dtype=bool)
-    # min seeded label per component root, scattered back to members
-    sentinel = np.iinfo(np.int64).max
-    best = np.full(len(vids), sentinel, dtype=np.int64)
-    np.minimum.at(best, comp[pos[known]], slab[known])
-    lab = best[comp]
-    seeded = lab != sentinel
-    out_v, out_l = vids[seeded], lab[seeded]
-    if not known.all():
-        uv, inv = np.unique(svid[~known], return_inverse=True)
-        ul = np.full(len(uv), sentinel, dtype=np.int64)
-        np.minimum.at(ul, inv, slab[~known])
-        out_v = np.concatenate([out_v, uv])
-        out_l = np.concatenate([out_l, ul])
+    out_v, out_l = _seeded_minima(
+        seeds["vid"].to_numpy(np.int64), seeds["label"].to_numpy(np.int64),
+        vids, comp,
+    )
     return pd.DataFrame({"vid": out_v, "label": out_l})
+
+
+def _seeded_fixpoint_kernel_arrow(
+    key, seeds, edges, cache_token: str | None = None
+):
+    """Arrow-native twin of :func:`_seeded_fixpoint_kernel` for
+    ``applyInArrow``: the (large) edge batch crossing the boundary every
+    superstep stays a pyarrow Table — numpy views come straight off the
+    Arrow buffers, no pandas block manager is built."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..graph.csr import _arrow_col_np, part_cache_get_or_build
+
+    if seeds.num_rows == 0:
+        return pa.table({"vid": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64())})
+
+    def build():
+        return _cc_structure(
+            _arrow_col_np(edges, "src", np.int64),
+            _arrow_col_np(edges, "dst", np.int64),
+        )
+
+    if cache_token is not None and key is not None:
+        ck = (cache_token, tuple(k.as_py() for k in key))
+        vids, comp = part_cache_get_or_build(ck, edges.num_rows, build)
+    else:
+        vids, comp = build()
+    out_v, out_l = _seeded_minima(
+        _arrow_col_np(seeds, "vid", np.int64),
+        _arrow_col_np(seeds, "label", np.int64),
+        vids, comp,
+    )
+    return pa.table({"vid": pa.array(out_v, pa.int64()),
+                     "label": pa.array(out_l, pa.int64())})
 
 
 def _subgraph_step(
@@ -205,8 +258,8 @@ def _subgraph_step(
     ``cache_token``: enables the executor-side structural cache (see
     kernel docstring)."""
 
-    def kernel(key, seeds: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
-        return _seeded_fixpoint_kernel(key, seeds, edges, cache_token)
+    def kernel(key, seeds, edges):
+        return _seeded_fixpoint_kernel_arrow(key, seeds, edges, cache_token)
 
     def step(state: DataFrame, _k: int) -> DataFrame:
         # master→mirror broadcast (J3) of the FRONTIER only: changed
@@ -222,7 +275,7 @@ def _subgraph_step(
         cand = (
             seeds.groupBy("rpart")
             .cogroup(edges_p.groupBy("part"))
-            .applyInPandas(kernel, schema="vid long, label long")
+            .applyInArrow(kernel, schema="vid long, label long")
             .groupBy("vid")
             .agg(F.min("label").alias("msg"))
         )

@@ -645,28 +645,40 @@ def pagerank_cogroup(
     # later one in the same Python worker (graph/csr.py cache notes).
     cache_token = f"prcg:{run_id}:{uuid.uuid4().hex}" if use_kernel_cache else None
 
-    def kernel(key, states: pd.DataFrame, part_edges: pd.DataFrame) -> pd.DataFrame:
-        from ..graph.csr import csr_from_pandas, part_cache_get_or_build
+    def kernel(key, states, part_edges):
+        # Arrow-native kernel (applyInArrow, Spark 4): the edge batch
+        # and the routed ranks stay pyarrow Tables — numpy views come
+        # straight off the Arrow buffers, no pandas block manager is
+        # ever built for the (large) edge payload crossing per superstep
         import numpy as np
+        import pyarrow as pa
 
-        if part_edges.empty or states.empty:
-            return pd.DataFrame({"dst": [], "partial": []}).astype(
-                {"dst": "int64", "partial": "float64"}
+        from ..graph.csr import (
+            _arrow_col_np, csr_from_arrow, part_cache_get_or_build,
+        )
+
+        if part_edges.num_rows == 0 or states.num_rows == 0:
+            return pa.table(
+                {"dst": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.float64())}
             )
         if cache_token is not None:
+            ck = (cache_token, tuple(k.as_py() for k in key))
             csr = part_cache_get_or_build(
-                (cache_token, tuple(key)), len(part_edges),
-                lambda: csr_from_pandas(part_edges),
+                ck, part_edges.num_rows, lambda: csr_from_arrow(part_edges)
             )
         else:
-            csr = csr_from_pandas(part_edges)
+            csr = csr_from_arrow(part_edges)
         values = np.zeros(len(csr.vids))
-        idx = csr.local_index(states["vid"].to_numpy(np.int64))
+        idx = csr.local_index(_arrow_col_np(states, "vid", np.int64))
         ok = idx >= 0
-        values[idx[ok]] = states["w"].to_numpy(np.float64)[ok]
+        values[idx[ok]] = _arrow_col_np(states, "w", np.float64)[ok]
         sums = csr.scatter_sum(values)
         nz = sums != 0.0
-        return pd.DataFrame({"dst": csr.vids[nz], "partial": sums[nz]})
+        return pa.table(
+            {"dst": pa.array(csr.vids[nz], pa.int64()),
+             "partial": pa.array(sums[nz], pa.float64())}
+        )
 
     def step(state: DataFrame, _k: int) -> DataFrame:
         # groupBy(dst) pre-combine + join back to state. The relational
@@ -684,7 +696,7 @@ def pagerank_cogroup(
         contribs = (
             routed.groupBy("rpart")
             .cogroup(edges_p.groupBy("part"))
-            .applyInPandas(kernel, schema="dst long, partial double")
+            .applyInArrow(kernel, schema="dst long, partial double")
             .groupBy("dst")
             .agg(F.sum("partial").alias("acc"))
         )

@@ -85,8 +85,20 @@ def _local_dijkstra_kernel(
         csr = part_cache_get_or_build((cache_token, tuple(key)), len(edges), build)
     else:
         csr = build()
-    svid = seeds["vid"].to_numpy(np.int64)
-    sdist = seeds["dist"].to_numpy(np.float64)
+    out_v, out_d = _dijkstra_core(
+        seeds["vid"].to_numpy(np.int64), seeds["dist"].to_numpy(np.float64), csr
+    )
+    return pd.DataFrame({"vid": out_v, "dist": out_d})
+
+
+def _dijkstra_core(svid, sdist, csr):
+    """Heap Dijkstra over a LocalCSR from routed frontier (vid, dist)
+    seeds; returns (vid, dist) arrays for every locally reached vertex
+    plus stray seeds (no local presence) echoing their own minima."""
+    import heapq
+
+    import numpy as np
+
     indptr, nbrs, ws = csr.indptr, csr.indices, csr.weights
     dist = np.full(len(csr.vids), INF)
     heap: list[tuple[float, int]] = []
@@ -122,7 +134,43 @@ def _local_dijkstra_kernel(
         np.minimum.at(ud, inv, sdist[stray])
         out_v = np.concatenate([out_v, uv])
         out_d = np.concatenate([out_d, ud])
-    return pd.DataFrame({"vid": out_v, "dist": out_d})
+    return out_v, out_d
+
+
+def _local_dijkstra_kernel_arrow(key, seeds, edges, cache_token=None):
+    """Arrow-native twin of :func:`_local_dijkstra_kernel` for
+    ``applyInArrow``: the per-superstep edge batch stays a pyarrow
+    Table — numpy views come straight off the Arrow buffers."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..graph.csr import LocalCSR, _arrow_col_np, part_cache_get_or_build
+
+    if seeds.num_rows == 0:
+        return pa.table({"vid": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.float64())})
+
+    def build() -> LocalCSR:
+        srcs = _arrow_col_np(edges, "src", np.int64)
+        dsts = _arrow_col_np(edges, "dst", np.int64)
+        wts = (
+            _arrow_col_np(edges, "weight", np.float64)
+            if "weight" in edges.column_names
+            else np.ones(len(srcs), dtype=np.float64)
+        )
+        return LocalCSR.from_edges(srcs, dsts, weights=wts)
+
+    if cache_token is not None and key is not None:
+        ck = (cache_token, tuple(k.as_py() for k in key))
+        csr = part_cache_get_or_build(ck, edges.num_rows, build)
+    else:
+        csr = build()
+    out_v, out_d = _dijkstra_core(
+        _arrow_col_np(seeds, "vid", np.int64),
+        _arrow_col_np(seeds, "dist", np.float64), csr,
+    )
+    return pa.table({"vid": pa.array(out_v, pa.int64()),
+                     "dist": pa.array(out_d, pa.float64())})
 
 
 def sssp(
@@ -224,8 +272,8 @@ def sssp(
         cleanup.extend([edges_p, routes])
         token = f"sssp:{run_id}:{uuid.uuid4().hex}" if use_kernel_cache else None
 
-        def kernel(key, seeds: pd.DataFrame, part_edges: pd.DataFrame) -> pd.DataFrame:
-            return _local_dijkstra_kernel(key, seeds, part_edges, token)
+        def kernel(key, seeds, part_edges):
+            return _local_dijkstra_kernel_arrow(key, seeds, part_edges, token)
 
         def step(state: DataFrame, _k: int) -> DataFrame:
             seeds = (
@@ -237,7 +285,7 @@ def sssp(
             msgs = (
                 seeds.groupBy("rpart")
                 .cogroup(edges_p.groupBy("part"))
-                .applyInPandas(kernel, schema="vid long, dist double")
+                .applyInArrow(kernel, schema="vid long, dist double")
                 .groupBy("vid")
                 .agg(F.min("dist").alias("msg"))
             )

@@ -158,3 +158,20 @@ def local_components(u: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
             if np.array_equal(pp, p):
                 break
             p = pp
+
+
+def _arrow_col_np(tbl, name: str, dtype):
+    """Arrow column -> numpy (combines chunks; zero-copy when possible)."""
+    return np.asarray(
+        tbl.column(name).to_numpy(zero_copy_only=False), dtype=dtype
+    )
+
+
+def csr_from_arrow(edges) -> LocalCSR:
+    """Build a LocalCSR straight from a ``pyarrow.Table`` edge batch —
+    the applyInArrow kernels' entry point: no pandas DataFrame (block
+    manager, index) is ever materialized for the edge payload."""
+    return LocalCSR.from_edges(
+        _arrow_col_np(edges, "src", np.int64),
+        _arrow_col_np(edges, "dst", np.int64),
+    )
