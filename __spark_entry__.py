@@ -5121,8 +5121,34 @@ def q_pareto_share(spark, sf_dir):
         F.count(F.lit(1)).alias("n_ev"),
         F.sum(cents).alias("cents"),
     )
-    w = Window.orderBy(F.desc("n_ev"), F.desc("cents"), "user_id")
-    deciled = per_user.withColumn("rnk", F.ntile(10).over(w))
+    # NTILE(10) without the single-task global window (VERDICT r5 next
+    # #3 class; guide §2.5): the (n_ev, cents) composite is near-unique,
+    # so the distinct-value-histogram idiom would degenerate — use the
+    # partition-offset exact rank (ops/fusion.range_rank: range
+    # repartition + per-partition row_number + prefix offsets), then the
+    # SQL-standard ntile closed form on the rank: the first n%10 buckets
+    # hold n DIV 10 + 1 rows, the rest n DIV 10. The user_id tiebreak
+    # makes the order total, so rank and decile equal the global
+    # window's; the DuckDB twin stays the naive NTILE and the oracle
+    # hash proves value equality.
+    from drone_spark.ops.fusion import range_rank
+
+    ranked = range_rank(
+        per_user,
+        [F.desc("n_ev"), F.desc("cents"), F.asc("user_id")],
+        rank_col="r",
+    )
+    counts = per_user.agg(F.count(F.lit(1)).alias("n_tot"))
+    deciled = ranked.join(F.broadcast(counts)).withColumn(
+        "rnk",
+        F.expr(
+            "CASE WHEN r <= (n_tot % 10) * (n_tot DIV 10 + 1) "
+            "THEN (r - 1) DIV (n_tot DIV 10 + 1) + 1 "
+            "ELSE (n_tot % 10) + "
+            "(r - (n_tot % 10) * (n_tot DIV 10 + 1) - 1) "
+            "DIV (n_tot DIV 10) + 1 END"
+        ).cast("int"),
+    )
     tot = per_user.agg(
         F.sum("n_ev").alias("te"), F.sum("cents").alias("tc")
     )
@@ -5527,10 +5553,16 @@ def q_returned_items(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_rev_e6()).cast("long").alias("revenue_e6"))
     )
+    # distributed top-k (per-partition top-20 merged by the driver-side
+    # TakeOrdered) instead of a single-task global row_number over every
+    # customer aggregate; the rank window then runs over exactly 20
+    # rows. Prefix property of the deterministic total order (c_custkey
+    # is unique per group) makes the ranks identical.
     w = Window.orderBy(F.desc("revenue_e6"), F.asc("c_custkey"))
     return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 20)
+        agg.orderBy(F.desc("revenue_e6"), F.asc("c_custkey"))
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("c_custkey", "c_name", "n_name", "revenue_e6", "rnk")
     )
 

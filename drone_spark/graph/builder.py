@@ -44,6 +44,32 @@ def out_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def vertices_with_outdeg(
+    edges: DataFrame, extra: DataFrame | None = None
+) -> DataFrame:
+    """(id, outdeg) for every vertex appearing in any edge endpoint
+    (plus ``extra`` ids), in ONE exchange.
+
+    Exactly ``vertices(edges, extra) ⟕ out_degrees(edges)`` with null
+    out-degrees filled to 0 — but fused: src endpoints carry weight 1,
+    dst/extra endpoints weight 0, one union + sum-aggregate. The
+    separate derivation pays two exchanges (the vertices distinct and
+    the degree groupBy) plus a join; the fused form pays one groupBy
+    over the same union, with map-side partial aggregation doing the
+    distinct's work. Used by the iterative algorithms' init plans
+    (guide §2.4: remove shuffles outright)."""
+    v = edges.select(F.col("src").alias("id"), F.lit(1).alias("_c")).unionAll(
+        edges.select(F.col("dst").alias("id"), F.lit(0).alias("_c"))
+    )
+    if extra is not None:
+        v = v.unionAll(
+            extra.select(
+                F.col(extra.columns[0]).alias("id"), F.lit(0).alias("_c")
+            )
+        )
+    return v.groupBy("id").agg(F.sum("_c").cast("long").alias("outdeg"))
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """(id, outdeg, indeg) with zeros filled — one pass each side."""
     outd = out_degrees(edges)

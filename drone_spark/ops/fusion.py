@@ -48,6 +48,61 @@ def ordinal_rank(
     )
 
 
+def range_rank(
+    df: DataFrame,
+    order_cols,
+    rank_col: str = "rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` by a TOTAL order, without the
+    single-task global window — for orders whose keys are near-unique,
+    where :func:`ordinal_rank`'s distinct-value histogram would
+    degenerate to row cardinality.
+
+    Classic two-pass partition-offset ranking: range-repartition on the
+    order (partition p then holds a contiguous key range), count rows
+    per partition (≤ ``n_parts`` rows to the driver), prefix-sum the
+    counts into per-partition offsets, and add a row_number windowed
+    WITHIN each partition. Every window task is bounded by its
+    (range-balanced) partition; the driver sees only the count rows.
+
+    ``order_cols``: list of Columns (may carry asc/desc) forming a
+    total order — ties across rows would make ranks depend on the
+    range boundary placement, so the caller must include a tiebreaker.
+
+    The range exchange is persisted for the DataFrame's lifetime: the
+    offsets are computed from one materialization of the sampled range
+    boundaries, and the returned plan must reuse exactly that
+    partitioning (re-sampling in a second job could move boundary
+    rows). The cache is one projected copy of ``df`` — unpersist it by
+    dropping the returned DataFrame.
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_rr_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_rr_pid"]: r["cnt"]
+        for r in parted.groupBy("_rr_pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n_parts):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    odf = spark.createDataFrame(offsets, "_rr_pid int, _rr_off long")
+    w = Window.partitionBy("_rr_pid").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(odf), "_rr_pid")
+        .withColumn(rank_col, F.col("_rr_off") + F.row_number().over(w))
+        .drop("_rr_pid", "_rr_off")
+    )
+
+
 def rrf_fuse(
     rankings: dict[str, DataFrame],
     id_col: str = "vid",

@@ -82,7 +82,7 @@ def _wait_workers(n: int, timeout_s: float = 120.0) -> None:
                 return
         except Exception:
             pass
-        time.sleep(2)
+        time.sleep(0.5)
     raise TimeoutError(f"standalone cluster: {n} workers not ALIVE in {timeout_s}s")
 
 
@@ -121,7 +121,7 @@ class Cluster:
                 _master_state()
                 break
             except Exception:
-                time.sleep(2)
+                time.sleep(0.5)
         try:
             for i in range(n_workers):
                 self.procs.append(
@@ -150,6 +150,7 @@ class Cluster:
 def _submit(
     edges_path: str, steps: int, num_parts: int, exec_cores: int,
     exec_mem: str, py_zip: str, backend: str, timeout_s: int = 3600,
+    max_cores: int | None = None,
 ) -> dict:
     out_json = tempfile.mktemp(suffix=".json")
     cmd = [
@@ -162,6 +163,10 @@ def _submit(
         "--conf", f"spark.executor.memory={exec_mem}",
         "--conf", "spark.ui.enabled=false",
     ]
+    if max_cores is not None:
+        # executor count for THIS application: standalone executors are
+        # per-application JVMs capped by spark.cores.max / executor.cores
+        cmd += ["--conf", f"spark.cores.max={max_cores}"]
     # tmpfs shuffle dir: measured ~1.5x on the 4-executor pair (disk
     # shuffle files vs /dev/shm); local disk does not scale with
     # executors and would fold storage speed into the scaling number
@@ -199,21 +204,46 @@ def measure_pair(
     py_zip = _zip_package(tempfile.mkdtemp(prefix="pyfiles_"))
     worker_mem = f"{int(exec_mem.rstrip('g')) + 1}g"
     results: dict[int, dict] = {}
-    # interleave sizes across repeats (min-of-N per size): the host is a
-    # shared VM, so back-to-back same-size repeats would fold a co-tenant
-    # load swing into the ratio
-    for _ in range(repeats):
-        for n in sizes:
-            cluster = Cluster(n, exec_cores, worker_mem)
-            try:
+    # ONE cluster sized for the high side, reused by every run (round 6):
+    # executor JVMs are per-APPLICATION in standalone mode — spawned at
+    # submit, torn down at app exit — so per-size executor-JVM isolation
+    # is unchanged; ``spark.cores.max = n_executors × exec_cores`` picks
+    # how many of the (1-core) workers host an executor for each run.
+    # Spinning a fresh master+workers per run measured ~12-15 s × 2 ×
+    # repeats of pure harness overhead inside the frozen bench's wall.
+    #
+    # Deadline (SPARK_GRAFT_STANDALONE_DEADLINE_S): the frozen driver
+    # bench runs under a hard measurement window that r5 blew entirely
+    # (BENCH_r05.json rc=124 — no data at all); later repeats are
+    # skipped once the phase exceeds the deadline, as long as every
+    # size has at least one result — min-of-whatever-completed, the
+    # same graceful-degradation contract as bench.py's own
+    # SPARK_GRAFT_SCALING_BUDGET_S for the in-VM pairs.
+    deadline_s = float(
+        os.environ.get("SPARK_GRAFT_STANDALONE_DEADLINE_S", "900")
+    )
+    t0 = time.monotonic()
+    cluster = Cluster(max(sizes), exec_cores, worker_mem)
+    try:
+        # interleave sizes across repeats (min-of-N per size): the host
+        # is a shared VM, so back-to-back same-size repeats would fold a
+        # co-tenant load swing into the ratio
+        for rep in range(repeats):
+            if (
+                rep > 0
+                and time.monotonic() - t0 > deadline_s
+                and all(n in results for n in sizes)
+            ):
+                break
+            for n in sizes:
                 run = _submit(
                     edges_path, steps, num_parts, exec_cores, exec_mem,
-                    py_zip, backend,
+                    py_zip, backend, max_cores=n * exec_cores,
                 )
-            finally:
-                cluster.shutdown()
-            if n not in results or run["iter_seconds"] < results[n]["iter_seconds"]:
-                results[n] = run
+                if n not in results or run["iter_seconds"] < results[n]["iter_seconds"]:
+                    results[n] = run
+    finally:
+        cluster.shutdown()
     lo, hi = sizes
     thr_lo = results[lo]["edges_per_sec"]
     thr_hi = results[hi]["edges_per_sec"]
