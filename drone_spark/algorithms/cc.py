@@ -62,19 +62,20 @@ def _init_labels(sym: DataFrame, label_expr) -> DataFrame:
     degree in the symmetrized graph, carried so the engine's metrics
     scan can count the edges the frontier actually traverses
     (traversed_expr; the reference's real per-superstep counters,
-    CC.go:29)."""
+    CC.go:29).
+
+    ``sym`` is symmetric, so every vertex appears as ``src`` and the
+    degree groupBy's key set IS the vertex set — the former
+    ``distinct(src) ⟕ out_degrees`` was an identity join costing a
+    second exchange (guide §2.4: a distinct on data whose groupBy
+    already dedupes it). One aggregation, degrees never null."""
     from ..graph.builder import out_degrees
 
-    return (
-        sym.select(F.col("src").alias("vid"))
-        .distinct()
-        .join(out_degrees(sym).select(F.col("id").alias("vid"), "outdeg"), "vid", "left")
-        .select(
-            "vid",
-            label_expr(F.col("vid")).alias("label"),
-            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
-            F.lit(1.0).alias("delta"),
-        )
+    return out_degrees(sym).select(
+        F.col("id").alias("vid"),
+        label_expr(F.col("id")).alias("label"),
+        F.col("outdeg"),
+        F.lit(1.0).alias("delta"),
     )
 
 
@@ -333,6 +334,7 @@ def _run_labeling(
         n_edges = sym_r.count()
         step = _relational_step(sym_r)
         cleanup.append(sym_r)
+        init_sym = sym_r  # init reads the CACHED prepared table
     elif backend == "subgraph":
         import uuid
 
@@ -378,11 +380,15 @@ def _run_labeling(
         token = f"cc:{run_id}:{uuid.uuid4().hex}" if use_kernel_cache else None
         step = _subgraph_step(spark, edges_p, routes, cache_token=token)
         cleanup.extend([edges_p, routes])
+        # init reads the CACHED partitioned table (same edge multiset:
+        # partition_graph only adds 'part') — the raw ``sym`` plan would
+        # re-run symmetrize+distinct from the source table
+        init_sym = edges_p.select("src", "dst")
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
     def init() -> DataFrame:
-        base = _init_labels(sym, label_expr)
+        base = _init_labels(init_sym, label_expr)
         if warm_start is None:
             return base
         # incremental relabeling after edge APPENDS (the daily-crawl

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine.superstep import RunResult, SuperstepEngine
-from ..graph.builder import out_degrees, vertices
+from ..graph.builder import vertices_with_outdeg
 
 DAMPING = 0.85
 
@@ -99,10 +99,9 @@ def pagerank(
     n_edges = edges_r.count()  # materialize cache; also the teps numerator
 
     def init() -> DataFrame:
-        base = (
-            vertices(edges_r, extra=extra_vertices)
-            .join(out_degrees(edges_r), "id", "left")
-        )
+        # fused vertices+degrees (one exchange — builder
+        # .vertices_with_outdeg, guide §2.4) over the cached edge table
+        base = vertices_with_outdeg(edges_r, extra=extra_vertices)
         if warm_start is not None:
             base = base.join(
                 warm_start.select(F.col("vid").alias("id"), F.col("pr").alias("pr0")),
@@ -114,7 +113,7 @@ def pagerank(
         return base.select(
             F.col("id").alias("vid"),
             pr0.alias("pr"),
-            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.col("outdeg"),
             F.lit(1.0).alias("delta"),  # force ≥1 iteration
         )
 
@@ -249,14 +248,10 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank: empty seed set")
 
     def init() -> DataFrame:
-        base = (
-            vertices(edges_r)
-            .join(out_degrees(edges_r), "id", "left")
-            .join(
-                seeds.select("vid").distinct().withColumn("is_seed", F.lit(True)),
-                F.col("id") == F.col("vid"),
-                "left",
-            )
+        base = vertices_with_outdeg(edges_r).join(
+            seeds.select("vid").distinct().withColumn("is_seed", F.lit(True)),
+            F.col("id") == F.col("vid"),
+            "left",
         )
         cold_pr = F.when(F.col("is_seed"), 1.0 / n_seeds).otherwise(0.0)
         if warm_start is not None:
@@ -363,11 +358,30 @@ def pagerank_weighted(
     n_edges = edges_r.count()
 
     def init() -> DataFrame:
-        out_w = edges_r.groupBy(F.col("src").alias("id")).agg(
-            F.sum("w_e").alias("outw"),
-            F.count(F.lit(1)).alias("outd"),  # for the traversal counter
+        # fused vertices + weighted degrees: src endpoints carry
+        # (w_e, 1), dst endpoints (0.0, 0) — one union + sum aggregate
+        # replaces the vertices distinct + degree groupBy + join
+        # (guide §2.4), with identical (outw, outd) including the
+        # 0-filled pure-dst vertices
+        base = (
+            edges_r.select(
+                F.col("src").alias("id"),
+                F.col("w_e").alias("_w"),
+                F.lit(1).alias("_c"),
+            )
+            .unionAll(
+                edges_r.select(
+                    F.col("dst").alias("id"),
+                    F.lit(0.0).alias("_w"),
+                    F.lit(0).alias("_c"),
+                )
+            )
+            .groupBy("id")
+            .agg(
+                F.sum("_w").alias("outw"),
+                F.sum("_c").cast("long").alias("outd"),
+            )
         )
-        base = vertices(edges_r.select("src", "dst")).join(out_w, "id", "left")
         if warm_start is not None:
             base = base.join(
                 warm_start.select(F.col("vid").alias("wid"), F.col("pr").alias("pr0")),
@@ -469,18 +483,15 @@ def pagerank_delta(
 
     def init() -> DataFrame:
         # equivalent to the reference's PEval round: pr=1.0 everywhere,
-        # whole graph is the first frontier (d = pr = 1.0, acc = 0)
-        return (
-            vertices(edges_r)
-            .join(out_degrees(edges_r), "id", "left")
-            .select(
-                F.col("id").alias("vid"),
-                F.lit(1.0).alias("pr"),
-                F.lit(0.0).alias("acc"),
-                F.lit(1.0).alias("d"),
-                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
-                F.lit(1.0).alias("delta"),
-            )
+        # whole graph is the first frontier (d = pr = 1.0, acc = 0);
+        # fused vertices+degrees — one exchange (guide §2.4)
+        return vertices_with_outdeg(edges_r).select(
+            F.col("id").alias("vid"),
+            F.lit(1.0).alias("pr"),
+            F.lit(0.0).alias("acc"),
+            F.lit(1.0).alias("d"),
+            F.col("outdeg"),
+            F.lit(1.0).alias("delta"),
         )
 
     def step(state: DataFrame, _k: int) -> DataFrame:
@@ -618,10 +629,9 @@ def pagerank_cogroup(
     routes.count()
 
     def init() -> DataFrame:
-        base = (
-            vertices(edges_p.select("src", "dst"))
-            .join(out_degrees(edges_p.select("src", "dst")), "id", "left")
-        )
+        # fused vertices+degrees over the cached vertex-cut table —
+        # one exchange (guide §2.4)
+        base = vertices_with_outdeg(edges_p.select("src", "dst"))
         if warm_start is not None:
             base = base.join(
                 warm_start.select(F.col("vid").alias("id"), F.col("pr").alias("pr0")),
@@ -633,7 +643,7 @@ def pagerank_cogroup(
         return base.select(
             F.col("id").alias("vid"),
             pr0.alias("pr"),
-            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.col("outdeg"),
             F.lit(1.0).alias("delta"),
         )
 

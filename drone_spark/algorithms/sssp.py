@@ -37,7 +37,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..engine.superstep import RunResult, SuperstepEngine
-from ..graph.builder import vertices
 from ..graph.partitioner import partition_graph
 
 INF = float("inf")
@@ -309,22 +308,16 @@ def sssp(
 
     def init() -> DataFrame:
         # state carries outdeg so the engine's metrics scan can count
-        # the edges the frontier actually relaxes (traversed_expr)
-        from ..graph.builder import out_degrees
+        # the edges the frontier actually relaxes (traversed_expr).
+        # Fused vertices+degrees over the CACHED prepared table: one
+        # exchange instead of two plus the identity join (guide §2.4)
+        from ..graph.builder import vertices_with_outdeg
 
-        base = (
-            vertices(verts_src.select("src", "dst"))
-            .join(
-                out_degrees(verts_src.select("src", "dst"))
-                .select(F.col("id"), "outdeg"),
-                "id", "left",
-            )
-            .select(
-                F.col("id").alias("vid"),
-                F.when(F.col("id") == source, 0.0).otherwise(INF).alias("dist"),
-                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
-                F.when(F.col("id") == source, 1.0).otherwise(0.0).alias("delta"),
-            )
+        base = vertices_with_outdeg(verts_src.select("src", "dst")).select(
+            F.col("id").alias("vid"),
+            F.when(F.col("id") == source, 0.0).otherwise(INF).alias("dist"),
+            F.col("outdeg"),
+            F.when(F.col("id") == source, 1.0).otherwise(0.0).alias("delta"),
         )
         if warm_start is None:
             return base

@@ -81,10 +81,31 @@ class SuperstepEngine:
         num_parts: int = 32,
         checkpoint_every: int = 1,
     ) -> None:
+        import os
+
         self.spark = spark
         self.catalog = catalog
         self.num_parts = num_parts
         self.checkpoint_every = checkpoint_every
+        # Metrics granularity (round 6). Per-master-partition metric rows
+        # need a scan of the materialized state — a 2-stage driver job on
+        # top of every superstep, measured ~0.25 s/superstep at bench
+        # scale and a full O(|V|) extra pass at cluster scale. At
+        # snapshot-every-superstep cadence (checkpoint_every=1 — the
+        # metrics-fidelity / resume-bit-identity mode) that detail is the
+        # point and is kept. At sparse cadence — the throughput mode —
+        # per-superstep metrics become ONE GLOBAL row (part = -1)
+        # computed by CollectMetrics (DataFrame.observe) INSIDE the state
+        # materialization job: zero extra stages, zero extra driver jobs
+        # (guide §1.4 note on count vs noop / §2.4 remove work outright).
+        # Per-superstep sums/maxima — the convergence trace, n_changed
+        # decay, real traversed-edge counters — are identical; only the
+        # per-partition split is coarsened. SPARK_GRAFT_PART_METRICS=1
+        # forces per-part rows at any cadence for A/B.
+        self._global_metrics = (
+            checkpoint_every > 1
+            and os.environ.get("SPARK_GRAFT_PART_METRICS") != "1"
+        )
         self._pending_metrics: list[tuple] = []
 
     # table names ----------------------------------------------------------
@@ -312,6 +333,100 @@ class SuperstepEngine:
         self.catalog.append(df.coalesce(1), self._metrics_table(run_id))
         self._pending_metrics = []
 
+    @staticmethod
+    def _metric_aggs(traversed_expr):
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("delta") > 0).cast("long")).alias("c"),
+            F.max("delta").alias("d"),
+        ]
+        if traversed_expr is not None:
+            aggs.append(F.sum(traversed_expr.cast("long")).alias("t"))
+        return aggs
+
+    def _record_global_row(
+        self, superstep: int, vals, write_seconds: float,
+        metrics_seconds: float, version: int, edges_per_step: int | None,
+        traversed_expr=None, traversed_override: int | None = None,
+    ) -> float:
+        """Append the ONE global metric row (part = -1) for a superstep
+        from observed/aggregated (n, c, d, t) values; maintain the same
+        frontier bookkeeping the per-part scan does, collapsed to the
+        global total. Returns the max delta (the convergence value)."""
+        max_delta = float(vals["d"] if vals["d"] is not None else 0.0)
+        if traversed_expr is not None:
+            edges_val = (
+                traversed_override if traversed_override is not None
+                else int(sum(self._prev_frontier.values()))
+            )
+        else:
+            edges_val = int(edges_per_step or 0) if superstep > 0 else 0
+        self._pending_metrics.append(
+            (
+                superstep, -1, int(vals["n"] or 0), int(vals["c"] or 0),
+                max_delta, write_seconds + metrics_seconds, write_seconds,
+                metrics_seconds, version, edges_val,
+            )
+        )
+        if traversed_expr is not None:
+            self._row_frontier = {-1: edges_val}
+            self._traversed_total += edges_val
+            self._prev_frontier = {-1: int(vals["t"] or 0)}
+        else:
+            self._row_frontier = None
+            if superstep > 0 or traversed_override is not None:
+                self._traversed_total += int(edges_per_step or 0)
+        return max_delta
+
+    def _commit_observed(
+        self,
+        run_id: str,
+        new_state: DataFrame,
+        superstep: int,
+        t0: float,
+        edges_per_step: int | None,
+        traversed_expr=None,
+        full: bool = True,
+    ) -> tuple[DataFrame, float]:
+        """Sparse-cadence commit: the global metric aggregates ride the
+        state materialization job as a CollectMetrics (observe) node —
+        the per-superstep cost is exactly ONE Spark job with no extra
+        stage and no separate driver scan. ``full`` commits observe the
+        parquet write itself; between checkpoints the observation rides
+        the eager localCheckpoint."""
+        from pyspark.sql import Observation
+
+        cat, spark = self.catalog, self.spark
+        state_table = self._state_table(run_id)
+        obs = Observation()
+        observed = new_state.observe(obs, *self._metric_aggs(traversed_expr))
+        if full:
+            version = cat.write_snapshot(
+                observed, state_table,
+                meta={"superstep": superstep,
+                      "traversed": self._meta_prev_frontier(traversed_expr)},
+            )
+            committed = cat.read(spark, state_table)
+        else:
+            version = -1
+            committed = observed.localCheckpoint(eager=True)
+        write_seconds = time.monotonic() - t0
+        t_m0 = time.monotonic()
+        vals = obs.get  # already complete: the materialization job ran
+        metrics_seconds = time.monotonic() - t_m0
+        max_delta = self._record_global_row(
+            superstep, vals, write_seconds, metrics_seconds, version,
+            edges_per_step, traversed_expr,
+        )
+        if full:
+            self._flush_metrics(run_id)
+        return committed, max_delta
+
+    def _meta_prev_frontier(self, traversed_expr):
+        if traversed_expr is None:
+            return None
+        return {str(p): int(v) for p, v in self._prev_frontier.items()}
+
     def _resume_metrics(
         self, run_id: str, state: DataFrame, k: int, version: int,
         edges_per_step: int | None, traversed_expr=None,
@@ -332,6 +447,21 @@ class SuperstepEngine:
             kept = cat.read(spark, mtable).where(F.col("superstep") < k)
             cat.write_snapshot(kept.coalesce(1), mtable, meta={"truncated_to": k})
         stored = (meta or {}).get("traversed")
+        if self._global_metrics:
+            # one aggregation over the loaded state rebuilds the global
+            # resume row + the next frontier total (once per resume)
+            t_m0 = time.monotonic()
+            vals = state.agg(*self._metric_aggs(traversed_expr)).collect()[0]
+            metrics_seconds = time.monotonic() - t_m0
+            pending = self._record_global_row(
+                k, vals, 0.0, metrics_seconds, version, edges_per_step,
+                traversed_expr,
+                traversed_override=(
+                    sum(int(v) for v in stored.values()) if stored else 0
+                ) if traversed_expr is not None else None,
+            )
+            self._flush_metrics(run_id)
+            return pending
         override = (
             {int(p): int(v) for p, v in stored.items()} if stored else {}
         )
@@ -371,6 +501,12 @@ class SuperstepEngine:
         ``seconds`` = their sum, the full per-superstep cost."""
         cat, spark = self.catalog, self.spark
         state_table = self._state_table(run_id)
+
+        if self._global_metrics:
+            return self._commit_observed(
+                run_id, new_state, superstep, t0, edges_per_step,
+                traversed_expr, full,
+            )
 
         if full:
             version = cat.write_snapshot(
