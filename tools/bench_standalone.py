@@ -220,7 +220,7 @@ def measure_pair(
     # same graceful-degradation contract as bench.py's own
     # SPARK_GRAFT_SCALING_BUDGET_S for the in-VM pairs.
     deadline_s = float(
-        os.environ.get("SPARK_GRAFT_STANDALONE_DEADLINE_S", "900")
+        os.environ.get("SPARK_GRAFT_STANDALONE_DEADLINE_S", "600")
     )
     t0 = time.monotonic()
     cluster = Cluster(max(sizes), exec_cores, worker_mem)
